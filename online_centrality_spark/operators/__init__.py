@@ -1,0 +1,22 @@
+from .components import connected_components, label_propagation
+from .decayed_indegree import DecayedIndegree
+from .static_degree import static_indegree, static_negative_beta
+from .static_pagerank import static_pagerank
+from .harmonic import harmonic_centrality
+from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
+from .temporal_pagerank import TemporalPageRank
+from .triangles import triangle_count
+
+__all__ = [
+    "TemporalKatz",
+    "TruncatedTemporalKatz",
+    "TemporalPageRank",
+    "DecayedIndegree",
+    "static_indegree",
+    "static_negative_beta",
+    "static_pagerank",
+    "harmonic_centrality",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+]

@@ -1,0 +1,111 @@
+"""Decayed indegree (online) as incremental DataFrame state + aggregation.
+
+Reference semantics (``decayed_indegree_computer.py:36-87``, with the
+``batch_score_part=""`` path — the only one exercised by the shipped
+experiments, ``CentralityScoreComputer.py:140-143``; the other path hits
+an undefined-name bug in the reference and is dead code):
+
+At snapshot read-out time T, the score of every ever-active node v is
+
+    score(v, T) = sum over *distinct* in-edges (w, v) seen so far
+                  of weight(T - last_activation(w, v))
+
+where last_activation of an edge is the last time it appeared. Unlike
+Temporal Katz this is order-free — a pure aggregation over per-edge
+state — so it is fully distributed: edge state is a DataFrame
+``(src, dst, last_key)`` merged per superstep (groupBy max), and read-out
+is one groupBy-sum with the decay as a JVM column expression (no Python
+in the hot path). Hub skew on ``dst`` is handled by Spark's two-stage
+(partial) aggregation + AQE.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.weights import Weighter
+
+
+class DecayedIndegree:
+    measure = "did"
+
+    def __init__(self, params: list[Weighter], spark, checkpoint_every: int = 8):
+        self.params = params
+        self.spark = spark
+        self.checkpoint_every = checkpoint_every
+        self.reset()
+
+    def reset(self) -> None:
+        self.edge_state: DataFrame | None = None  # (src, dst, last_key)
+        self.active: DataFrame | None = None  # (node_id)
+        self._steps = 0
+
+    @property
+    def param_ids(self) -> list[str]:
+        return ["did_%s" % w for w in self.params]
+
+    def superstep(self, window: DataFrame | None, hi: float | None = None) -> None:
+        if window is None:
+            return
+        win_last = window.groupBy("src", "dst").agg(F.max("key").alias("last_key"))
+        win_active = (
+            window.select(F.col("src").alias("node_id"))
+            .unionAll(window.select(F.col("dst").alias("node_id")))
+            .distinct()
+        )
+        if self.edge_state is None:
+            self.edge_state = win_last
+            self.active = win_active
+        else:
+            self.edge_state = (
+                self.edge_state.unionByName(win_last)
+                .groupBy("src", "dst")
+                .agg(F.max("last_key").alias("last_key"))
+            )
+            self.active = self.active.unionByName(win_active).distinct()
+        self._steps += 1
+        if self._steps % self.checkpoint_every == 0:
+            # cut lineage so the per-superstep plan doesn't grow unboundedly
+            self.edge_state = self.edge_state.localCheckpoint(eager=True)
+            self.active = self.active.localCheckpoint(eager=True)
+
+    def readout(self, boundary: float) -> pd.DataFrame:
+        if self.edge_state is None:
+            return pd.DataFrame(columns=["param_id", "node_id", "score"])
+        aggs = [
+            F.sum(w.weight_col(F.lit(float(boundary)) - F.col("last_key"))).alias(
+                f"s{i}"
+            )
+            for i, w in enumerate(self.params)
+        ]
+        in_scores = self.edge_state.groupBy("dst").agg(*aggs)
+        joined = (
+            self.active.join(
+                in_scores, self.active["node_id"] == in_scores["dst"], "left"
+            )
+            .drop("dst")
+            .fillna(0.0)
+            .toPandas()
+        )
+        frames = []
+        for i, pid in enumerate(self.param_ids):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "param_id": pid,
+                        "node_id": joined["node_id"].to_numpy(),
+                        "score": joined[f"s{i}"].to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    # state persistence handled by the superstep driver via parquet
+    def state_frames(self) -> dict[str, DataFrame | None]:
+        return {"edge_state": self.edge_state, "active": self.active}
+
+    def load_state_frames(self, edge_state: DataFrame | None, active: DataFrame | None):
+        self.edge_state = edge_state
+        self.active = active

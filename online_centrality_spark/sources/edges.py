@@ -1,0 +1,170 @@
+"""Edge induction: transcript / event tables → timestamped directed edges.
+
+Implements the interaction-adjacency rule (FIXTURES.md §1, replacing the
+reference's Twitter mention stream, ``ScheduleScoreUpdater.ipynb`` cell 8):
+within each ``conv_id`` ordered by ``turn_idx``, every consecutive turn
+pair emits one directed edge ``actor(k) -> actor(k+1)`` stamped with the
+*later* turn's timestamp. Actor ids are dictionary-encoded to dense longs
+sorted lexicographically (deterministic). The global stable edge order
+``seq`` (sort by ``(t, conv_id, turn_idx)``) materializes the reference's
+load-bearing file order (``graph_simulator.py:34-39``: edges are replayed
+sequentially in list order within an epoch).
+
+All of this is window/lag + joins + a two-pass partition-offset rank —
+no per-row Python anywhere; the ordering rank is computed with a
+count-per-partition pass plus an Arrow ``mapInPandas`` offset add, the
+scalable alternative to a single-partition ``row_number()`` window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def add_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a 1-based global ordering rank over ``order_cols``.
+
+    Scale-aware replacement for ``row_number().over(Window.orderBy(...))``
+    (which collapses to a single partition): range-repartition on the
+    ordering key, sort within partitions, count rows per partition, then
+    add per-partition offsets in one Arrow pass. ``order_cols`` must be a
+    unique key for the rank to be total and deterministic.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    sdf = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sdf.persist()
+    counts = {
+        row["_pid"]: row["cnt"]
+        for row in sdf.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = sdf.drop("_pid").schema.add(seq_col, "long", False)
+
+    def attach(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            start = b_offsets.value.get(pid, 0) + local
+            local += len(pdf)
+            out = pdf.drop(columns=["_pid"])
+            out[seq_col] = np.arange(start + 1, start + 1 + len(pdf), dtype=np.int64)
+            yield out
+
+    return sdf.mapInPandas(attach, schema=out_schema)
+
+
+def dictionary_encode(values: DataFrame, value_col: str, id_col: str = "node_id") -> DataFrame:
+    """Dense 0-based ids for distinct values, sorted lexicographically.
+
+    Built on :func:`add_global_seq` so it scales to large dictionaries;
+    the result is small relative to the fact table and is broadcast at
+    join time.
+    """
+    distinct = values.select(value_col).distinct()
+    ranked = add_global_seq(distinct, [value_col], seq_col="_rank")
+    return ranked.select(
+        (F.col("_rank") - F.lit(1)).cast("long").alias(id_col), F.col(value_col)
+    )
+
+
+def actor_expr(role_col: str = "role", tool_col: str = "tool") -> F.Column:
+    """Actor id of a turn: ``role`` unless role='tool', then ``tool:<tool>``."""
+    return F.when(
+        F.col(role_col) == "tool", F.concat(F.lit("tool:"), F.col(tool_col))
+    ).otherwise(F.col(role_col))
+
+
+def _induce_edges(
+    df: DataFrame,
+    session_col: str,
+    order_col: str,
+    actor: F.Column,
+    t_expr: F.Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared induction: lag within session + dictionary encode + seq."""
+    w = Window.partitionBy("_session").orderBy("_order")
+    turns = df.select(
+        F.col(session_col).alias("_session"),
+        F.col(order_col).alias("_order"),
+        actor.alias("dst_actor"),
+        t_expr.alias("t"),
+    ).withColumn("src_actor", F.lag("dst_actor").over(w))
+    raw = turns.filter(F.col("src_actor").isNotNull()).select(
+        "t", "src_actor", "dst_actor", "_session", "_order"
+    )
+    nodes = dictionary_encode(
+        raw.select(F.col("src_actor").alias("actor")).unionAll(
+            raw.select(F.col("dst_actor").alias("actor"))
+        ),
+        "actor",
+    )
+    nodes.persist()
+    enc = (
+        raw.join(
+            F.broadcast(nodes.withColumnRenamed("actor", "src_actor")).withColumnRenamed(
+                "node_id", "src"
+            ),
+            "src_actor",
+        )
+        .join(
+            F.broadcast(nodes.withColumnRenamed("actor", "dst_actor")).withColumnRenamed(
+                "node_id", "dst"
+            ),
+            "dst_actor",
+        )
+        .select("t", "src", "dst", "_session", "_order")
+    )
+    seq = add_global_seq(enc, ["t", "_session", "_order"])
+    edges = seq.select("t", "src", "dst", "seq")
+    return edges, nodes
+
+
+def edges_from_transcripts(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Transcripts ``(conv_id, turn_idx, role, text, tool, ts)`` → edges.
+
+    Returns ``(edges, nodes)`` where ``edges(t: long epoch-seconds,
+    src: long, dst: long, seq: long)`` (FIXTURES.md §2) and
+    ``nodes(node_id, actor)`` is the dictionary.
+    """
+    return _induce_edges(
+        transcripts,
+        session_col="conv_id",
+        order_col="turn_idx",
+        actor=actor_expr(),
+        t_expr=F.col("ts").cast("long"),
+    )
+
+
+def edges_from_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Events ``(event_id, ts, user_id, event_type, ...)`` → edges.
+
+    Same induction rule with ``user_id`` as the session, ``event_type`` as
+    the actor, and microsecond timestamps (events carry sub-second times).
+    """
+    return _induce_edges(
+        events,
+        session_col="user_id",
+        order_col="event_id",
+        actor=F.col("event_type"),
+        t_expr=F.unix_micros(F.col("ts")),
+    )

@@ -1,0 +1,93 @@
+"""Deterministic synthetic transcript generator (fixtures + bench input).
+
+Schema per FIXTURES.md §1 — the authoritative engine input shape from
+BASELINE.json ``input_hint``::
+
+    transcripts(conv_id: string, turn_idx: int32, role: string,
+                text: string, tool: string, ts: timestamp)
+
+Everything is seeded numpy; the same pandas frame feeds both the Spark
+engine and the test oracle, so the per-turn text-equality invariant is
+checkable row by row. No external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["search", "bash", "browser", "edit", "read"]
+#: zipf-ish weights — ``search`` is the dominant hub actor (FIXTURES.md §1)
+TOOL_WEIGHTS = np.array([0.55, 0.20, 0.12, 0.08, 0.05])
+
+T0 = 1_500_000_000  # fixed epoch origin (2017-07-14), whole seconds
+
+
+def generate_transcripts(
+    n_convs: int = 50,
+    max_turns: int = 20,
+    seed: int = 42,
+    span_seconds: int = 6 * 3600,
+    zipf_lengths: bool = False,
+) -> pd.DataFrame:
+    """Generate a deterministic multi-turn transcript table.
+
+    Conversations start at a seeded offset in ``[0, span_seconds)`` and
+    advance with small integer-second gaps, so timestamps are strictly
+    non-decreasing within a conv while cross-conv ties are common
+    (same-second bursts) — exercising the reference's within-epoch
+    file-order semantics (``graph_simulator.py:34-39``).
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    for i in range(n_convs):
+        conv_id = f"conv_{i:06d}"
+        if zipf_lengths:
+            n_turns = int(min(2 + rng.zipf(1.6), 10 * max_turns))
+        else:
+            n_turns = int(rng.integers(2, max_turns + 1))
+        start = T0 + int(rng.integers(0, span_seconds))
+        ts = start
+        prev_role = None
+        for k in range(n_turns):
+            if k == 0:
+                role = "system" if rng.random() < 0.3 else "user"
+            elif prev_role in ("user", "system"):
+                role = "assistant"
+            elif prev_role == "assistant":
+                role = "tool" if rng.random() < 0.45 else "user"
+            else:  # after tool: assistant continues or chains another tool
+                role = "tool" if rng.random() < 0.25 else "assistant"
+            tool = None
+            if role == "tool":
+                tool = TOOLS[int(rng.choice(len(TOOLS), p=TOOL_WEIGHTS))]
+            # deterministic filler text (per-turn text-equality invariant)
+            text = f"{conv_id}:{k}:{role}:{int(rng.integers(0, 1_000_000))}"
+            rows.append((conv_id, np.int32(k), role, text, tool, ts))
+            # integer-second gaps; 0-gap allowed within conv (non-decreasing)
+            ts += int(rng.integers(0, 120))
+            prev_role = role
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    return df
+
+
+def transcripts_spark(spark, **kwargs):
+    """The generated fixture as a Spark DataFrame with the explicit schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    return spark.createDataFrame(generate_transcripts(**kwargs), schema=schema)

@@ -1,0 +1,80 @@
+"""Edge induction: transcripts -> (t, src, dst, seq) + node dictionary."""
+
+import pandas as pd
+import pytest
+
+from online_centrality_spark.sources.edges import (
+    add_global_seq,
+    edges_from_transcripts,
+)
+from online_centrality_spark.sources.transcripts import (
+    generate_transcripts,
+    transcripts_spark,
+)
+
+
+def induce_edges_pandas(tr: pd.DataFrame):
+    """Independent pandas re-derivation of the FIXTURES.md §1 rule."""
+    tr = tr.sort_values(["conv_id", "turn_idx"]).copy()
+    actor = tr.apply(
+        lambda r: f"tool:{r['tool']}" if r["role"] == "tool" else r["role"], axis=1
+    )
+    tr["actor"] = actor
+    edges = []
+    for _, g in tr.groupby("conv_id", sort=False):
+        acts = g["actor"].tolist()
+        ts = (g["ts"].astype("int64") // 10**9).tolist()
+        conv = g["conv_id"].iloc[0]
+        idxs = g["turn_idx"].tolist()
+        for k in range(1, len(acts)):
+            edges.append((ts[k], acts[k - 1], acts[k], conv, idxs[k]))
+    df = pd.DataFrame(edges, columns=["t", "src_a", "dst_a", "conv", "turn"])
+    actors = sorted(set(df["src_a"]) | set(df["dst_a"]))
+    amap = {a: i for i, a in enumerate(actors)}
+    df["src"] = df["src_a"].map(amap)
+    df["dst"] = df["dst_a"].map(amap)
+    df = df.sort_values(["t", "conv", "turn"], kind="mergesort").reset_index(drop=True)
+    df["seq"] = df.index + 1
+    return df[["t", "src", "dst", "seq"]], actors
+
+
+@pytest.fixture(scope="module")
+def fixture_pair(spark):
+    tr = generate_transcripts(n_convs=40, max_turns=12, seed=7)
+    sdf = transcripts_spark(spark, n_convs=40, max_turns=12, seed=7)
+    return tr, sdf
+
+
+def test_text_equality_invariant(spark, fixture_pair):
+    """Per-turn text equality under stable turn ordering (input_hint)."""
+    tr, sdf = fixture_pair
+    got = (
+        sdf.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = tr.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+        ["conv_id", "turn_idx", "text"]
+    ]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_edge_induction_matches_pandas(spark, fixture_pair):
+    tr, sdf = fixture_pair
+    edges, nodes = edges_from_transcripts(sdf)
+    got = edges.orderBy("seq").toPandas()
+    want, actors = induce_edges_pandas(tr)
+    # node dictionary: dense ids over lexicographically sorted actors
+    node_map = {r["actor"]: r["node_id"] for r in nodes.collect()}
+    assert node_map == {a: i for i, a in enumerate(actors)}
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        want.astype("int64"),
+    )
+
+
+def test_add_global_seq_total_order(spark):
+    pdf = pd.DataFrame({"a": [5, 3, 9, 1, 7, 2, 8, 0, 6, 4], "b": range(10)})
+    df = spark.createDataFrame(pdf)
+    out = add_global_seq(df, ["a"]).toPandas().sort_values("a")
+    assert out["seq"].tolist() == list(range(1, 11))
