@@ -55,7 +55,7 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("node", T.LongType(), False),
         T.StructField("ranks", T.ArrayType(T.DoubleType()), False),
-        T.StructField("last", T.DoubleType(), False),
+        T.StructField("last", T.DoubleType(), True),  # NaN/null = never activated
     ]
 )
 

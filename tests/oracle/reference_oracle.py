@@ -284,16 +284,16 @@ class OracleReplay:
         self.timestamps = sorted(edge_map)
         self.edge_map = edge_map
 
-    def run(self, boundaries, computers, max_index=None):
+    def run(self, boundaries, computers, max_index=None, on_snapshot=None):
         """Returns list of snapshot records:
         dict(interval_id, boundary, total_edges=set, interval_edges=list).
         Calls ``comp.update(src, dst, time)`` for each edge in order.
         """
         if self.time_type == "index":
-            return self._run_index(boundaries, computers, max_index)
-        return self._run_epoch(boundaries, computers, max_index)
+            return self._run_index(boundaries, computers, max_index, on_snapshot)
+        return self._run_epoch(boundaries, computers, max_index, on_snapshot)
 
-    def _run_epoch(self, boundaries, computers, max_index=None):
+    def _run_epoch(self, boundaries, computers, max_index=None, on_snapshot=None):
         snapshots = []
         total: set[tuple[int, int]] = set()
         window: list[tuple[int, int]] = []
@@ -311,6 +311,8 @@ class OracleReplay:
                 )
             )
             window.clear()
+            if on_snapshot is not None:
+                on_snapshot(iid, boundaries[iid])
 
         def apply_epoch(epoch):
             for s, d in self.edge_map[epoch]:
@@ -350,7 +352,7 @@ class OracleReplay:
             emit(interval_id)
         return snapshots
 
-    def _run_index(self, boundaries, computers, max_index=None):
+    def _run_index(self, boundaries, computers, max_index=None, on_snapshot=None):
         snapshots = []
         total: set[tuple[int, int]] = set()
         window: list[tuple[int, int]] = []
@@ -378,6 +380,8 @@ class OracleReplay:
                         )
                     )
                     window.clear()
+                    if on_snapshot is not None:
+                        on_snapshot(interval_id, boundaries[interval_id])
                     if terminate:
                         return snapshots
                     interval_id += 1

@@ -1,0 +1,197 @@
+"""Static measures + graph algorithms vs pure-python oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from online_centrality_spark.operators.components import (
+    connected_components,
+    label_propagation,
+)
+from online_centrality_spark.operators.harmonic import harmonic_centrality
+from online_centrality_spark.operators.static_degree import (
+    static_indegree,
+    static_negative_beta,
+)
+from online_centrality_spark.operators.static_pagerank import static_pagerank
+from online_centrality_spark.operators.triangles import (
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from tests.oracle.reference_oracle import (
+    oracle_harmonic,
+    oracle_indegree,
+    oracle_negative_beta,
+    oracle_pagerank,
+)
+
+
+def random_edge_set(seed, n_nodes=30, n_edges=120):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    return {(int(s), int(d)) for s, d in zip(src, dst)}
+
+
+def to_df(spark, edge_set):
+    pdf = pd.DataFrame(sorted(edge_set), columns=["src", "dst"])
+    return spark.createDataFrame(pdf)
+
+
+def as_map(df):
+    return {r["node_id"]: r["score"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_static_indegree(spark, seed):
+    es = random_edge_set(seed)
+    got = as_map(static_indegree(to_df(spark, es)))
+    want = oracle_indegree(es)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_static_negative_beta(spark, seed):
+    es = random_edge_set(seed)
+    got = as_map(static_negative_beta(to_df(spark, es)))
+    want = oracle_negative_beta(es)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("threshold", [0, 100_000])  # distributed vs compact
+def test_static_pagerank(spark, seed, threshold):
+    es = random_edge_set(seed, n_nodes=25, n_edges=80)
+    got = as_map(static_pagerank(to_df(spark, es), collect_threshold=threshold))
+    want = oracle_pagerank(es)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("threshold", [0, 100_000])
+def test_harmonic(spark, seed, threshold):
+    es = random_edge_set(seed, n_nodes=20, n_edges=60)
+    got = as_map(harmonic_centrality(to_df(spark, es), collect_threshold=threshold))
+    want = oracle_harmonic(es, epsilon=0.0)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def oracle_wcc(edge_set):
+    nodes = set()
+    for s, d in edge_set:
+        nodes.update((s, d))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edge_set:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    # component id = min node id in component
+    comp = {}
+    for n in nodes:
+        comp[n] = find(n)
+    # path-compress fully
+    changed = True
+    while changed:
+        changed = False
+        for n in nodes:
+            if comp[n] != comp[comp[n]]:
+                comp[n] = comp[comp[n]]
+                changed = True
+    return comp
+
+
+def oracle_lpa(edge_set, max_iter=10):
+    nodes = sorted({n for e in edge_set for n in e})
+    nbrs = {n: set() for n in nodes}
+    for s, d in edge_set:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    labels = {n: n for n in nodes}
+    for _ in range(max_iter):
+        new = {}
+        changed = 0
+        for n in nodes:
+            if not nbrs[n]:
+                new[n] = labels[n]
+                continue
+            counts = {}
+            for m in nbrs[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = min(sorted(counts), key=lambda l: (-counts[l], l))
+            new[n] = best
+            if best != labels[n]:
+                changed += 1
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components(spark, seed):
+    # sparse graph so multiple components exist
+    es = random_edge_set(seed, n_nodes=60, n_edges=45)
+    got = {r["node_id"]: r["component"] for r in connected_components(to_df(spark, es)).collect()}
+    want = oracle_wcc(es)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_label_propagation(spark, seed):
+    es = random_edge_set(seed, n_nodes=25, n_edges=50)
+    got = {r["node_id"]: r["label"] for r in label_propagation(to_df(spark, es), max_iter=5).collect()}
+    want = oracle_lpa(es, max_iter=5)
+    assert got == want
+
+
+def oracle_triangles(edge_set):
+    nbrs = {}
+    for s, d in edge_set:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    count = 0
+    per_node = {n: 0 for n in nbrs}
+    for a in nbrs:
+        for b in nbrs[a]:
+            if b <= a:
+                continue
+            common = nbrs[a] & nbrs[b]
+            for c in common:
+                if c > b:
+                    count += 1
+                    per_node[a] += 1
+                    per_node[b] += 1
+                    per_node[c] += 1
+    return count, per_node
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_triangle_count(spark, seed):
+    es = random_edge_set(seed, n_nodes=15, n_edges=70)
+    df = to_df(spark, es)
+    want_total, want_per = oracle_triangles(es)
+    assert triangle_count(df) == want_total
+    got_per = {
+        r["node_id"]: r["triangles"]
+        for r in triangle_count_per_vertex(df).collect()
+    }
+    for n, c in want_per.items():
+        assert got_per[n] == c
