@@ -302,7 +302,14 @@ class SuperstepDriver:
                 frames = {}
                 for name in ("edge_state", "active"):
                     p = step / f"{m.measure}_{name}.parquet"
-                    frames[name] = self.spark.read.parquet(str(p)) if p.exists() else None
+                    if p.exists():
+                        # materialize so lineage doesn't dangle on checkpoint
+                        # files the rolling cleanup will delete
+                        frames[name] = self.spark.read.parquet(str(p)).localCheckpoint(
+                            eager=True
+                        )
+                    else:
+                        frames[name] = None
                 m.load_state_frames(frames["edge_state"], frames["active"])
         return completed
 

@@ -1,0 +1,69 @@
+"""Checkpoint/resume: kill after superstep k -> resume -> identical scores."""
+
+import shutil
+
+import pytest
+
+from online_centrality_spark.functions.weights import ExponentialWeighter
+from online_centrality_spark.operators.decayed_indegree import DecayedIndegree
+from online_centrality_spark.operators.temporal_katz import TemporalKatz
+from online_centrality_spark.operators.temporal_pagerank import TemporalPageRank
+from online_centrality_spark.plans.superstep import SuperstepDriver
+from online_centrality_spark.sources.edges import edges_from_transcripts
+from online_centrality_spark.sources.transcripts import transcripts_spark
+
+PARAMS = [(1.0, ExponentialWeighter(norm=3600.0, base=0.5))]
+
+
+def make_measures(spark, n_nodes):
+    return [
+        TemporalKatz(PARAMS, n_nodes, path="scan"),
+        TemporalPageRank([(0.85, 0.5)], n_nodes),
+        DecayedIndegree([ExponentialWeighter(norm=3600.0, base=0.5)], spark),
+    ]
+
+
+def scores_map(driver):
+    pdf = driver.scores().toPandas()
+    return {
+        (r.param_id, r.snapshot_id, r.node_id): r.score for r in pdf.itertuples()
+    }
+
+
+def test_kill_and_resume_identical(spark, tmp_path):
+    tr = transcripts_spark(spark, n_convs=30, max_turns=10, seed=3)
+    edges, nodes = edges_from_transcripts(tr)
+    edges = edges.persist()
+    n_nodes = nodes.count()
+    t0 = edges.agg({"t": "min"}).collect()[0][0]
+    boundaries = [t0 + 1800 * (i + 1) for i in range(10)]
+
+    # full uninterrupted run
+    full = SuperstepDriver(spark, str(tmp_path / "full"), str(tmp_path / "ckpt_full"))
+    full.run(edges, boundaries, "epoch", online=make_measures(spark, n_nodes))
+    want = scores_map(full)
+
+    # interrupted run: stop after interval 4 (max_index=5 emits 0..4)
+    part = SuperstepDriver(spark, str(tmp_path / "part"), str(tmp_path / "ckpt"))
+    sched1 = part.run(
+        edges,
+        boundaries,
+        "epoch",
+        online=make_measures(spark, n_nodes),
+        max_index=5,
+    )
+    assert sched1[-1].interval_id == 4
+
+    # resume with FRESH measure objects (state restored from checkpoint)
+    resumed = SuperstepDriver(spark, str(tmp_path / "part"), str(tmp_path / "ckpt"))
+    resumed.run(
+        edges,
+        boundaries,
+        "epoch",
+        online=make_measures(spark, n_nodes),
+        resume=True,
+    )
+    got = scores_map(resumed)
+    assert set(got.keys()) == set(want.keys())
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12), k
