@@ -1,0 +1,39 @@
+"""Shared primitives for the dedup family.
+
+The hash is deliberately *portable SQL*: ``conv(substr(md5(s),1,15),16,10)``
+evaluates identically in Spark SQL and DuckDB (``('0x'||substr(md5(s),1,15))::BIGINT``),
+so every dedup operator has an exact cross-engine oracle. 60 bits, JVM-side,
+codegen'd — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def portable_hash(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column (md5-prefix based)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text_col: Column) -> Column:
+    """Lowercased alphanumeric tokens (array<string>)."""
+    return F.expr(f"regexp_extract_all(lower({text_col._jc.toString() if hasattr(text_col, '_jc') else text_col}), '{TOKEN_RE}', 0)")
+
+
+def tokens_expr(text_col_name: str) -> Column:
+    return F.expr(
+        f"regexp_extract_all(lower({text_col_name}), '{TOKEN_RE}', 0)"
+    )
+
+
+def word_ngrams(text_col_name: str, n: int) -> Column:
+    """Distinct space-joined word n-grams (array<string>)."""
+    toks = f"regexp_extract_all(lower({text_col_name}), '{TOKEN_RE}', 0)"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
+    )

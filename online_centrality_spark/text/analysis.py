@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four are pure JVM column expressions (regex + string + arithmetic),
+deliberately specified so a plain-SQL oracle evaluates them identically:
+
+- ``token_count``: BPE-ish regex token count (words, numbers, and
+  punctuation runs counted separately).
+- ``quality_score``: bounded [0,1] heuristic from length, alpha ratio,
+  stopword ratio, and mean word length.
+- ``language_id``: stopword-list n-gram heuristic over {en, de, fr, es}
+  with deterministic tie order (en > de > fr > es on equal hits).
+- ``document_fingerprint``: 60-bit hash of whitespace/punct-normalized
+  text (order-sensitive content fingerprint for exact-ish dedup and
+  provenance tracking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+#: words OR punctuation runs — a cheap BPE-ish proxy. Doubly escaped:
+#: this lands inside a SQL string literal, which consumes one backslash.
+TOKEN_RE = "[a-z0-9]+|[^a-z0-9\\\\s]+"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "y", "es", "una"],
+}
+
+
+def _count_words(text_col: str, words: list[str]) -> Column:
+    pat = "\\\\b(" + "|".join(words) + ")\\\\b"
+    return F.expr(f"size(regexp_extract_all(lower({text_col}), '{pat}', 0))")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn(
+        "n_tokens",
+        F.expr(f"size(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0))"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_words, alpha_ratio, stopword_ratio, mean_word_len, quality."""
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    n_words = F.expr(f"size({words})")
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.expr(
+        f"length(regexp_replace(lower({text_col}), '[^a-z0-9]', ''))"
+    )
+    sw = _count_words(text_col, STOPWORDS["en"])
+    out = (
+        docs.withColumn("n_words", n_words)
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(F.col("n_words") > 0, sw / F.col("n_words")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr(f"aggregate({words}, 0, (a, w) -> a + length(w))")
+                / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # bounded heuristic: length sweet spot + mostly-alpha + some stopwords
+    length_term = F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+    alpha_term = F.col("alpha_ratio")
+    stop_term = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    wl = F.col("mean_word_len")
+    wordlen_term = F.when((wl >= 3.0) & (wl <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return out.withColumn(
+        "quality",
+        (length_term * 0.25 + alpha_term * 0.25 + stop_term * 0.25 + wordlen_term * 0.25),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` — argmax stopword hits, deterministic tie order."""
+    hits = {lang: _count_words(text_col, ws) for lang, ws in STOPWORDS.items()}
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    # reversed priority so earlier languages win ties via strict '>'
+    for lang in ["es", "fr", "de", "en"]:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    out = docs
+    for lang in STOPWORDS:
+        out = out.withColumn(f"hits_{lang}", hits[lang])
+    return out.withColumn("lang_pred", best)
+
+
+def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``fingerprint`` — 60-bit hash of normalized text."""
+    normalized = F.expr(
+        f"trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+    return docs.withColumn(
+        "fingerprint",
+        F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long"),
+    )

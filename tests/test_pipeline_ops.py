@@ -1,0 +1,228 @@
+"""Training-data pipeline operators vs independent python recomputation."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from online_centrality_spark.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_dups,
+)
+from online_centrality_spark.multimodal import (
+    decode_media,
+    extract_features,
+    generate_fake_media,
+    resize_images,
+    sample_frames,
+)
+from online_centrality_spark.similarity import brute_force_topk, lsh_topk
+from online_centrality_spark.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+def py_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (3, "completely different content about spark engines and shuffles"),
+    (4, "der hund und die katze sind nicht da und das ist gut"),
+    (5, "le chat est une belle creature et la vie est bonne"),
+    (6, "spark engines and shuffles completely different content about"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = exact_duplicate_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs_df).collect())
+    assert kept == [0, 2, 3, 4, 5, 6]
+
+
+def py_shingles(text, n=3):
+    toks = re.findall("[a-z0-9]+", text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+def test_ngram_jaccard(spark, docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    sh = {i: py_shingles(t) for i, t in DOCS}
+    for i in sh:
+        for j in sh:
+            if i < j and sh[i] & sh[j]:
+                want = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+                assert got[(i, j)] == pytest.approx(want, abs=1e-12)
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+
+
+def test_minhash_signatures_and_lsh(spark, docs_df):
+    k = 8
+    sig = minhash_signatures(docs_df, k=k).collect()
+    got = {(r["doc_id"], r["i"]): r["minhash"] for r in sig}
+    for doc_id, text in DOCS:
+        grams = py_shingles(text)
+        for i in range(k):
+            want = min(py_hash(f"{g}#{i}") for g in grams)
+            assert got[(doc_id, i)] == want
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs_df, k=8, num_bands=4).collect()
+    }
+    assert (0, 1) in cand  # exact dups always collide in every band
+    assert (0, 3) not in cand  # unrelated docs shouldn't
+
+
+def py_simhash(text, bits=32):
+    toks = re.findall("[a-z0-9]+", text.lower())
+    acc = np.zeros(bits)
+    for t in toks:
+        h = py_hash(t)
+        for b in range(bits):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    return sum(2**b for b in range(bits) if acc[b] >= 0)
+
+
+def test_simhash(spark, docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs_df).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_simhash(text), doc_id
+    dups = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs_df, max_hamming=32).collect()
+    }
+    assert dups.get((0, 1)) == 0
+    # doc 6 is a token-permutation of doc 3 -> identical simhash (bag model)
+    assert dups.get((3, 6)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[7] = vecs[3] * 2.0  # same direction -> cosine 1
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def py_cosine(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_embedding_near_dups(spark, emb_df):
+    df, vecs = emb_df
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in embedding_near_dups(df, threshold=0.99).collect()
+    }
+    assert got.keys() == {(3, 7)}
+    assert got[(3, 7)] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_brute_force_topk(spark, emb_df):
+    df, vecs = emb_df
+    k = 5
+    got = brute_force_topk(df, df, k=k).toPandas()
+    for q in range(20):
+        sims = sorted(
+            ((py_cosine(vecs[q], vecs[i]), -i) for i in range(20) if i != q),
+            reverse=True,
+        )[:k]
+        want_ids = [-i for _, i in sims]
+        got_ids = got[got["query_id"] == q].sort_values("rank")["item_id"].tolist()
+        assert got_ids == want_ids, q
+
+
+def test_lsh_topk_subset_of_exact(spark, emb_df):
+    df, vecs = emb_df
+    approx = lsh_topk(df, df, k=3, num_tables=6, num_planes=4).toPandas()
+    # scored candidates carry exact cosine values
+    for r in approx.itertuples():
+        assert r.cosine == pytest.approx(
+            py_cosine(vecs[r.query_id], vecs[r.item_id]), abs=1e-9
+        )
+    # identical-direction pair always collides in every table
+    q3 = approx[approx["query_id"] == 3]
+    assert 7 in q3["item_id"].tolist()
+
+
+def test_text_analysis(spark, docs_df):
+    tok = {r["doc_id"]: r["n_tokens"] for r in token_count(docs_df).collect()}
+    for doc_id, text in DOCS:
+        want = len(re.findall(r"[a-z0-9]+|[^a-z0-9\s]+", text.lower()))
+        assert tok[doc_id] == want
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_df).collect()}
+    assert lang[0] == "en" and lang[4] == "de" and lang[5] == "fr"
+    q = quality_score(docs_df).toPandas().set_index("doc_id")
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    row = q.loc[0]
+    n_words = len(re.findall("[a-z0-9]+", DOCS[0][1]))
+    assert row["n_words"] == n_words
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in document_fingerprint(docs_df).collect()
+    }
+    norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", DOCS[0][1].lower())).strip()
+    assert fp[0] == py_hash(norm)
+    assert fp[0] == fp[1] and fp[0] != fp[3]
+
+
+def test_multimodal_plumbing(spark):
+    media = generate_fake_media(spark, n=18, seed=1)
+    dec = decode_media(media).toPandas().set_index("media_id")
+    src = media.toPandas().set_index("media_id")
+    assert len(dec) == 18
+    for mid in src.index:
+        if src.loc[mid, "kind"] == "image":
+            assert dec.loc[mid, "width"] == src.loc[mid, "width"]
+            assert dec.loc[mid, "n_bytes"] == src.loc[mid, "width"] * src.loc[mid, "height"]
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 18
+    for f in feats["features"]:
+        assert len(f) == 8 and abs(sum(f) - 1.0) < 1e-9
+    resized = resize_images(media, 4, 4).toPandas()
+    assert (resized["width"] == 4).all() and (resized["height"] == 4).all()
+    rdec = decode_media(spark.createDataFrame(resized)).toPandas()
+    assert (rdec["n_bytes"] == 16).all()
+    frames = sample_frames(media, every_k=2).toPandas()
+    n_videos = (src["kind"] == "video").sum()
+    want_frames = sum(
+        len(range(0, int(src.loc[m, "n_frames"]), 2))
+        for m in src.index
+        if src.loc[m, "kind"] == "video"
+    )
+    assert len(frames) == want_frames and frames["media_id"].nunique() == n_videos
+
+
+def test_unknown_format_raises(spark):
+    bad = spark.createDataFrame(
+        [(0, "image", bytearray(b"JPEGDATA..."), 1, 1, 1)],
+        schema=generate_fake_media(spark, 1).schema,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|FAKE"):
+        decode_media(bad).collect()
