@@ -33,7 +33,11 @@ def tokens_expr(text_col_name: str) -> Column:
 def word_ngrams(text_col_name: str, n: int) -> Column:
     """Distinct space-joined word n-grams (array<string>)."""
     toks = f"regexp_extract_all(lower({text_col_name}), '{TOKEN_RE}', 0)"
+    # guard: sequence(1, 0) would DESCEND in Spark, so emit an empty array
+    # for docs shorter than n tokens
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))) "
+        f"ELSE array() END"
     )

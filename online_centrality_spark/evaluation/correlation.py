@@ -43,9 +43,20 @@ def _maybe_topk(df: DataFrame, k: int | None) -> DataFrame:
     return top_k(df, k) if k is not None else df
 
 
+def _safe_corr(df: DataFrame, c1: str, c2: str) -> float | None:
+    """Pearson as covar/(sd*sd) with try_divide: NULL (None) for constant
+    input, matching scipy's NaN instead of ANSI-mode division-by-zero."""
+    row = df.agg(
+        F.try_divide(
+            F.covar_samp(c1, c2), F.stddev_samp(c1) * F.stddev_samp(c2)
+        ).alias("r")
+    ).collect()[0]
+    return row["r"]
+
+
 def corr_pearson(list_1: DataFrame, list_2: DataFrame, k: int | None = None) -> float:
     aligned = align_scores(_maybe_topk(list_1, k), _maybe_topk(list_2, k))
-    return aligned.agg(F.corr("a", "b")).collect()[0][0]
+    return _safe_corr(aligned, "a", "b")
 
 
 def _avg_tie_rank(col: str) -> F.Column:
@@ -60,7 +71,7 @@ def corr_spearman(list_1: DataFrame, list_2: DataFrame, k: int | None = None) ->
     ranked = aligned.select(
         _avg_tie_rank("a").alias("ra"), _avg_tie_rank("b").alias("rb")
     )
-    return ranked.agg(F.corr("ra", "rb")).collect()[0][0]
+    return _safe_corr(ranked, "ra", "rb")
 
 
 def _collect_aligned(list_1: DataFrame, list_2: DataFrame, k: int | None):

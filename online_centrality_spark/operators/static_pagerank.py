@@ -40,6 +40,7 @@ def pagerank_numpy(
     alpha: float = 0.85,
     max_iter: int = 100,
     tol: float = 1e-6,
+    strict: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """networkx-parity power iteration on dedup edge arrays.
 
@@ -65,7 +66,11 @@ def pagerank_numpy(
         x += (danglesum + (1.0 - alpha)) / n
         if np.abs(x - xlast).sum() < n * tol:
             return nodes, x
-    raise PageRankDiverged(f"pagerank failed to converge in {max_iter} iterations")
+    if strict:
+        raise PageRankDiverged(
+            f"pagerank failed to converge in {max_iter} iterations"
+        )
+    return nodes, x  # fixed-iteration mode (strict=False)
 
 
 _PR_SCHEMA = T.StructType(
@@ -82,6 +87,7 @@ def static_pagerank(
     max_iter: int = 100,
     tol: float = 1e-6,
     collect_threshold: int = 100_000,
+    strict: bool = True,
 ) -> DataFrame:
     """(node_id, score) networkx-parity PageRank on the dedup digraph."""
     dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
@@ -94,11 +100,11 @@ def static_pagerank(
     if n_nodes == 0:
         return edges.sparkSession.createDataFrame([], _PR_SCHEMA)
     if n_nodes <= collect_threshold:
-        return _pagerank_compact(dedup, alpha, max_iter, tol)
-    return _pagerank_distributed(dedup, n_nodes, alpha, max_iter, tol)
+        return _pagerank_compact(dedup, alpha, max_iter, tol, strict)
+    return _pagerank_distributed(dedup, n_nodes, alpha, max_iter, tol, strict)
 
 
-def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol) -> DataFrame:
+def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol, strict=True) -> DataFrame:
     def kernel(batches):
         chunks = [pdf for pdf in batches if len(pdf)]
         if not chunks:
@@ -110,6 +116,7 @@ def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol) -> DataFrame:
             alpha,
             max_iter,
             tol,
+            strict,
         )
         yield pd.DataFrame({"node_id": nodes.astype(np.int64), "score": ranks})
 
@@ -117,7 +124,7 @@ def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol) -> DataFrame:
 
 
 def _pagerank_distributed(
-    dedup: DataFrame, n_nodes: int, alpha, max_iter, tol
+    dedup: DataFrame, n_nodes: int, alpha, max_iter, tol, strict=True
 ) -> DataFrame:
     spark = dedup.sparkSession
     dedup = dedup.persist()
@@ -169,4 +176,8 @@ def _pagerank_distributed(
         ranks = new_ranks
         if err < n_nodes * tol:
             return ranks.select("node_id", F.col("rank").alias("score"))
-    raise PageRankDiverged(f"pagerank failed to converge in {max_iter} iterations")
+    if strict:
+        raise PageRankDiverged(
+            f"pagerank failed to converge in {max_iter} iterations"
+        )
+    return ranks.select("node_id", F.col("rank").alias("score"))

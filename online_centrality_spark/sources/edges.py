@@ -166,5 +166,7 @@ def edges_from_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
         session_col="user_id",
         order_col="event_id",
         actor=F.col("event_type"),
-        t_expr=F.unix_micros(F.col("ts")),
+        # parquet loads as TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # a pure type change and matches DuckDB's epoch_us on the raw value
+        t_expr=F.unix_micros(F.col("ts").cast("timestamp")),
     )

@@ -89,8 +89,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hits = {lang: _count_words(text_col, ws) for lang, ws in STOPWORDS.items()}
     best = F.lit("unknown")
     best_hits = F.lit(0)
-    # reversed priority so earlier languages win ties via strict '>'
-    for lang in ["es", "fr", "de", "en"]:
+    # first-processed language wins ties (strict '>'), so priority is
+    # en > de > fr > es on equal hit counts — deterministic
+    for lang in ["en", "de", "fr", "es"]:
         cond = hits[lang] > best_hits
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
