@@ -47,7 +47,9 @@ def _cos_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from online_centrality_spark.dedup.embedding import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=-2.0)  # score all pairs
+    # prefilter slightly below the threshold, then apply it on the rounded
+    # value so both engines make the identical boundary decision
+    pairs = embedding_near_dups(emb, threshold=COS_TH - 1e-6)
     return pairs.select(
         F.col("doc_a").alias("src"),
         F.col("doc_b").alias("dst"),
@@ -507,7 +509,7 @@ def q_embedding_dedup(spark, sf_dir):
     from online_centrality_spark.dedup.embedding import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=-2.0)
+    pairs = embedding_near_dups(emb, threshold=0.4 - 1e-6)
     return (
         pairs.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.4)

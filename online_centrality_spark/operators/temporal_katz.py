@@ -43,13 +43,93 @@ from pyspark.sql import types as T
 
 from ..functions.weights import ConstantWeighter, Weighter
 
-_SUMMARY_SCHEMA = T.StructType(
+_BATCH_SUMMARY_SCHEMA = T.StructType(
     [
-        T.StructField("pid", T.LongType(), False),
+        T.StructField("wid", T.IntegerType(), False),  # window index in batch
+        T.StructField("k", T.LongType(), False),
         T.StructField("m", T.BinaryType(), False),
         T.StructField("c", T.BinaryType(), False),
+        T.StructField("touched", T.BinaryType(), True),
     ]
 )
+
+
+def _run_scan_batch(
+    df, his, nparts, presorted, init_state, apply_edges, track_touched,
+    finalize=None,
+):
+    """Superstep batching: ONE Spark job summarizes B windows at once.
+
+    Each seq-contiguous partition splits its (key-monotone) rows at the
+    window boundaries ``his`` (window w covers ``his[w-1] < key <=
+    his[w]``) and builds an independent affine summary per window it
+    touches. The driver then replays the per-window combines — so a
+    457-snapshot replay needs ~457/B jobs instead of 457, amortizing task
+    scheduling and the Python-runner setup that otherwise dominate small
+    windows.
+    """
+    his_arr = np.asarray([float(h) for h in his])
+
+    def kernel(batches):
+        states: dict[int, dict] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key = pdf["key"].to_numpy(np.float64)
+            wids = np.searchsorted(his_arr, key, side="left")
+            change = np.nonzero(np.diff(wids))[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(wids)]])
+            for s, e in zip(starts, ends):
+                wid = int(wids[s])
+                st = states.get(wid)
+                if st is None:
+                    st = init_state()
+                    st["first_seq"] = int(pdf["seq"].iloc[s])
+                    states[wid] = st
+                sl = pdf.iloc[s:e]
+                if track_touched:
+                    st["touched"][sl["src"].to_numpy(np.int64)] = 1
+                    st["touched"][sl["dst"].to_numpy(np.int64)] = 1
+                apply_edges(
+                    st,
+                    float(his_arr[wid]),
+                    key[s:e],
+                    sl["src"].tolist(),
+                    sl["dst"].tolist(),
+                )
+        rows = []
+        for wid, st in states.items():
+            if finalize is not None:
+                m_bytes, c_bytes = finalize(st)
+            else:
+                m_bytes = np.asarray(st["m"], np.float64).tobytes()
+                c_bytes = np.asarray(st["c"], np.float64).tobytes()
+            rows.append(
+                (
+                    wid,
+                    st["first_seq"],
+                    m_bytes,
+                    c_bytes,
+                    st["touched"].tobytes() if track_touched else b"",
+                )
+            )
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["wid", "k", "m", "c", "touched"]
+            )
+
+    sel = df.select("key", "src", "dst", "seq")
+    if not presorted:
+        sel = sel.repartitionByRange(nparts, "seq").sortWithinPartitions("seq")
+    rows = sel.mapInPandas(kernel, schema=_BATCH_SUMMARY_SCHEMA).collect()
+    by_w: dict[int, list] = {}
+    for r in rows:
+        by_w.setdefault(r["wid"], []).append(r)
+    for w in by_w:
+        by_w[w].sort(key=lambda r: r["k"])
+    return by_w
+
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -67,6 +147,147 @@ def _can_scan(weighters: list[Weighter]) -> bool:
     )
 
 
+def _np2d_identity(rows: int, p: int) -> np.ndarray:
+    """(rows, p*rows) block layout: per-param identity blocks side by side."""
+    m2 = np.zeros((rows, p * rows), dtype=np.float64)
+    eye = np.eye(rows)
+    for j in range(p):
+        m2[:, j * rows : (j + 1) * rows] = eye
+    return m2
+
+
+def _np2d_finalize(rows: int, p: int):
+    def finalize(st):
+        m = st["m"].reshape(rows, p, rows).transpose(1, 0, 2)
+        c = st["c"].T
+        return (
+            np.ascontiguousarray(m).tobytes(),
+            np.ascontiguousarray(c).tobytes(),
+        )
+
+    return finalize
+
+
+def _affine_closures_tk(n, p, betas, weighters):
+    """(init_state, apply_edges, dim, finalize) for the tk affine kernel.
+
+    Two inner kernels by param count: python-float list rows win below
+    ~5 params (numpy call overhead dominates tiny rows); above that, an
+    allocation-free in-place numpy layout ``M2 (n, p*n)`` does one
+    contiguous row op per edge — less CPU *and* less allocator pressure,
+    which is what multicore scaling hinges on.
+    """
+    if p < 5:
+        def init_state():
+            ident = np.eye(n).tolist()
+            return {
+                "m": [[row[:] for row in ident] for _ in range(p)],
+                "c": [[0.0] * n for _ in range(p)],
+                "touched": np.zeros(n, dtype=np.uint8),
+            }
+
+        def apply_edges(st, hi_w, key, src, dst):
+            for j in range(p):
+                b = betas[j]
+                mj, cj = st["m"][j], st["c"][j]
+                wj = weighters[j].weight_np(hi_w - key).tolist()
+                for i, (u, v) in enumerate(zip(src, dst)):
+                    ru = mj[u]
+                    if u == v:
+                        mj[v] = [x * (1.0 + b) for x in ru]
+                        cj[v] = cj[v] * (1.0 + b) + b * wj[i]
+                    else:
+                        rv = mj[v]
+                        mj[v] = [x + b * y for x, y in zip(rv, ru)]
+                        cj[v] += b * (cj[u] + wj[i])
+
+        return init_state, apply_edges, n, None
+
+    b_arr = np.asarray(betas)
+    btile = np.repeat(b_arr, n)
+    onep_tile = 1.0 + btile
+    onep = 1.0 + b_arr
+
+    def init_state():
+        return {
+            "m": _np2d_identity(n, p),
+            "c": np.zeros((n, p), dtype=np.float64),
+            "touched": np.zeros(n, dtype=np.uint8),
+        }
+
+    def apply_edges(st, hi_w, key, src, dst):
+        m2, c2 = st["m"], st["c"]
+        wvec = np.empty((len(key), p), dtype=np.float64)
+        for j in range(p):
+            wvec[:, j] = weighters[j].weight_np(hi_w - key)
+        for i, (u, v) in enumerate(zip(src, dst)):
+            if u == v:
+                m2[v] *= onep_tile
+                c2[v] = c2[v] * onep + b_arr * wvec[i]
+            else:
+                m2[v] += btile * m2[u]
+                c2[v] += b_arr * (c2[u] + wvec[i])
+
+    return init_state, apply_edges, n, _np2d_finalize(n, p)
+
+
+def _affine_closures_ttk(n, p, k, betas, weighters):
+    """Layered (truncated) variant over the stacked k*n space."""
+    d = k * n
+    if p < 5:
+        def init_state():
+            ident = np.eye(d).tolist()
+            return {
+                "m": [[row[:] for row in ident] for _ in range(p)],
+                "c": [[0.0] * d for _ in range(p)],
+                "touched": np.zeros(n, dtype=np.uint8),
+            }
+
+        def apply_edges(st, hi_w, key, src, dst):
+            for j in range(p):
+                b = betas[j]
+                mj, cj = st["m"][j], st["c"][j]
+                wj = weighters[j].weight_np(hi_w - key).tolist()
+                for i, (u, v) in enumerate(zip(src, dst)):
+                    w = wj[i]
+                    for layer in range(k - 1, 0, -1):
+                        rv_i = layer * n + v
+                        ru_i = (layer - 1) * n + u
+                        ru = mj[ru_i]
+                        rv = mj[rv_i]
+                        mj[rv_i] = [x + b * y for x, y in zip(rv, ru)]
+                        cj[rv_i] += b * (cj[ru_i] + w)
+                    cj[v] += b * w
+
+        return init_state, apply_edges, d, None
+
+    b_arr = np.asarray(betas)
+    btile = np.repeat(b_arr, d)
+
+    def init_state():
+        return {
+            "m": _np2d_identity(d, p),
+            "c": np.zeros((d, p), dtype=np.float64),
+            "touched": np.zeros(n, dtype=np.uint8),
+        }
+
+    def apply_edges(st, hi_w, key, src, dst):
+        m2, c2 = st["m"], st["c"]
+        wvec = np.empty((len(key), p), dtype=np.float64)
+        for j in range(p):
+            wvec[:, j] = weighters[j].weight_np(hi_w - key)
+        for i, (u, v) in enumerate(zip(src, dst)):
+            wi = wvec[i]
+            for layer in range(k - 1, 0, -1):
+                rv_i = layer * n + v
+                ru_i = (layer - 1) * n + u
+                m2[rv_i] += btile * m2[ru_i]
+                c2[rv_i] += b_arr * (c2[ru_i] + wi)
+            c2[v] += b_arr * wi
+
+    return init_state, apply_edges, d, _np2d_finalize(d, p)
+
+
 class TemporalKatz:
     """Param-vectorized temporal Katz over a dictionary-encoded node space.
 
@@ -82,6 +303,7 @@ class TemporalKatz:
         n_nodes: int,
         path: str = "auto",
         scan_partitions: int | None = None,
+        presorted: bool = False,
     ):
         for beta, _ in params:
             if not (0 <= beta <= 1):
@@ -97,6 +319,7 @@ class TemporalKatz:
             raise ValueError("scan path requires factorizing weighters")
         self.path = path
         self.scan_partitions = scan_partitions
+        self.presorted = presorted
         self.reset()
 
     # -- state ------------------------------------------------------------
@@ -197,67 +420,65 @@ class TemporalKatz:
         self.basis = new_basis
 
     def _superstep_scan(self, window: DataFrame, hi: float) -> None:
-        if self.basis is None:
-            # first window with activity: adopt the basis; ranks are zero
-            self.basis = hi
-        self._rebase(hi)
-        n, p = self.n, self.p
-        betas = self.betas
-        weighters = self.weighters
+        # single-window case of the batched path (read-out discarded)
+        self.run_batch(window, [(0, hi, hi)], readouts=False)
 
-        def summarize(batches):
-            m = None
-            c = np.zeros((p, n), dtype=np.float64)
-            pid = -1
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                if m is None:
-                    m = np.broadcast_to(np.eye(n), (p, n, n)).copy()
-                    pid = int(pdf["pid"].iloc[0])
-                key = pdf["key"].to_numpy(dtype=np.float64)
-                src = pdf["src"].to_numpy(dtype=np.int64)
-                dst = pdf["dst"].to_numpy(dtype=np.int64)
-                wvec = np.empty((p, len(pdf)), dtype=np.float64)
-                for j in range(p):
-                    wvec[j] = weighters[j].weight_np(hi - key)
-                for i in range(len(pdf)):
-                    u, v = src[i], dst[i]
-                    m[:, v, :] += betas[:, None] * m[:, u, :]
-                    c[:, v] += betas * (c[:, u] + wvec[:, i])
-            if m is not None:
-                yield pd.DataFrame(
-                    {"pid": [pid], "m": [m.tobytes()], "c": [c.tobytes()]}
-                )
+    # -- superstep batching (scan path) ---------------------------------
+    def can_batch(self) -> bool:
+        return self.path == "scan" and self.n <= 256
 
-        nparts = self.scan_partitions or window.sparkSession.sparkContext.defaultParallelism
-        from pyspark.sql import functions as F
-
-        rows = (
-            window.select("key", "src", "dst", "seq")
-            .repartitionByRange(nparts, "seq")
-            .sortWithinPartitions("seq")
-            .withColumn("pid", F.spark_partition_id().cast("long"))
-            .mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
-            .collect()
+    def _batch_closures(self):
+        return _affine_closures_tk(
+            self.n, self.p, [float(b) for b in self.betas], self.weighters
         )
-        y = self.ranks
-        for row in sorted(rows, key=lambda r: r["pid"]):
-            m = np.frombuffer(row["m"], dtype=np.float64).reshape(p, n, n)
-            c = np.frombuffer(row["c"], dtype=np.float64).reshape(p, n)
-            y = np.einsum("pij,pj->pi", m, y) + c
-        self.ranks = np.ascontiguousarray(y)
-        # activation tracking (needed only for the active-node read-out set)
-        acts = (
-            window.groupBy().agg(
-                F.collect_set("src").alias("s"), F.collect_set("dst").alias("d")
-            )
-        ).collect()
-        if acts:
-            touched = np.array(
-                sorted(set(acts[0]["s"]) | set(acts[0]["d"])), dtype=np.int64
-            )
-            self.last[touched] = hi  # exact per-node last not needed in y-basis
+
+    def run_batch(
+        self,
+        df: DataFrame,
+        intervals: list[tuple[int, float, float]],
+        readouts: bool = True,
+    ) -> dict[int, pd.DataFrame]:
+        """Advance over B consecutive windows with ONE Spark job.
+
+        ``intervals``: ordered [(interval_id, hi, readout_time)]; ``df``
+        must contain exactly the edges of those windows (key <= last hi).
+        Returns {interval_id: readout frame}; state ends at the last hi.
+        """
+        init_state, apply_edges, dim, finalize = self._batch_closures()
+        nparts = (
+            self.scan_partitions
+            or df.sparkSession.sparkContext.defaultParallelism
+        )
+        by_w = _run_scan_batch(
+            df,
+            [hi for _, hi, _ in intervals],
+            nparts,
+            self.presorted,
+            init_state,
+            apply_edges,
+            True,
+            finalize=finalize,
+        )
+        p, n = self.p, self.n
+        outs: dict[int, pd.DataFrame] = {}
+        for idx, (iid, hi, rt) in enumerate(intervals):
+            if self.basis is None:
+                self.basis = float(hi)
+            self._rebase(float(hi))
+            rows = by_w.get(idx, [])
+            if rows:
+                y = self.ranks
+                mask = np.zeros(n, dtype=bool)
+                for r in rows:
+                    m = np.frombuffer(r["m"], np.float64).reshape(p, dim, dim)
+                    c = np.frombuffer(r["c"], np.float64).reshape(p, dim)
+                    y = np.einsum("pij,pj->pi", m, y) + c
+                    mask |= np.frombuffer(r["touched"], np.uint8).astype(bool)
+                self.ranks = np.ascontiguousarray(y)
+                self.last[mask] = float(hi)
+            if readouts:
+                outs[iid] = self.readout(float(rt))
+        return outs
 
     # -- read-out ----------------------------------------------------------
     def readout(self, boundary: float) -> pd.DataFrame:
@@ -302,9 +523,16 @@ class TruncatedTemporalKatz(TemporalKatz):
         k: int = 5,
         path: str = "auto",
         scan_partitions: int | None = None,
+        presorted: bool = False,
     ):
         self.k = k
-        super().__init__(params, n_nodes, path=path, scan_partitions=scan_partitions)
+        super().__init__(
+            params,
+            n_nodes,
+            path=path,
+            scan_partitions=scan_partitions,
+            presorted=presorted,
+        )
 
     def reset(self) -> None:
         self.ranks = np.zeros((self.p, self.k * self.n), dtype=np.float64)
@@ -376,72 +604,15 @@ class TruncatedTemporalKatz(TemporalKatz):
         self.last = result["last"].to_numpy(dtype=np.float64).copy()
 
     def _superstep_scan(self, window: DataFrame, hi: float) -> None:
-        if self.basis is None:
-            self.basis = hi
-        self._rebase(hi)
-        n, p, k = self.n, self.p, self.k
-        d = k * n
-        betas = self.betas
-        weighters = self.weighters
+        self.run_batch(window, [(0, hi, hi)], readouts=False)
 
-        def summarize(batches):
-            m = None
-            c = np.zeros((p, d), dtype=np.float64)
-            pid = -1
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                if m is None:
-                    m = np.broadcast_to(np.eye(d), (p, d, d)).copy()
-                    pid = int(pdf["pid"].iloc[0])
-                key = pdf["key"].to_numpy(dtype=np.float64)
-                src = pdf["src"].to_numpy(dtype=np.int64)
-                dst = pdf["dst"].to_numpy(dtype=np.int64)
-                wvec = np.empty((p, len(pdf)), dtype=np.float64)
-                for j in range(p):
-                    wvec[j] = weighters[j].weight_np(hi - key)
-                for i in range(len(pdf)):
-                    u, v = src[i], dst[i]
-                    for layer in range(k - 1, -1, -1):
-                        row_v = layer * n + v
-                        if layer == 0:
-                            c[:, row_v] += betas * wvec[:, i]
-                        else:
-                            row_u = (layer - 1) * n + u
-                            m[:, row_v, :] += betas[:, None] * m[:, row_u, :]
-                            c[:, row_v] += betas * (c[:, row_u] + wvec[:, i])
-            if m is not None:
-                yield pd.DataFrame(
-                    {"pid": [pid], "m": [m.tobytes()], "c": [c.tobytes()]}
-                )
+    def can_batch(self) -> bool:
+        return self.path == "scan" and self.k * self.n <= 256
 
-        from pyspark.sql import functions as F
-
-        nparts = self.scan_partitions or window.sparkSession.sparkContext.defaultParallelism
-        rows = (
-            window.select("key", "src", "dst", "seq")
-            .repartitionByRange(nparts, "seq")
-            .sortWithinPartitions("seq")
-            .withColumn("pid", F.spark_partition_id().cast("long"))
-            .mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
-            .collect()
+    def _batch_closures(self):
+        return _affine_closures_ttk(
+            self.n, self.p, self.k, [float(b) for b in self.betas], self.weighters
         )
-        y = self.ranks
-        for row in sorted(rows, key=lambda r: r["pid"]):
-            m = np.frombuffer(row["m"], dtype=np.float64).reshape(p, d, d)
-            c = np.frombuffer(row["c"], dtype=np.float64).reshape(p, d)
-            y = np.einsum("pij,pj->pi", m, y) + c
-        self.ranks = np.ascontiguousarray(y)
-        acts = (
-            window.groupBy().agg(
-                F.collect_set("src").alias("s"), F.collect_set("dst").alias("d")
-            )
-        ).collect()
-        if acts:
-            touched = np.array(
-                sorted(set(acts[0]["s"]) | set(acts[0]["d"])), dtype=np.int64
-            )
-            self.last[touched] = hi
 
     def readout(self, boundary: float) -> pd.DataFrame:
         active = ~np.isnan(self.last)

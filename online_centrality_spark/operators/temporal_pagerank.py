@@ -26,13 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SUMMARY_SCHEMA = T.StructType(
-    [
-        T.StructField("pid", T.LongType(), False),
-        T.StructField("m", T.BinaryType(), False),
-        T.StructField("c", T.BinaryType(), False),
-    ]
-)
+from .temporal_katz import _run_scan_batch  # shared segment plumbing
 
 
 class TemporalPageRank:
@@ -44,6 +38,7 @@ class TemporalPageRank:
         n_nodes: int,
         path: str = "scan",
         scan_partitions: int | None = None,
+        presorted: bool = False,
     ):
         for alpha, beta in params:
             if not (0 < alpha < 1):
@@ -55,6 +50,7 @@ class TemporalPageRank:
         self.p = len(params)
         self.path = path
         self.scan_partitions = scan_partitions
+        self.presorted = presorted
         self.reset()
 
     def reset(self) -> None:
@@ -103,63 +99,129 @@ class TemporalPageRank:
                 apply_edge_vec(y, src[i], dst[i])
             return
 
+        # scan path: single-window case of the batched path
+        self.run_batch(window, [(0, float(hi or 0.0), 0.0)], readouts=False)
+
+    # -- superstep batching ----------------------------------------------
+    def can_batch(self) -> bool:
+        return self.path == "scan" and 2 * self.n <= 256
+
+    def _batch_closures(self):
+        n, p = self.n, self.p
         d = 2 * n
+        alphas = [float(a) for a, _ in self.params]
+        betas = [float(b) for _, b in self.params]
+        if p < 5:
+            def init_state():
+                ident = np.eye(d).tolist()
+                return {
+                    "m": [[row[:] for row in ident] for _ in range(p)],
+                    "c": [[0.0] * d for _ in range(p)],
+                }
 
-        def summarize(batches):
-            m = None
-            c = np.zeros((p, d), dtype=np.float64)
-            pid = -1
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                if m is None:
-                    m = np.broadcast_to(np.eye(d), (p, d, d)).copy()
-                    pid = int(pdf["pid"].iloc[0])
-                src = pdf["src"].to_numpy(np.int64)
-                dst = pdf["dst"].to_numpy(np.int64)
-                for i in range(len(pdf)):
-                    u, v = src[i], dst[i]
-                    pu, pv, mu, mv = u, v, n + u, n + v
-                    if u == v:
-                        m[:, pv, :] += alphas[:, None] * m[:, mv, :]
-                        c[:, pv] += alphas * (c[:, mv] + (1 - alphas))
-                        scale = 1 + alphas * (1 - betas)
-                        m[:, mv, :] *= scale[:, None]
-                        c[:, mv] = c[:, mv] * scale + (1 - alphas) * alphas * (
-                            1 - betas
-                        )
-                    else:
-                        m[:, pv, :] += alphas[:, None] * m[:, mu, :]
-                        c[:, pv] += alphas * (c[:, mu] + (1 - alphas))
-                        ab = alphas * (1 - betas)
-                        m[:, mv, :] += ab[:, None] * m[:, mu, :]
-                        c[:, mv] += ab * (c[:, mu] + (1 - alphas))
-                        m[:, mu, :] *= betas[:, None]
-                        c[:, mu] *= betas
-                        c[:, pu] += 1 - alphas
-            if m is not None:
-                yield pd.DataFrame(
-                    {"pid": [pid], "m": [m.tobytes()], "c": [c.tobytes()]}
-                )
+            def apply_edges(st, hi_w, key, src, dst):
+                for j in range(p):
+                    a, bt = alphas[j], betas[j]
+                    one_a = 1.0 - a
+                    ab = a * (1.0 - bt)
+                    mj, cj = st["m"][j], st["c"][j]
+                    for u, v in zip(src, dst):
+                        pv, mu, mv = v, n + u, n + v
+                        if u == v:
+                            rmv = mj[mv]
+                            rpv = mj[pv]
+                            mj[pv] = [x + a * y for x, y in zip(rpv, rmv)]
+                            cj[pv] += a * (cj[mv] + one_a)
+                            scale = 1.0 + ab
+                            mj[mv] = [x * scale for x in rmv]
+                            cj[mv] = cj[mv] * scale + one_a * ab
+                        else:
+                            rmu = mj[mu]
+                            rpv = mj[pv]
+                            mj[pv] = [x + a * y for x, y in zip(rpv, rmu)]
+                            cj[pv] += a * (cj[mu] + one_a)
+                            rmv = mj[mv]
+                            mj[mv] = [x + ab * y for x, y in zip(rmv, rmu)]
+                            cj[mv] += ab * (cj[mu] + one_a)
+                            mj[mu] = [x * bt for x in rmu]
+                            cj[mu] *= bt
+                            cj[u] += one_a
 
+            return init_state, apply_edges, d, None
+
+        from .temporal_katz import _np2d_finalize, _np2d_identity
+
+        a_arr = np.asarray(alphas)
+        bt_arr = np.asarray(betas)
+        one_a = 1.0 - a_arr
+        ab = a_arr * (1.0 - bt_arr)
+        atile = np.repeat(a_arr, d)
+        abtile = np.repeat(ab, d)
+        bttile = np.repeat(bt_arr, d)
+        scale = 1.0 + ab
+        scale_tile = 1.0 + abtile
+
+        def init_state():
+            return {
+                "m": _np2d_identity(d, p),
+                "c": np.zeros((d, p), dtype=np.float64),
+            }
+
+        def apply_edges(st, hi_w, key, src, dst):
+            m2, c2 = st["m"], st["c"]
+            for u, v in zip(src, dst):
+                pv, mu, mv = v, n + u, n + v
+                if u == v:
+                    m2[pv] += atile * m2[mv]
+                    c2[pv] += a_arr * (c2[mv] + one_a)
+                    m2[mv] *= scale_tile
+                    c2[mv] = c2[mv] * scale + one_a * ab
+                else:
+                    m2[pv] += atile * m2[mu]
+                    c2[pv] += a_arr * (c2[mu] + one_a)
+                    m2[mv] += abtile * m2[mu]
+                    c2[mv] += ab * (c2[mu] + one_a)
+                    m2[mu] *= bttile
+                    c2[mu] *= bt_arr
+                    c2[u] += one_a
+
+        return init_state, apply_edges, d, _np2d_finalize(d, p)
+
+    def run_batch(
+        self,
+        df: DataFrame,
+        intervals: list[tuple[int, float, float]],
+        readouts: bool = True,
+    ) -> dict[int, pd.DataFrame]:
+        init_state, apply_edges, d, finalize = self._batch_closures()
         nparts = (
             self.scan_partitions
-            or window.sparkSession.sparkContext.defaultParallelism
+            or df.sparkSession.sparkContext.defaultParallelism
         )
-        rows = (
-            window.select("src", "dst", "seq")
-            .repartitionByRange(nparts, "seq")
-            .sortWithinPartitions("seq")
-            .withColumn("pid", F.spark_partition_id().cast("long"))
-            .mapInPandas(summarize, schema=_SUMMARY_SCHEMA)
-            .collect()
+        if "key" not in df.columns:
+            df = df.withColumn("key", F.lit(0.0))
+        by_w = _run_scan_batch(
+            df,
+            [hi for _, hi, _ in intervals],
+            nparts,
+            self.presorted,
+            init_state,
+            apply_edges,
+            False,
+            finalize=finalize,
         )
-        y = self.state
-        for row in sorted(rows, key=lambda r: r["pid"]):
-            m = np.frombuffer(row["m"], dtype=np.float64).reshape(p, d, d)
-            c = np.frombuffer(row["c"], dtype=np.float64).reshape(p, d)
-            y = np.einsum("pij,pj->pi", m, y) + c
-        self.state = np.ascontiguousarray(y)
+        p = self.p
+        outs: dict[int, pd.DataFrame] = {}
+        for idx, (iid, hi, rt) in enumerate(intervals):
+            y = self.state
+            for r in by_w.get(idx, []):
+                m = np.frombuffer(r["m"], np.float64).reshape(p, d, d)
+                c = np.frombuffer(r["c"], np.float64).reshape(p, d)
+                y = np.einsum("pij,pj->pi", m, y) + c
+            self.state = np.ascontiguousarray(y)
+            if readouts:
+                outs[iid] = self.readout()
+        return outs
 
     def readout(self, boundary: float | None = None) -> pd.DataFrame:
         frames = []

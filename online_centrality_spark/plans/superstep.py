@@ -83,7 +83,12 @@ class SuperstepDriver:
         static: list[StaticMeasure] | None = None,
         max_index: int | None = None,
         resume: bool = False,
+        batch_size: int = 1,
     ) -> list[SnapshotInterval]:
+        """``batch_size`` > 1 groups consecutive snapshot intervals so
+        scan-path temporal measures advance B windows with one Spark job
+        (``run_batch``); read-outs per boundary stay driver-side. Other
+        measures run one superstep per interval as usual."""
         online = online or []
         static = static or []
         key_col = "t" if time_type == "epoch" else "seq"
@@ -104,29 +109,55 @@ class SuperstepDriver:
         if resume and self.ckpt_dir is not None:
             start_from = self._restore(online) + 1
 
-        for snap in schedule:
-            i = snap.interval_id
-            if i < start_from:
-                continue
-            t0 = _time.time()
-            window = bucketed.filter(F.col("interval_id") == i)
-            has_edges = stats["edge_counts"].get(i, 0) > 0
-            win_or_none = window if has_edges else None
-            rows = []
-            for m in online:
-                m.superstep(win_or_none, float(snap.hi))
-                out = m.readout(float(snap.boundary))
-                out["measure"] = m.measure
-                rows.append(out)
-            for sm in static:
-                out = self._static_scores(bucketed, sm, i)
-                out["measure"] = sm.kind
-                out["param_id"] = sm.param_id
-                rows.append(out)
-            self._write_scores(rows, i)
-            self._write_metrics(snap, stats, _time.time() - t0, bucketed)
+        remaining = [s for s in schedule if s.interval_id >= start_from]
+        chunks = [
+            remaining[i : i + batch_size]
+            for i in range(0, len(remaining), batch_size)
+        ]
+        for chunk in chunks:
+            t_chunk = _time.time()
+            batched = (
+                [m for m in online if getattr(m, "can_batch", lambda: False)()]
+                if len(chunk) > 1
+                else []
+            )
+            per_step = [m for m in online if m not in batched]
+            batch_outs: dict[int, dict] = {}
+            if batched:
+                cdf = bucketed.filter(
+                    (F.col("interval_id") >= chunk[0].interval_id)
+                    & (F.col("interval_id") <= chunk[-1].interval_id)
+                )
+                intervals = [
+                    (s.interval_id, float(s.hi), float(s.boundary)) for s in chunk
+                ]
+                for m in batched:
+                    batch_outs[id(m)] = m.run_batch(cdf, intervals)
+            for snap in chunk:
+                i = snap.interval_id
+                t0 = _time.time()
+                window = bucketed.filter(F.col("interval_id") == i)
+                has_edges = stats["edge_counts"].get(i, 0) > 0
+                win_or_none = window if has_edges else None
+                rows = []
+                for m in online:
+                    if m in batched:
+                        out = batch_outs[id(m)][i]
+                    else:
+                        m.superstep(win_or_none, float(snap.hi))
+                        out = m.readout(float(snap.boundary))
+                    out["measure"] = m.measure
+                    rows.append(out)
+                for sm in static:
+                    out = self._static_scores(bucketed, sm, i)
+                    out["measure"] = sm.kind
+                    out["param_id"] = sm.param_id
+                    rows.append(out)
+                self._write_scores(rows, i)
+                self._write_metrics(snap, stats, _time.time() - t0, bucketed)
             if self.ckpt_dir is not None:
-                self._checkpoint(online, i)
+                self._checkpoint(online, chunk[-1].interval_id)
+            del t_chunk
         return schedule
 
     # ------------------------------------------------------------------

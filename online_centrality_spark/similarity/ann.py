@@ -1,35 +1,65 @@
 """Similarity search over an embedding column (array<float>).
 
-- ``brute_force_topk``: exact cosine top-k per query — cross join +
-  zip_with/aggregate dot product (JVM-side) + ranked window. The O(n*m)
-  baseline every ANN variant is validated against.
+- ``brute_force_topk``: exact cosine top-k per query. Arrow-batched
+  block matmul: the (normalized) item matrix broadcasts once; each
+  Arrow batch of queries computes its similarity block with one numpy
+  matmul and emits exactly k rows per query (argpartition + stable
+  (score desc, id asc) tie order). No all-pairs shuffle — only k rows
+  per query leave Python.
 
-- ``lsh_topk``: random-hyperplane LSH buckets as the scale path. The
-  hyperplanes are *deterministic* pseudo-random: component (p, d) is
-  derived from the portable md5 hash of "p:d", mapped to [-1, 1], so
-  runs are reproducible with no RNG state to ship. Queries only score
-  candidates sharing a bucket in at least one table; recall is tuned by
-  ``num_tables`` x ``num_planes``. Misses (queries with fewer than k
-  candidates) simply return fewer rows — callers needing exactness fall
-  back to brute force for those ids.
+- ``lsh_topk``: random-hyperplane LSH as the scale path. Hyperplanes
+  are deterministic (seeded from a fixed constant), broadcast as one
+  (tables*planes, dim) matrix; bucket keys are sign-pattern integers
+  computed with a single matmul per Arrow batch. Queries score only
+  candidates sharing a bucket in >= 1 table; recall tunes with
+  ``num_tables`` x ``num_planes``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..dedup.embedding import cosine_expr
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("cosine", T.DoubleType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+    ]
+)
 
 
-def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("item_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "item_id", "cosine", "rank")
+def _matrix(df: DataFrame, id_col: str, vec_col: str):
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def _topk_rows(q_ids, sims, item_ids, k):
+    """Top-k per row with (cosine desc, item_id asc) deterministic order."""
+    out_q, out_i, out_c, out_r = [], [], [], []
+    kk = min(k, sims.shape[1])
+    for r in range(sims.shape[0]):
+        row = sims[r]
+        # full lexsort keeps the (cosine desc, id asc) tie order exact even
+        # when equal scores straddle the k boundary
+        order = np.lexsort((item_ids, -row))[:kk]
+        out_q.extend([q_ids[r]] * len(order))
+        out_i.extend(item_ids[order].tolist())
+        out_c.extend(row[order].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pd.DataFrame(
+        {
+            "query_id": np.array(out_q, np.int64),
+            "item_id": np.array(out_i, np.int64),
+            "cosine": out_c,
+            "rank": np.array(out_r, np.int32),
+        }
     )
 
 
@@ -40,64 +70,67 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, item_id, cosine, rank) — exact cosine top-k, self-match excluded."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+    """(query_id, item_id, cosine, rank) — exact top-k, self-match excluded."""
+    spark = items.sparkSession
+    item_ids, m = _matrix(items, id_col, vec_col)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    b = spark.sparkContext.broadcast((item_ids, m, nrm))
+
+    def kernel(batches):
+        item_ids, m, nrm = b.value
+        pos = {int(v): i for i, v in enumerate(item_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(np.int64)
+            qm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.sqrt((qm * qm).sum(axis=1))
+            sims = (qm @ m.T) / (qn[:, None] * nrm[None, :])
+            # exclude self-matches
+            for r, qid in enumerate(q_ids):
+                j = pos.get(int(qid))
+                if j is not None:
+                    sims[r, j] = -np.inf
+            yield _topk_rows(q_ids, sims, item_ids, k)
+
+    return queries.select(id_col, vec_col).mapInPandas(kernel, schema=_TOPK_SCHEMA)
+
+
+def _hyperplanes(num: int, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (fixed seed)."""
+    rng = np.random.default_rng(0xC0FFEE)
+    return rng.normal(size=(num, dim))
+
+
+def _bucket_df(df: DataFrame, id_col, vec_col, planes, num_tables, num_planes, out_id):
+    spark = df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType(), False),
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
     )
-    it = items.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).cast("array<double>").alias("iv"),
-    )
-    scored = (
-        q.crossJoin(it)
-        .filter(F.col("query_id") != F.col("item_id"))
-        .select("query_id", "item_id", cosine_expr("qv", "iv").alias("cosine"))
-    )
-    return _ranked_topk(scored, k)
+    weights = (2 ** np.arange(num_planes)).astype(np.int64)
 
+    def kernel(batches):
+        hp = b_planes.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ hp.T >= 0).astype(np.int64)  # (n, tables*planes)
+            rows = []
+            for t in range(num_tables):
+                key = bits[:, t * num_planes : (t + 1) * num_planes] @ weights
+                rows.append(
+                    pd.DataFrame({out_id: ids, "table": np.int32(t), "bucket": key})
+                )
+            yield pd.concat(rows, ignore_index=True)
 
-def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> F.Column:
-    """Sign of <v, h_plane> with deterministic pseudo-random hyperplane."""
-    comps = []
-    for d in range(dim):
-        h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{d}")), 1, 15), 16, 10).cast(
-            "double"
-        )
-        coef = h / F.lit(float(2**60)) * 2.0 - 1.0  # [-1, 1]
-        comps.append(coef * F.element_at(F.col(vec_col), d + 1))
-    dot = comps[0]
-    for c in comps[1:]:
-        dot = dot + c
-    return (dot >= 0).cast("int")
-
-
-def lsh_buckets(
-    vecs: DataFrame,
-    id_col: str,
-    vec_col: str,
-    num_tables: int,
-    num_planes: int,
-    dim: int,
-) -> DataFrame:
-    """(id, table, bucket) — sign-pattern bucket per hash table."""
-    out = []
-    for t in range(num_tables):
-        key = None
-        for p in range(num_planes):
-            bit = _hyperplane_sign(vec_col, t * num_planes + p, dim)
-            key = bit if key is None else key * 2 + bit
-        out.append(
-            vecs.select(
-                F.col(id_col),
-                F.lit(t).alias("table"),
-                key.alias("bucket"),
-            )
-        )
-    result = out[0]
-    for df in out[1:]:
-        result = result.unionByName(df)
-    return result
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
 def lsh_topk(
@@ -110,7 +143,12 @@ def lsh_topk(
     num_planes: int = 8,
 ) -> DataFrame:
     """(query_id, item_id, cosine, rank) — LSH-bucketed approximate top-k."""
+    from pyspark.sql import Window
+
+    from ..dedup.embedding import cosine_expr
+
     dim = len(items.select(vec_col).first()[0])
+    planes = _hyperplanes(num_tables * num_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -119,8 +157,10 @@ def lsh_topk(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).cast("array<double>").alias("iv"),
     ).persist()
-    qb = lsh_buckets(q, "query_id", "qv", num_tables, num_planes, dim)
-    ib = lsh_buckets(it, "item_id", "iv", num_tables, num_planes, dim)
+    qb = _bucket_df(
+        queries, id_col, vec_col, planes, num_tables, num_planes, "query_id"
+    )
+    ib = _bucket_df(items, id_col, vec_col, planes, num_tables, num_planes, "item_id")
     cand = (
         qb.join(ib, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("item_id"))
@@ -132,4 +172,11 @@ def lsh_topk(
         .join(it, "item_id")
         .select("query_id", "item_id", cosine_expr("qv", "iv").alias("cosine"))
     )
-    return _ranked_topk(scored, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
