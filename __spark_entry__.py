@@ -304,7 +304,13 @@ def q_truncated_katz_len2(spark, sf_dir):
 
 
 def q_temporal_katz(spark, sf_dir):
-    """Full temporal Katz (sequential recurrence — rows-only check)."""
+    """Full temporal Katz via the walk path (sequential-order semantics,
+    vectorized Jacobi path-length kernel — rows-only check).
+
+    Params are sized for bounded dynamics at the events stream's
+    per-node rate (beta * rate * norm / ln2 < 0.5); the walk path raises
+    on divergence instead of silently overflowing.
+    """
     from online_centrality_spark.functions.weights import ExponentialWeighter
     from online_centrality_spark.operators.temporal_katz import TemporalKatz
 
@@ -312,7 +318,9 @@ def q_temporal_katz(spark, sf_dir):
     n_nodes = nodes.count()
     t_max = float(edges.agg(F.max("t")).collect()[0][0])
     tk = TemporalKatz(
-        [(0.5, ExponentialWeighter(norm=NORM_US, base=0.5))], n_nodes, path="scan"
+        [(0.1, ExponentialWeighter(norm=300.0 * 1e6, base=0.5))],
+        n_nodes,
+        path="walk",
     )
     tk.superstep(edges.withColumn("key", F.col("t").cast("double")), t_max)
     out = tk.readout(t_max)[["node_id", "score"]].copy()

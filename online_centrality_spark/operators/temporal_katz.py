@@ -9,7 +9,7 @@ ever-active node to the boundary time. All parameterizations
 
 The per-edge recurrence is order-dependent whenever edges chain through
 shared nodes within a window (``graph_simulator.py:34-39``), so a window
-cannot be one big commutative aggregation. Two exact execution paths:
+cannot be one big commutative aggregation. Three exact execution paths:
 
 - **fold** (any weighter): the window's edges, sorted by the stable
   global rank ``seq``, stream through one Arrow ``mapInPandas`` task that
@@ -28,7 +28,15 @@ cannot be one big commutative aggregation. Two exact execution paths:
   is exact because affine maps compose associatively. This is the
   distributed-exact scale path: edges stay distributed, state is a small
   dense vector (the node space of an actor graph is tiny relative to the
-  edge stream).
+  edge stream). CAVEAT: M's entries grow like (1 + beta*density)^E
+  within a window, so this path is only usable for small windows on tiny
+  node spaces — busy windows overflow float64 even when the true scores
+  are bounded. Use ``walk`` beyond that regime.
+
+- **walk** (factorizing weighters; the SCALE path): vectorized Jacobi
+  path-length iteration with segmented prefix sums over chain-closed
+  partitions — any node count, numerically stable, one Spark job per
+  replay batch. See ``walk.py``.
 
 State lives on the driver as O(N*P) numpy arrays between supersteps
 (broadcast into tasks), checkpointed by the superstep driver.
@@ -42,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.weights import ConstantWeighter, Weighter
+from .walk import decay_rate, plan_decay_chunks, run_walk_batch
 
 _BATCH_SUMMARY_SCHEMA = T.StructType(
     [
@@ -292,7 +301,17 @@ class TemporalKatz:
     """Param-vectorized temporal Katz over a dictionary-encoded node space.
 
     ``params``: list of (beta, Weighter). ``n_nodes``: size of the node
-    dictionary. ``path``: 'auto' | 'fold' | 'scan'.
+    dictionary. ``path``: 'auto' | 'fold' | 'scan' | 'walk'.
+
+    Path selection: ``fold`` is exact for every weighter (single ordered
+    Arrow task); ``scan`` distributes via dense affine segment summaries —
+    viable only for tiny node spaces AND light windows (its transfer
+    matrices overflow on busy windows, see walk.py); ``walk`` is the scale
+    path — vectorized path-length iteration, any node count, numerically
+    stable, distributed across chain-closed partitions (``walk_layout``:
+    None = one task; 'preserve' = trust the df's partitioning to be
+    node-disjoint; or a column name to repartition by a node-disjoint
+    closure key such as a component id).
     """
 
     measure = "tk"
@@ -304,6 +323,11 @@ class TemporalKatz:
         path: str = "auto",
         scan_partitions: int | None = None,
         presorted: bool = False,
+        walk_layout: str | None = None,
+        walk_partitions: int | None = None,
+        walk_tol: float = 1e-12,
+        walk_block: int = 8192,
+        walk_edge_transform=None,
     ):
         for beta, _ in params:
             if not (0 <= beta <= 1):
@@ -315,11 +339,19 @@ class TemporalKatz:
         self.p = len(params)
         if path == "auto":
             path = "scan" if _can_scan(self.weighters) else "fold"
-        if path == "scan" and not _can_scan(self.weighters):
-            raise ValueError("scan path requires factorizing weighters")
+        if path in ("scan", "walk") and not _can_scan(self.weighters):
+            raise ValueError(f"{path} path requires factorizing weighters")
+        if path == "walk":
+            self._lambda_max = max(decay_rate(w) for w in self.weighters)
         self.path = path
         self.scan_partitions = scan_partitions
         self.presorted = presorted
+        self.walk_layout = walk_layout
+        self.walk_partitions = walk_partitions
+        self.walk_tol = walk_tol
+        self.walk_block = walk_block
+        self.walk_edge_transform = walk_edge_transform
+        self.walk_metrics: list[dict] = []
         self.reset()
 
     # -- state ------------------------------------------------------------
@@ -354,11 +386,13 @@ class TemporalKatz:
         empty means an inactive interval (state untouched — decay is lazy).
         """
         if window is None:
-            if self.path == "scan":
+            if self.path in ("scan", "walk"):
                 self._rebase(hi)
             return
         if self.path == "fold":
             self._superstep_fold(window)
+        elif self.path == "walk":
+            self._run_batch_walk(window, [(0, hi, hi)], readouts=False)
         else:
             self._superstep_scan(window, hi)
 
@@ -425,6 +459,8 @@ class TemporalKatz:
 
     # -- superstep batching (scan path) ---------------------------------
     def can_batch(self) -> bool:
+        if self.path == "walk":
+            return True
         return self.path == "scan" and self.n <= 256
 
     def _batch_closures(self):
@@ -444,6 +480,8 @@ class TemporalKatz:
         must contain exactly the edges of those windows (key <= last hi).
         Returns {interval_id: readout frame}; state ends at the last hi.
         """
+        if self.path == "walk":
+            return self._run_batch_walk(df, intervals, readouts=readouts)
         init_state, apply_edges, dim, finalize = self._batch_closures()
         nparts = (
             self.scan_partitions
@@ -480,6 +518,74 @@ class TemporalKatz:
                 outs[iid] = self.readout(float(rt))
         return outs
 
+    # -- walk path (distributed vectorized path-length iteration) --------
+    def _run_batch_walk(
+        self,
+        df: DataFrame,
+        intervals: list[tuple[int, float, float]],
+        readouts: bool = True,
+    ) -> dict[int, pd.DataFrame]:
+        chunks = plan_decay_chunks(intervals, self._lambda_max)
+        chunk_plan = [(float(c[-1][1]), c) for c in chunks]
+        t_first = chunk_plan[0][0]
+        t_last = chunk_plan[-1][0]
+        lo: float | None = self.basis
+        if self.basis is None:
+            self.basis = t_first
+        self._rebase(t_first)
+        y0_pre = self.ranks.copy()  # basis t_first (for untouched fill)
+        active_pre = ~np.isnan(self.last)
+        ro, (es_nodes, es_vals), mets = run_walk_batch(
+            df,
+            self.betas,
+            self.weighters,
+            self.ranks,
+            active_pre,
+            chunk_plan,
+            lo,
+            self.walk_partitions,
+            self.walk_layout,
+            tol=self.walk_tol,
+            block_size=self.walk_block,
+            edge_transform=self.walk_edge_transform,
+        )
+        self.walk_metrics = [
+            dict(chunk_end=t_last, chunks=len(chunk_plan), **m) for m in mets
+        ]
+        # advance untouched state to the final basis, then merge end-state
+        self._rebase(t_last)
+        touched = np.zeros(self.n, dtype=bool)
+        if len(es_nodes):
+            self.ranks[:, es_nodes] = es_vals.T
+            self.last[es_nodes] = t_last
+            touched[es_nodes] = True
+        outs: dict[int, pd.DataFrame] = {}
+        if readouts:
+            fill_nodes = np.nonzero(active_pre & ~touched)[0]
+            pids = np.asarray(self.param_ids, dtype=object)
+            for iid, hi, rt in intervals:
+                t_nodes, t_vals = ro.get(
+                    iid, (np.empty(0, np.int64), np.empty((0, self.p)))
+                )
+                if len(fill_nodes):
+                    # value decayed to rt: y0_pre (basis t_first) / w(t_first - rt)
+                    f_vals = y0_pre[:, fill_nodes].T.copy()
+                    for j, w in enumerate(self.weighters):
+                        f_vals[:, j] /= w.weight(t_first - float(rt))
+                    all_nodes = np.concatenate([t_nodes, fill_nodes])
+                    all_vals = np.concatenate([t_vals, f_vals])
+                else:
+                    all_nodes, all_vals = t_nodes, t_vals
+                m = len(all_nodes)
+                outs[iid] = pd.DataFrame(
+                    {
+                        "param_id": np.repeat(pids, m),
+                        "node_id": np.tile(all_nodes, self.p),
+                        "score": np.ascontiguousarray(all_vals.T).ravel(),
+                    }
+                )
+        return outs
+
     # -- read-out ----------------------------------------------------------
     def readout(self, boundary: float) -> pd.DataFrame:
         """Scores of every ever-active node, decayed to ``boundary``.
@@ -490,7 +596,7 @@ class TemporalKatz:
         idx = np.nonzero(active)[0]
         frames = []
         for j, pid in enumerate(self.param_ids):
-            if self.path == "scan":
+            if self.path in ("scan", "walk"):
                 base = self.basis if self.basis is not None else boundary
                 scores = self.ranks[j, idx] * self.weighters[j].weight(boundary - base)
             else:
@@ -525,6 +631,11 @@ class TruncatedTemporalKatz(TemporalKatz):
         scan_partitions: int | None = None,
         presorted: bool = False,
     ):
+        if path == "walk":
+            raise NotImplementedError(
+                "walk path for the truncated variant is not implemented; "
+                "use 'scan' (small n) or 'fold'"
+            )
         self.k = k
         super().__init__(
             params,
@@ -623,7 +734,7 @@ class TruncatedTemporalKatz(TemporalKatz):
         for layer in range(self.k):
             for j in range(self.p):
                 pid = pids[layer * self.p + j]
-                if self.path == "scan":
+                if self.path in ("scan", "walk"):
                     base = self.basis if self.basis is not None else boundary
                     scores = ranks[j, layer, idx] * self.weighters[j].weight(
                         boundary - base

@@ -1,0 +1,556 @@
+"""Distributed temporal-walk (Jacobi path-length) kernel for Temporal Katz.
+
+The third execution path (besides ``fold`` and ``scan`` in
+``temporal_katz.py``), designed for **large node spaces and long windows**
+where the affine-scan path is unusable: its transfer matrices are dense
+``n x n`` *and* their entries grow like ``(1 + beta * chain_density)^E``
+within a window, overflowing float64 on busy windows regardless of how
+bounded the true scores are.
+
+Semantics (identical to the reference computer,
+``temporal_katz_computer.py:43-51``): per edge ``(u, v, t)`` in stable
+``seq`` order, ``r(v) <- decay(r(v)) + beta * (decay(r(u)) + 1)``. In the
+basis "decayed to batch end ``T``" (exponential decay telescopes across a
+node's activation gaps — ``weight_funtions.py:33-34`` factorization), the
+recurrence becomes the decay-free forward fold
+
+    g_i = beta * ( y0[u_i] + w(T - t_i) + sum_{j < i, dst_j = u_i} g_j )
+
+whose fixed point expands as a geometric series over temporal-walk path
+length: round 1 injects ``beta * (y0[u] + w)``, round ``l+1`` propagates
+round ``l`` one hop along the time-ordered chain.  Each round is ONE
+segmented exclusive prefix-sum over edges grouped by node — fully
+vectorized (no per-edge Python), with gather indices precomputed once per
+task.  Contributions of length-``l`` walks carry ``beta^l`` (times decay),
+so for any bounded parameterization the rounds converge geometrically;
+iteration stops when the residual round is below ``tol`` (default 1e-12)
+of each edge's own running total, i.e. the result matches the sequential
+fold far below the 1e-6 parity gate.
+
+Numerical domain: values in basis ``T`` scale like ``exp(-lambda * (T -
+t))`` with ``lambda = |ln base| / norm``.  A batch is therefore chunked so
+that every read-out boundary ``b`` in a chunk satisfies ``(T_chunk - b) *
+lambda_max <= SAFE_EXPONENT`` — contributions older than that are *truly*
+zero in float64 at read-out time, so the cut loses nothing
+(:func:`plan_decay_chunks`).  State carried across chunks is rebased by
+one vectorized multiply (lazy decay, as the reference does per-touch).
+
+Distribution contract: temporal-walk chains never leave a weakly
+connected component of the (time-collapsed) graph, so any partitioning of
+the edge stream by a **node-disjoint closure key** (connected component,
+replica id, tenant id, ...) makes tasks independent and the result exact;
+each task resolves its chains locally with the vectorized kernel and
+emits read-out rows + end-state rows.  Without such a key the caller
+falls back to a single task (still ~4x faster than the per-edge ``fold``
+because all work is vectorized).  Hub actors skew *within* a component;
+they cost O(1) per edge here (prefix sums are oblivious to degree), which
+is the kernel's answer to the north rule's hub-skew clause.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.weights import ConstantWeighter, ExponentialWeighter, Weighter
+
+#: stay well clear of float64's denormal onset (exp(-708)); read-outs
+#: rescale by at most exp(+SAFE_EXPONENT).
+SAFE_EXPONENT = 500.0
+
+WALK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.IntegerType(), False),  # 0 readout, 1 endstate, 2 metrics
+        T.StructField("interval", T.LongType(), False),
+        T.StructField("nodes", T.BinaryType(), False),  # int64 node ids
+        T.StructField("vals", T.BinaryType(), False),  # (m, p) float64 scores
+    ]
+)
+
+
+def decay_rate(w: Weighter) -> float:
+    """lambda = |ln base| / norm for Exp; 0 for Const(1)."""
+    if isinstance(w, ExponentialWeighter):
+        return abs(math.log(w.base)) / w.norm
+    if isinstance(w, ConstantWeighter) and w.c == 1.0:
+        return 0.0
+    raise ValueError(f"walk path requires factorizing weighters, got {w!r}")
+
+
+def plan_decay_chunks(
+    intervals: list[tuple[int, float, float]], lambda_max: float
+) -> list[list[tuple[int, float, float]]]:
+    """Group ordered ``(interval_id, hi, readout_time)`` into chunks such
+    that every read-out in a chunk is within ``SAFE_EXPONENT`` decay units
+    of the chunk's end (the basis time)."""
+    chunks: list[list[tuple[int, float, float]]] = []
+    cur: list[tuple[int, float, float]] = []
+    for iv in intervals:
+        cand = cur + [iv]
+        t_end = cand[-1][1]
+        first_rt = min(rt for _, _, rt in cand)
+        if cur and (t_end - first_rt) * lambda_max > SAFE_EXPONENT:
+            chunks.append(cur)
+            cur = [iv]
+        else:
+            cur = cand
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def build_walk_layout(src: np.ndarray, dst: np.ndarray):
+    """Per-task gather/scatter indices for the round prefix-sums.
+
+    Posts are edges ordered by ``(dst, position)``.  For each edge ``i``
+    (which *reads* node ``src_i``), the chain input is the prefix sum of
+    posts ``j < i`` on node ``src_i``.  Those prefix sums MUST restart at
+    zero per node: magnitudes inside a decay chunk span ``exp(lambda *
+    span)`` (up to e^500), so a single global running sum would
+    catastrophically cancel small segments that follow large ones.  Each
+    node's posts are therefore scattered into a row of a power-of-2
+    length-bucketed padded matrix and summed with a row-wise ``cumsum`` —
+    per-segment exact, fully vectorized, and the index structures below
+    are built once per task and reused by every round and parameter.
+
+    Returns ``(edge_flat, pred_flat, views, flat_size)``:
+
+    - ``edge_flat[e]``: flat slot of edge ``e``'s post,
+    - ``pred_flat[i]``: flat slot holding edge ``i``'s chain prefix after
+      the row cumsums (``flat_size`` = the always-zero slot for edges
+      with no predecessor),
+    - ``views``: list of ``(offset, rows, width)`` row-matrix extents to
+      ``cumsum`` per round.
+    """
+    E = len(src)
+    idx = np.arange(E, dtype=np.int64)
+    post_order = np.lexsort((idx, dst))
+    pdst = dst[post_order]
+    pseq = post_order
+    seg_first = np.zeros(E, dtype=bool)
+    if E:
+        seg_first[0] = True
+        seg_first[1:] = pdst[1:] != pdst[:-1]
+    seg_id = np.cumsum(seg_first) - 1 if E else np.empty(0, np.int64)
+    seg_start_idx = np.nonzero(seg_first)[0]
+    n_seg = len(seg_start_idx)
+    seg_len = np.diff(np.concatenate([seg_start_idx, [E]]))
+    # power-of-2 length classes; segments packed as rows per class
+    cls = np.zeros(n_seg, dtype=np.int64)
+    if n_seg:
+        cls = np.ceil(np.log2(np.maximum(seg_len, 1))).astype(np.int64)
+        cls[seg_len == 1] = 0
+    views: list[tuple[int, int, int]] = []
+    seg_row_base = np.zeros(n_seg, dtype=np.int64)  # flat index of row start
+    off = 0
+    for c in np.unique(cls):
+        members = np.nonzero(cls == c)[0]
+        width = 1 << int(c)
+        rows = len(members)
+        seg_row_base[members] = off + np.arange(rows, dtype=np.int64) * width
+        views.append((off, rows, width))
+        off += rows * width
+    flat_size = off
+    # post slot s (post order) -> flat = row base of its segment + position
+    pos_in_seg = np.arange(E, dtype=np.int64) - seg_start_idx[seg_id] if E else idx
+    post_flat = seg_row_base[seg_id] + pos_in_seg if E else idx
+    edge_flat = np.empty(E, dtype=np.int64)
+    edge_flat[post_order] = post_flat
+    # predecessor post of each read: last post j < i with dst_j == src_i
+    comp_posts = pdst * np.int64(E + 1) + pseq
+    comp_reads = src * np.int64(E + 1) + idx
+    pos = np.searchsorted(comp_posts, comp_reads)
+    pred = pos - 1
+    valid = (pred >= 0) & (pdst[np.clip(pred, 0, max(E - 1, 0))] == src)
+    pred_flat = np.where(valid, post_flat[np.clip(pred, 0, max(E - 1, 0))], flat_size)
+    return edge_flat, pred_flat, views, flat_size
+
+
+def walk_totals(
+    w_inject: np.ndarray,  # (p, E): beta_j * (y0[src] + w_j(T - t))
+    betas: np.ndarray,
+    edge_flat: np.ndarray,
+    pred_flat: np.ndarray,
+    views: list[tuple[int, int, int]],
+    flat_size: int,
+    tol: float = 1e-12,
+    max_rounds: int = 1000,
+) -> tuple[np.ndarray, int, float, bool]:
+    """Iterate rounds until the residual round is negligible.
+
+    Returns ``(totals (p, E), rounds, max_residual, diverged)``.
+    """
+    p, E = w_inject.shape
+    g = w_inject.copy()
+    total = g.copy()
+    # +1: trailing always-zero slot gathered by predecessor-less reads
+    F = np.zeros(flat_size + 1)
+    active = np.ones(p, dtype=bool)
+    resid = 0.0
+    grew = np.zeros(p, dtype=np.int32)
+    prev_m = np.full(p, np.inf)
+    diverged = False
+    r = 0
+    for r in range(1, max_rounds + 1):
+        all_done = True
+        for j in np.nonzero(active)[0]:
+            F.fill(0.0)
+            F[edge_flat] = g[j]
+            for off, rows, width in views:
+                if width == 1:
+                    continue
+                view = F[off : off + rows * width].reshape(rows, width)
+                np.cumsum(view, axis=1, out=view)
+            gj = betas[j] * F[pred_flat]
+            total[j] += gj
+            g[j] = gj
+            # convergence must be relative PER EDGE: magnitudes inside a
+            # chunk span e^{lambda * span}, so a chunk-global threshold
+            # would truncate the series for early (heavily decayed) edges
+            # whose read-outs rescale right back up. total >= round-1
+            # injection = beta * w > 0, so the ratio is well-defined.
+            # rounds and totals are nonnegative, so total == 0 implies
+            # gj == 0 (fully-underflowed edges): mask the 0/0
+            ta = np.abs(total[j])
+            m = (
+                float((np.abs(gj) / np.where(ta > 0.0, ta, 1.0)).max())
+                if E
+                else 0.0
+            )
+            if m < tol:
+                active[j] = False
+            else:
+                all_done = False
+                # divergence shows as sustained growth of the ABSOLUTE
+                # residual round (the relative ratio plateaus below 1 for
+                # a diverging geometric series, so it can't detect it)
+                m_abs = float(np.abs(gj).max())
+                grew[j] = grew[j] + 1 if m_abs > prev_m[j] else 0
+                prev_m[j] = m_abs
+                resid = max(resid, m)
+                if grew[j] >= 16 and m_abs > 1e9:
+                    diverged = True
+        if all_done or diverged:
+            break
+    if not diverged and bool(active.any()) and r >= max_rounds:
+        diverged = True  # failed to certify convergence
+    return total, r, resid, diverged
+
+
+def make_walk_kernel(
+    betas: np.ndarray,
+    weighters: list[Weighter],
+    y0_bcast,
+    active_bcast,
+    chunk_plan: list[tuple[float, list[tuple[int, float, float]]]],
+    tol: float = 1e-12,
+    block_size: int = 8192,
+    edge_transform=None,
+    key_lo: float | None = None,
+):
+    """Arrow grouped kernel: one task = one (or more) chain-closed edge
+    groups, advanced over the WHOLE batch in one pass.
+
+    ``edge_transform`` (optional) maps the task's raw input frame to the
+    edge frame ``(key, src, dst, seq)`` INSIDE the kernel — fusing edge
+    generation/decoding into the same Python worker avoids a chained
+    pandas-UDF pipeline (two Python evals + a JVM row-conversion hop per
+    task, which oversubscribes cores at high parallelism). The key-range
+    cut is applied here when a transform is used.
+
+    ``chunk_plan``: ordered ``(chunk_end, [(iid, hi, rt), ...])`` decay
+    chunks (:func:`plan_decay_chunks`).  Because tasks are chain-closed,
+    no cross-task synchronization is needed between chunks — each task
+    rebases its local carry to the next chunk basis itself (one vector
+    multiply), so a replay of any number of snapshots costs ONE Spark
+    job.  ``y0_bcast`` must be in the basis of the first chunk end.
+
+    Emits one packed binary row per (kind, interval): node ids as int64
+    bytes and the (m, p) score matrix as float64 bytes — collected via
+    Arrow and decoded with ``np.frombuffer`` on the driver.
+    """
+    p = len(betas)
+
+    def kernel(batches):
+        import time as _t
+
+        from pyspark import TaskContext
+
+        t_k0 = _t.time()
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if edge_transform is not None:
+            pdf = edge_transform(pdf)
+        key = pdf["key"].to_numpy(np.float64)
+        seq = pdf["seq"].to_numpy(np.int64)
+        gsrc = pdf["src"].to_numpy(np.int64)
+        gdst = pdf["dst"].to_numpy(np.int64)
+        del pdf
+        if edge_transform is not None:
+            keep = key <= float(chunk_plan[-1][0])
+            if key_lo is not None:
+                keep &= key > float(key_lo)
+            if not keep.all():
+                key = key[keep]
+                seq = seq[keep]
+                gsrc = gsrc[keep]
+                gdst = gdst[keep]
+        if len(key) == 0:
+            return
+        if np.any(np.diff(key) < 0):  # skip the sort for presorted input
+            order = np.lexsort((seq, key))
+            key = key[order]
+            gsrc = gsrc[order]
+            gdst = gdst[order]
+        E = len(key)
+        # local node encoding: dense range slice when the task's node ids
+        # are packed (the common chain-closed layout), else sort-unique
+        n_lo = int(min(gsrc.min(), gdst.min()))
+        n_hi = int(max(gsrc.max(), gdst.max()))
+        if n_hi - n_lo + 1 <= 2 * E + 64:
+            nodes = np.arange(n_lo, n_hi + 1, dtype=np.int64)
+            src = gsrc - n_lo
+            dst = gdst - n_lo
+        else:
+            nodes = np.unique(np.concatenate([gsrc, gdst]))
+            src = np.searchsorted(nodes, gsrc)
+            dst = np.searchsorted(nodes, gdst)
+        nl = len(nodes)
+        ever = np.zeros(nl, dtype=bool)
+        ever[src] = True
+        ever[dst] = True
+        y0loc = np.ascontiguousarray(y0_bcast.value[:, nodes].T)  # (nl, p)
+        y0_active = active_bcast.value[nodes] & ever
+        # Blocked execution: rounds stream over cache-resident edge blocks
+        # instead of the whole task (which hits the DRAM-bandwidth wall at
+        # high core counts). Exact because temporal walks never go
+        # backward in time: blocks are processed in time order and a
+        # per-node CARRY of fully-converged earlier-block totals feeds
+        # each block's round-1 injection. Read-out boundaries are block
+        # cuts, so the carry at a cut IS the read-out accumulator.
+        carry = np.zeros((nl, p))
+        touched = np.zeros(nl, dtype=bool)
+        rows = []
+        rounds_sum = edges_sum = 0
+        resid_max = 0.0
+        diverged_any = False
+        basis = chunk_plan[0][0]
+        pos_lo = 0
+        t_k1 = _t.time()
+        for t_end, ivs in chunk_plan:
+            t_end = float(t_end)
+            if t_end != basis:
+                # local rebase to the new chunk basis (lazy decay carry)
+                for j in range(p):
+                    fac = weighters[j].weight(t_end - basis)
+                    carry[:, j] *= fac
+                    y0loc[:, j] *= fac
+                basis = t_end
+            hi_cut = int(np.searchsorted(key, t_end, side="right"))
+            iv_cuts = [
+                int(np.searchsorted(key, float(hi), side="right"))
+                for _, hi, _ in ivs
+            ]
+            block_starts = sorted(
+                set(range(pos_lo, hi_cut, block_size))
+                | set(iv_cuts)
+                | {pos_lo, hi_cut}
+            )
+            iv_ptr = 0
+
+            def emit_readouts_upto(pos):
+                # every boundary cut is a block cut, so equality hits
+                nonlocal iv_ptr
+                while iv_ptr < len(ivs) and iv_cuts[iv_ptr] <= pos:
+                    iid, hi, rt = ivs[iv_ptr]
+                    # y0-active nodes with no edge in the batch are the
+                    # driver's to fill (they are NOT in the end-state)
+                    mask = touched | y0_active
+                    if mask.any():
+                        scores = carry[mask] + y0loc[mask]  # basis t_end
+                        for j in range(p):
+                            scores[:, j] /= weighters[j].weight(
+                                t_end - float(rt)
+                            )
+                        rows.append(
+                            (
+                                0,
+                                iid,
+                                nodes[mask].tobytes(),
+                                np.ascontiguousarray(scores).tobytes(),
+                            )
+                        )
+                    iv_ptr += 1
+
+            emit_readouts_upto(pos_lo)
+            for s, e in zip(block_starts[:-1], block_starts[1:]):
+                if e > s:
+                    bsrc = src[s:e]
+                    bdst = dst[s:e]
+                    B = e - s
+                    edge_flat, pred_flat, views, flat_size = (
+                        build_walk_layout(bsrc, bdst)
+                    )
+                    w_inject = np.empty((p, B))
+                    base_in = y0loc + carry  # (nl, p)
+                    for j in range(p):
+                        w_inject[j] = betas[j] * (
+                            base_in[bsrc, j]
+                            + weighters[j].weight_np(t_end - key[s:e])
+                        )
+                    totals, rounds, resid, diverged = walk_totals(
+                        w_inject, betas, edge_flat, pred_flat, views,
+                        flat_size, tol=tol,
+                    )
+                    np.add.at(carry, bdst, np.ascontiguousarray(totals.T))
+                    touched[bsrc] = True
+                    touched[bdst] = True
+                    rounds_sum += rounds * B
+                    edges_sum += B
+                    resid_max = max(resid_max, resid)
+                    diverged_any = diverged_any or diverged
+                emit_readouts_upto(e)
+            pos_lo = hi_cut
+        y_end = carry[ever] + y0loc[ever]  # (nl, p), basis = last chunk end
+        rows.append(
+            (1, -1, nodes[ever].tobytes(), np.ascontiguousarray(y_end).tobytes())
+        )
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        mean_rounds = rounds_sum / edges_sum if edges_sum else 0.0
+        meta = np.array(
+            [
+                float(pid),
+                mean_rounds,
+                resid_max,
+                float(E),
+                1.0 if diverged_any else 0.0,
+                t_k1 - t_k0,
+                _t.time() - t_k1,
+            ]
+        )
+        rows.append((2, -1, b"", meta.tobytes()))
+        yield pd.DataFrame(rows, columns=["kind", "interval", "nodes", "vals"])
+
+    return kernel
+
+
+def run_walk_batch(
+    df: DataFrame,
+    betas: np.ndarray,
+    weighters: list[Weighter],
+    y0: np.ndarray,
+    y0_active: np.ndarray,
+    chunk_plan: list[tuple[float, list[tuple[int, float, float]]]],
+    lo: float | None,
+    closure_partitions: int | None,
+    closure_col: str | None,
+    tol: float = 1e-12,
+    block_size: int = 8192,
+    edge_transform=None,
+):
+    """ONE Spark job: advance the walk state over a whole batch of decay
+    chunks (cross-chunk carry is task-local under chain closure).
+
+    With ``edge_transform``, ``df`` is the raw source (any schema); the
+    transform builds ``(key, src, dst, seq)`` inside the kernel task and
+    the key-range cut moves there too (supported for the 'preserve' and
+    single-task layouts).
+
+    Returns ``(readouts, endstate, metrics)``:
+    ``readouts[iid] = (nodes ndarray, scores (m, p) ndarray)``,
+    ``endstate = (nodes ndarray, scores (m, p) ndarray)``.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    t_last = float(chunk_plan[-1][0])
+    p = len(betas)
+    if edge_transform is not None:
+        if closure_col not in (None, "preserve"):
+            raise ValueError(
+                "edge_transform requires the 'preserve' or single-task layout"
+            )
+        sel = df if closure_col == "preserve" else df.coalesce(1)
+    else:
+        cond = F.col("key") <= F.lit(t_last)
+        if lo is not None:
+            cond = cond & (F.col("key") > F.lit(float(lo)))
+        if closure_col is None:
+            # no chain-closure key: exact only as a single ordered task
+            sel = df.select("key", "src", "dst", "seq").filter(cond).coalesce(1)
+        elif closure_col == "preserve":
+            # caller guarantees the df's partitioning is node-disjoint
+            sel = df.select("key", "src", "dst", "seq").filter(cond)
+        else:
+            nparts = closure_partitions or sc.defaultParallelism
+            sel = (
+                df.filter(cond)
+                .repartition(nparts, closure_col)
+                .select("key", "src", "dst", "seq")
+            )
+    y0_b = sc.broadcast(y0)
+    act_b = sc.broadcast(y0_active)
+    kernel = make_walk_kernel(
+        betas, weighters, y0_b, act_b, chunk_plan, tol=tol,
+        block_size=block_size, edge_transform=edge_transform,
+        key_lo=lo if edge_transform is not None else None,
+    )
+    out = sel.mapInPandas(kernel, schema=WALK_ROW_SCHEMA).toPandas()
+    y0_b.destroy()
+    act_b.destroy()
+    ro_nodes: dict[int, list] = {}
+    ro_vals: dict[int, list] = {}
+    es_nodes: list = []
+    es_vals: list = []
+    metrics = []
+    for kind, iid, nb, vb in zip(
+        out["kind"].to_numpy(),
+        out["interval"].to_numpy(),
+        out["nodes"].to_numpy(),
+        out["vals"].to_numpy(),
+    ):
+        if kind == 0:
+            ro_nodes.setdefault(int(iid), []).append(
+                np.frombuffer(nb, np.int64)
+            )
+            ro_vals.setdefault(int(iid), []).append(
+                np.frombuffer(vb, np.float64).reshape(-1, p)
+            )
+        elif kind == 1:
+            es_nodes.append(np.frombuffer(nb, np.int64))
+            es_vals.append(np.frombuffer(vb, np.float64).reshape(-1, p))
+        else:
+            v = np.frombuffer(vb, np.float64)
+            metrics.append(
+                dict(
+                    partition=int(v[0]),
+                    rounds=float(v[1]),
+                    residual=float(v[2]),
+                    edges=int(v[3]),
+                    diverged=bool(v[4]),
+                    t_input=float(v[5]),
+                    t_rounds=float(v[6]),
+                )
+            )
+    diverged = [m for m in metrics if m["diverged"]]
+    if diverged:
+        raise ValueError(
+            "temporal-walk iteration diverged (unbounded dynamics for these "
+            f"(beta, weighter) params): {diverged[:3]}"
+        )
+    readouts = {
+        iid: (np.concatenate(ro_nodes[iid]), np.concatenate(ro_vals[iid]))
+        for iid in ro_nodes
+    }
+    if es_nodes:
+        endstate = (np.concatenate(es_nodes), np.concatenate(es_vals))
+    else:
+        endstate = (np.empty(0, np.int64), np.empty((0, p)))
+    return readouts, endstate, metrics

@@ -99,18 +99,22 @@ def assert_close_maps(got: dict, want: dict, ctx: str, atol=1e-9):
         )
 
 
-@pytest.mark.parametrize("path", ["scan", "fold"])
+@pytest.mark.parametrize("path", ["scan", "fold", "walk"])
 def test_temporal_parity_epoch(spark, edge_data, tmp_path, path):
     edges, stream, n_nodes = edge_data
     boundaries = make_boundaries(stream, delta=1800, count=20)
-    params_tk = EXP_PARAMS if path == "scan" else EXP_PARAMS + NONFACT_PARAMS
+    params_tk = EXP_PARAMS if path in ("scan", "walk") else EXP_PARAMS + NONFACT_PARAMS
     k = 3
 
     captured, _ = run_oracle(stream, boundaries, "epoch", params_tk, k=k)
 
     tk = TemporalKatz(params_tk, n_nodes, path=path)
-    ttk = TruncatedTemporalKatz(params_tk, n_nodes, k=k, path=path)
-    tpr = TemporalPageRank(TPR_PARAMS, n_nodes, path="scan" if path == "scan" else "fold")
+    ttk = TruncatedTemporalKatz(
+        params_tk, n_nodes, k=k, path="scan" if path == "walk" else path
+    )
+    tpr = TemporalPageRank(
+        TPR_PARAMS, n_nodes, path="fold" if path == "fold" else "scan"
+    )
     did = DecayedIndegree(DID_PARAMS, spark)
     driver = SuperstepDriver(spark, str(tmp_path / f"out_{path}"))
     sched = driver.run(

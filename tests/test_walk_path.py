@@ -1,0 +1,124 @@
+"""Walk-path specifics: decay chunking, distributed chain-closed layout,
+divergence guard. (End-to-end oracle parity for path='walk' lives in
+test_temporal_parity.py.)"""
+
+import numpy as np
+import pytest
+
+from online_centrality_spark.functions.weights import ExponentialWeighter
+from online_centrality_spark.operators.temporal_katz import TemporalKatz
+from online_centrality_spark.operators.walk import plan_decay_chunks
+from tests.oracle.reference_oracle import OracleReplay, OracleTemporalKatz
+
+
+def _edges_df(spark, stream, n_grp=None):
+    rows = [
+        (float(t), int(s), int(d), i + 1)
+        + ((int(s) // n_grp,) if n_grp else ())
+        for i, (t, s, d) in enumerate(stream)
+    ]
+    cols = "key double, src long, dst long, seq long" + (
+        ", grp long" if n_grp else ""
+    )
+    return spark.createDataFrame(rows, cols)
+
+
+def _oracle_snapshots(stream, params, boundaries):
+    tk = OracleTemporalKatz(params)
+    captured = {}
+    OracleReplay([(int(t), s, d) for t, s, d in stream], "epoch").run(
+        boundaries, [tk], on_snapshot=lambda i, b: captured.update({i: tk.snapshot(b)})
+    )
+    return captured
+
+
+def _walk_readouts(df, stream, params, boundaries, **kw):
+    n = max(max(s, d) for _, s, d in stream) + 1
+    tk = TemporalKatz(params, n, path="walk", **kw)
+    intervals = [(i, float(b), float(b)) for i, b in enumerate(boundaries)]
+    return tk, tk.run_batch(df, intervals)
+
+
+def _assert_match(outs, captured, params, atol=1e-9):
+    for i, snap in captured.items():
+        got = outs[i]
+        for j, (beta, w) in enumerate(params):
+            pid = "tk_b%0.2f_%s" % (beta, w)
+            sub = got[got["param_id"] == pid].set_index("node_id")["score"]
+            want = {node: v[j] for node, v in snap.items()}
+            assert set(sub.index) == set(want), (pid, i)
+            for node, val in want.items():
+                assert sub[node] == pytest.approx(val, abs=atol, rel=1e-9), (
+                    pid,
+                    i,
+                    node,
+                )
+
+
+def test_plan_decay_chunks_splits_long_spans():
+    ivs = [(i, 1000.0 * (i + 1), 1000.0 * (i + 1)) for i in range(8)]
+    # lambda so that two consecutive boundaries exceed SAFE_EXPONENT=500
+    chunks = plan_decay_chunks(ivs, lambda_max=0.9)
+    assert len(chunks) == 8
+    chunks = plan_decay_chunks(ivs, lambda_max=1e-6)
+    assert len(chunks) == 1
+    assert [iv[0] for iv in chunks[0]] == list(range(8))
+
+
+def test_walk_multi_chunk_parity(spark):
+    """Span many decay norms -> several chunk jobs, carry rebased between."""
+    rng = np.random.default_rng(5)
+    n, E = 9, 400
+    t = np.sort(rng.uniform(0, 40000, E)).astype(np.int64)
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    stream = list(zip(t.tolist(), src.tolist(), dst.tolist()))
+    params = [
+        (0.3, ExponentialWeighter(norm=20.0, base=0.5)),
+        (0.5, ExponentialWeighter(norm=60.0, base=0.5)),
+    ]
+    boundaries = [5000.0 * (i + 1) for i in range(8)]
+    tk, outs = _walk_readouts(_edges_df(spark, stream), stream, params, boundaries)
+    # with norm=20 the 40000-span replay must have decay-chunked
+    assert tk.walk_metrics[0]["chunks"] > 1
+    captured = _oracle_snapshots(stream, params, boundaries)
+    _assert_match(outs, captured, params)
+
+
+def test_walk_partitioned_by_closure_key(spark):
+    """Disjoint node groups partitioned by a closure column == one task."""
+    rng = np.random.default_rng(9)
+    blocks = 6
+    stream = []
+    for b in range(blocks):
+        E = 120
+        t = np.sort(rng.uniform(0, 2000, E)).astype(np.int64)
+        src = rng.integers(0, 4, E) + 4 * b
+        dst = rng.integers(0, 4, E) + 4 * b
+        stream += list(zip(t.tolist(), src.tolist(), dst.tolist()))
+    stream.sort()
+    params = [(0.4, ExponentialWeighter(norm=100.0, base=0.5))]
+    boundaries = [500.0, 1000.0, 1500.0, 2000.0]
+    df = _edges_df(spark, stream, n_grp=4)
+    _, outs_par = _walk_readouts(
+        df, stream, params, boundaries, walk_layout="grp", walk_partitions=5
+    )
+    _, outs_one = _walk_readouts(df, stream, params, boundaries)
+    captured = _oracle_snapshots(stream, params, boundaries)
+    _assert_match(outs_par, captured, params)
+    _assert_match(outs_one, captured, params)
+
+
+def test_walk_divergence_guard(spark):
+    """Unbounded dynamics (beta=1, negligible decay, dense chains) raise."""
+    E, n = 4000, 3
+    t = np.linspace(0, 10.0, E)
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    stream = list(zip(t.tolist(), src.tolist(), dst.tolist()))
+    params = [(1.0, ExponentialWeighter(norm=1e9, base=0.5))]
+    df = _edges_df(spark, stream)
+    tk = TemporalKatz(params, n, path="walk")
+    with pytest.raises(ValueError, match="diverged"):
+        tk.run_batch(df, [(0, 10.0, 10.0)])
