@@ -543,6 +543,31 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_interval_labels(spark, sf_dir):
+    """L6: daily entity labels fanned out to snapshot intervals via the
+    broadcast range join (online_centrality_spark.labeling); labels =
+    event types with >= 60 events on a day, 4 intervals/day, lookback 2.
+    """
+    from online_centrality_spark.labeling import assign_interval_labels
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+                "day_index"
+            ),
+            F.col("event_type").alias("entity_id"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 60)
+        .select("day_index", "entity_id", F.lit(1.0).alias("label"))
+    )
+    intervals = spark.range(0, 120).withColumnRenamed("id", "interval_id")
+    return assign_interval_labels(
+        daily, intervals, intervals_per_day=4, lookback_intervals=2
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -606,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
+        "interval_labels": q_interval_labels,
         "lineitem_pricing": q_lineitem_pricing,
     }
 
@@ -902,6 +928,21 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, item_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+    sqls["interval_labels"] = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_index,
+         event_type AS entity_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+labels AS (
+  SELECT day_index, entity_id, 1.0 AS label FROM daily WHERE cnt >= 60
+),
+iv AS (SELECT range AS interval_id FROM range(0, 120))
+SELECT iv.interval_id AS interval_id, l.entity_id AS entity_id, l.label AS label
+FROM iv JOIN labels l
+  ON iv.interval_id >= l.day_index * 4 - 2
+ AND iv.interval_id < (l.day_index + 1) * 4
 """
     sqls["lineitem_pricing"] = """
 SELECT l_returnflag, l_linestatus,
