@@ -99,8 +99,10 @@ class TemporalPageRank:
                 apply_edge_vec(y, src[i], dst[i])
             return
 
-        # scan path: single-window case of the batched path
-        self.run_batch(window, [(0, float(hi or 0.0), 0.0)], readouts=False)
+        # scan path: single-window case of the batched path; TPR has no
+        # time decay, so with no boundary every edge is "window 0"
+        one_hi = float(hi) if hi is not None else float("inf")
+        self.run_batch(window, [(0, one_hi, 0.0)], readouts=False)
 
     # -- superstep batching ----------------------------------------------
     def can_batch(self) -> bool:
