@@ -533,13 +533,14 @@ class TemporalKatz:
         if self.basis is None:
             self.basis = t_first
         self._rebase(t_first)
-        y0_pre = self.ranks.copy()  # basis t_first (for untouched fill)
+        y0_rows = self._walk_y0()  # (rows, n): p for tk, k*p for ttk
+        y0_pre = y0_rows.copy()  # basis t_first (for untouched fill)
         active_pre = ~np.isnan(self.last)
         ro, (es_nodes, es_vals), mets = run_walk_batch(
             df,
             self.betas,
             self.weighters,
-            self.ranks,
+            y0_rows,
             active_pre,
             chunk_plan,
             lo,
@@ -548,6 +549,7 @@ class TemporalKatz:
             tol=self.walk_tol,
             block_size=self.walk_block,
             edge_transform=self.walk_edge_transform,
+            layers=self._walk_layers,
         )
         self.walk_metrics = [
             dict(chunk_end=t_last, chunks=len(chunk_plan), **m) for m in mets
@@ -556,22 +558,25 @@ class TemporalKatz:
         self._rebase(t_last)
         touched = np.zeros(self.n, dtype=bool)
         if len(es_nodes):
-            self.ranks[:, es_nodes] = es_vals.T
+            self._walk_absorb(es_nodes, es_vals)
             self.last[es_nodes] = t_last
             touched[es_nodes] = True
         outs: dict[int, pd.DataFrame] = {}
         if readouts:
+            n_rows = self._walk_layers * self.p
             fill_nodes = np.nonzero(active_pre & ~touched)[0]
             pids = np.asarray(self.param_ids, dtype=object)
             for iid, hi, rt in intervals:
                 t_nodes, t_vals = ro.get(
-                    iid, (np.empty(0, np.int64), np.empty((0, self.p)))
+                    iid, (np.empty(0, np.int64), np.empty((0, n_rows)))
                 )
                 if len(fill_nodes):
                     # value decayed to rt: y0_pre (basis t_first) / w(t_first - rt)
                     f_vals = y0_pre[:, fill_nodes].T.copy()
-                    for j, w in enumerate(self.weighters):
-                        f_vals[:, j] /= w.weight(t_first - float(rt))
+                    for r in range(n_rows):
+                        f_vals[:, r] /= self.weighters[r % self.p].weight(
+                            t_first - float(rt)
+                        )
                     all_nodes = np.concatenate([t_nodes, fill_nodes])
                     all_vals = np.concatenate([t_vals, f_vals])
                 else:
@@ -580,11 +585,20 @@ class TemporalKatz:
                 outs[iid] = pd.DataFrame(
                     {
                         "param_id": np.repeat(pids, m),
-                        "node_id": np.tile(all_nodes, self.p),
+                        "node_id": np.tile(all_nodes, n_rows),
                         "score": np.ascontiguousarray(all_vals.T).ravel(),
                     }
                 )
         return outs
+
+    # walk-state hooks (overridden by the truncated variant)
+    _walk_layers = 1
+
+    def _walk_y0(self) -> np.ndarray:
+        return self.ranks
+
+    def _walk_absorb(self, nodes: np.ndarray, vals: np.ndarray) -> None:
+        self.ranks[:, nodes] = vals.T
 
     # -- read-out ----------------------------------------------------------
     def readout(self, boundary: float) -> pd.DataFrame:
@@ -631,11 +645,6 @@ class TruncatedTemporalKatz(TemporalKatz):
         scan_partitions: int | None = None,
         presorted: bool = False,
     ):
-        if path == "walk":
-            raise NotImplementedError(
-                "walk path for the truncated variant is not implemented; "
-                "use 'scan' (small n) or 'fold'"
-            )
         self.k = k
         super().__init__(
             params,
@@ -718,7 +727,26 @@ class TruncatedTemporalKatz(TemporalKatz):
         self.run_batch(window, [(0, hi, hi)], readouts=False)
 
     def can_batch(self) -> bool:
+        if self.path == "walk":
+            return True
         return self.path == "scan" and self.k * self.n <= 256
+
+    # walk-state hooks: (p, k*n) layer-blocked state <-> (k*p, n) rows
+    @property
+    def _walk_layers(self) -> int:
+        return self.k
+
+    def _walk_y0(self) -> np.ndarray:
+        return np.ascontiguousarray(
+            self.ranks.reshape(self.p, self.k, self.n)
+            .transpose(1, 0, 2)
+            .reshape(self.k * self.p, self.n)
+        )
+
+    def _walk_absorb(self, nodes: np.ndarray, vals: np.ndarray) -> None:
+        # vals: (m, k*p) layer-major columns
+        per = vals.T.reshape(self.k, self.p, len(nodes)).transpose(1, 0, 2)
+        self.ranks.reshape(self.p, self.k, self.n)[:, :, nodes] = per
 
     def _batch_closures(self):
         return _affine_closures_ttk(

@@ -252,6 +252,7 @@ def make_walk_kernel(
     block_size: int = 8192,
     edge_transform=None,
     key_lo: float | None = None,
+    layers: int = 1,
 ):
     """Arrow grouped kernel: one task = one (or more) chain-closed edge
     groups, advanced over the WHOLE batch in one pass.
@@ -270,11 +271,17 @@ def make_walk_kernel(
     multiply), so a replay of any number of snapshots costs ONE Spark
     job.  ``y0_bcast`` must be in the basis of the first chunk end.
 
+    ``layers`` > 1 runs the TRUNCATED variant: layer ``l`` reads only
+    layer ``l-1`` (``temporal_katz_computer.py:104-117``), so the state
+    is ``layers * p`` rows (layer-major) and each block needs exactly
+    ``layers`` prefix-sum passes — no convergence iteration at all.
+
     Emits one packed binary row per (kind, interval): node ids as int64
-    bytes and the (m, p) score matrix as float64 bytes — collected via
-    Arrow and decoded with ``np.frombuffer`` on the driver.
+    bytes and the (m, rows) score matrix as float64 bytes — collected
+    via Arrow and decoded with ``np.frombuffer`` on the driver.
     """
     p = len(betas)
+    p_rows = layers * p
 
     def kernel(batches):
         import time as _t
@@ -326,7 +333,7 @@ def make_walk_kernel(
         ever = np.zeros(nl, dtype=bool)
         ever[src] = True
         ever[dst] = True
-        y0loc = np.ascontiguousarray(y0_bcast.value[:, nodes].T)  # (nl, p)
+        y0loc = np.ascontiguousarray(y0_bcast.value[:, nodes].T)  # (nl, p_rows)
         y0_active = active_bcast.value[nodes] & ever
         # Blocked execution: rounds stream over cache-resident edge blocks
         # instead of the whole task (which hits the DRAM-bandwidth wall at
@@ -335,7 +342,7 @@ def make_walk_kernel(
         # per-node CARRY of fully-converged earlier-block totals feeds
         # each block's round-1 injection. Read-out boundaries are block
         # cuts, so the carry at a cut IS the read-out accumulator.
-        carry = np.zeros((nl, p))
+        carry = np.zeros((nl, p_rows))
         touched = np.zeros(nl, dtype=bool)
         rows = []
         rounds_sum = edges_sum = 0
@@ -348,10 +355,10 @@ def make_walk_kernel(
             t_end = float(t_end)
             if t_end != basis:
                 # local rebase to the new chunk basis (lazy decay carry)
-                for j in range(p):
-                    fac = weighters[j].weight(t_end - basis)
-                    carry[:, j] *= fac
-                    y0loc[:, j] *= fac
+                for r in range(p_rows):
+                    fac = weighters[r % p].weight(t_end - basis)
+                    carry[:, r] *= fac
+                    y0loc[:, r] *= fac
                 basis = t_end
             hi_cut = int(np.searchsorted(key, t_end, side="right"))
             iv_cuts = [
@@ -375,8 +382,8 @@ def make_walk_kernel(
                     mask = touched | y0_active
                     if mask.any():
                         scores = carry[mask] + y0loc[mask]  # basis t_end
-                        for j in range(p):
-                            scores[:, j] /= weighters[j].weight(
+                        for r in range(p_rows):
+                            scores[:, r] /= weighters[r % p].weight(
                                 t_end - float(rt)
                             )
                         rows.append(
@@ -398,17 +405,43 @@ def make_walk_kernel(
                     edge_flat, pred_flat, views, flat_size = (
                         build_walk_layout(bsrc, bdst)
                     )
-                    w_inject = np.empty((p, B))
-                    base_in = y0loc + carry  # (nl, p)
-                    for j in range(p):
-                        w_inject[j] = betas[j] * (
-                            base_in[bsrc, j]
-                            + weighters[j].weight_np(t_end - key[s:e])
+                    base_in = y0loc + carry  # (nl, p_rows)
+                    if layers == 1:
+                        w_inject = np.empty((p, B))
+                        for j in range(p):
+                            w_inject[j] = betas[j] * (
+                                base_in[bsrc, j]
+                                + weighters[j].weight_np(t_end - key[s:e])
+                            )
+                        totals, rounds, resid, diverged = walk_totals(
+                            w_inject, betas, edge_flat, pred_flat, views,
+                            flat_size, tol=tol,
                         )
-                    totals, rounds, resid, diverged = walk_totals(
-                        w_inject, betas, edge_flat, pred_flat, views,
-                        flat_size, tol=tol,
-                    )
+                    else:
+                        # truncated: layer l reads only layer l-1 ->
+                        # exactly `layers` prefix passes, no iteration
+                        totals = np.empty((p_rows, B))
+                        FB = np.zeros(flat_size + 1)
+                        for j in range(p):
+                            wv = weighters[j].weight_np(t_end - key[s:e])
+                            totals[j] = betas[j] * wv
+                            for l in range(1, layers):
+                                prev = totals[(l - 1) * p + j]
+                                FB.fill(0.0)
+                                FB[edge_flat] = prev
+                                for off, rws, width in views:
+                                    if width == 1:
+                                        continue
+                                    view = FB[off : off + rws * width].reshape(
+                                        rws, width
+                                    )
+                                    np.cumsum(view, axis=1, out=view)
+                                totals[l * p + j] = betas[j] * (
+                                    wv
+                                    + base_in[bsrc, (l - 1) * p + j]
+                                    + FB[pred_flat]
+                                )
+                        rounds, resid, diverged = layers, 0.0, False
                     np.add.at(carry, bdst, np.ascontiguousarray(totals.T))
                     touched[bsrc] = True
                     touched[bdst] = True
@@ -455,6 +488,7 @@ def run_walk_batch(
     tol: float = 1e-12,
     block_size: int = 8192,
     edge_transform=None,
+    layers: int = 1,
 ):
     """ONE Spark job: advance the walk state over a whole batch of decay
     chunks (cross-chunk carry is task-local under chain closure).
@@ -471,7 +505,7 @@ def run_walk_batch(
     spark = df.sparkSession
     sc = spark.sparkContext
     t_last = float(chunk_plan[-1][0])
-    p = len(betas)
+    p = layers * len(betas)
     if edge_transform is not None:
         if closure_col not in (None, "preserve"):
             raise ValueError(
@@ -488,6 +522,26 @@ def run_walk_batch(
         elif closure_col == "preserve":
             # caller guarantees the df's partitioning is node-disjoint
             sel = df.select("key", "src", "dst", "seq").filter(cond)
+        elif closure_col == "components":
+            # derive the closure key: weakly connected components of the
+            # time-collapsed graph (walks cannot leave a WCC), computed
+            # with the engine's own CC operator — zero-config exact
+            # distribution for multi-component graphs
+            from .components import connected_components
+
+            base = df.filter(cond)
+            cc = connected_components(base.select("src", "dst"))
+            nparts = closure_partitions or sc.defaultParallelism
+            sel = (
+                base.join(
+                    cc.withColumnRenamed("node_id", "src").withColumnRenamed(
+                        "component", "_closure"
+                    ),
+                    "src",
+                )
+                .repartition(nparts, "_closure")
+                .select("key", "src", "dst", "seq")
+            )
         else:
             nparts = closure_partitions or sc.defaultParallelism
             sel = (
@@ -501,6 +555,7 @@ def run_walk_batch(
         betas, weighters, y0_b, act_b, chunk_plan, tol=tol,
         block_size=block_size, edge_transform=edge_transform,
         key_lo=lo if edge_transform is not None else None,
+        layers=layers,
     )
     out = sel.mapInPandas(kernel, schema=WALK_ROW_SCHEMA).toPandas()
     y0_b.destroy()

@@ -133,6 +133,7 @@ class SuperstepDriver:
                 ]
                 for m in batched:
                     batch_outs[id(m)] = m.run_batch(cdf, intervals)
+                    self._write_convergence(m, chunk[-1].interval_id)
             for snap in chunk:
                 i = snap.interval_id
                 t0 = _time.time()
@@ -295,6 +296,24 @@ class SuperstepDriver:
         path = self.out_dir / "_metrics"
         path.mkdir(parents=True, exist_ok=True)
         row.to_parquet(path / f"interval_{i}.parquet", index=False)
+
+    def _write_convergence(self, m, upto_interval: int) -> None:
+        """Per-partition convergence/lineage rows for iterative measures
+        (the north rule's per-partition lineage + convergence metrics):
+        walk-path batches report (partition, edges, rounds, residual,
+        kernel timings) per task."""
+        mets = getattr(m, "walk_metrics", None)
+        if not mets:
+            return
+        pdf = pd.DataFrame(mets)
+        pdf.insert(0, "measure", m.measure)
+        pdf.insert(1, "upto_interval", upto_interval)
+        path = self.out_dir / "_metrics"
+        path.mkdir(parents=True, exist_ok=True)
+        pdf.to_parquet(
+            path / f"convergence_{m.measure}_{upto_interval}.parquet",
+            index=False,
+        )
 
     # -- checkpoint / resume -------------------------------------------
     def _checkpoint(self, online: list, i: int) -> None:

@@ -109,9 +109,7 @@ def test_temporal_parity_epoch(spark, edge_data, tmp_path, path):
     captured, _ = run_oracle(stream, boundaries, "epoch", params_tk, k=k)
 
     tk = TemporalKatz(params_tk, n_nodes, path=path)
-    ttk = TruncatedTemporalKatz(
-        params_tk, n_nodes, k=k, path="scan" if path == "walk" else path
-    )
+    ttk = TruncatedTemporalKatz(params_tk, n_nodes, k=k, path=path)
     tpr = TemporalPageRank(
         TPR_PARAMS, n_nodes, path="fold" if path == "fold" else "scan"
     )

@@ -109,6 +109,30 @@ def test_walk_partitioned_by_closure_key(spark):
     _assert_match(outs_one, captured, params)
 
 
+def test_walk_components_layout(spark):
+    """walk_layout='components': the engine derives the closure key with
+    its own CC operator; result matches the single-task run exactly."""
+    rng = np.random.default_rng(17)
+    blocks = 5
+    stream = []
+    for b in range(blocks):
+        E = 80
+        t = np.sort(rng.uniform(0, 2000, E)).astype(np.int64)
+        src = rng.integers(0, 4, E) + 4 * b
+        dst = rng.integers(0, 4, E) + 4 * b
+        stream += list(zip(t.tolist(), src.tolist(), dst.tolist()))
+    stream.sort()
+    params = [(0.4, ExponentialWeighter(norm=100.0, base=0.5))]
+    boundaries = [700.0, 1400.0, 2000.0]
+    df = _edges_df(spark, stream)
+    _, outs_cc = _walk_readouts(
+        df, stream, params, boundaries, walk_layout="components",
+        walk_partitions=4,
+    )
+    captured = _oracle_snapshots(stream, params, boundaries)
+    _assert_match(outs_cc, captured, params)
+
+
 def test_walk_divergence_guard(spark):
     """Unbounded dynamics (beta=1, negligible decay, dense chains) raise."""
     E, n = 4000, 3
