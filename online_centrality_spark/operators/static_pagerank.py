@@ -88,8 +88,13 @@ def static_pagerank(
     tol: float = 1e-6,
     collect_threshold: int = 100_000,
     strict: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
-    """(node_id, score) networkx-parity PageRank on the dedup digraph."""
+    """(node_id, score) networkx-parity PageRank on the dedup digraph.
+
+    ``salt`` > 1 applies explicit hub salting to the per-iteration
+    contribution join (functions/skew.py) in the distributed path.
+    """
     dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     n_nodes = (
         dedup.select(F.col("src").alias("n"))
@@ -101,7 +106,9 @@ def static_pagerank(
         return edges.sparkSession.createDataFrame([], _PR_SCHEMA)
     if n_nodes <= collect_threshold:
         return _pagerank_compact(dedup, alpha, max_iter, tol, strict)
-    return _pagerank_distributed(dedup, n_nodes, alpha, max_iter, tol, strict)
+    return _pagerank_distributed(
+        dedup, n_nodes, alpha, max_iter, tol, strict, salt=salt
+    )
 
 
 def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol, strict=True) -> DataFrame:
@@ -124,7 +131,8 @@ def _pagerank_compact(dedup: DataFrame, alpha, max_iter, tol, strict=True) -> Da
 
 
 def _pagerank_distributed(
-    dedup: DataFrame, n_nodes: int, alpha, max_iter, tol, strict=True
+    dedup: DataFrame, n_nodes: int, alpha, max_iter, tol, strict=True,
+    salt: int = 1,
 ) -> DataFrame:
     spark = dedup.sparkSession
     dedup = dedup.persist()
@@ -141,10 +149,20 @@ def _pagerank_distributed(
     base = nodes.join(outdeg, "node_id", "left").fillna(0, subset=["outdeg"]).persist()
     ranks = base.select("node_id", "outdeg", F.lit(1.0 / n_nodes).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
+    from ..functions.skew import salted_join
+
     for _ in range(max_iter):
+        # hub-src skew: the per-node rank row fans out to every out-edge
+        # of a hub; salt > 1 spreads a hub's edges over `salt` reducers
+        # deterministically (functions/skew.py), on top of AQE skew-join
+        joined = salted_join(
+            dedup, ranks.select("node_id", "outdeg", "rank"),
+            key="src", salt=salt, dim_key="node_id",
+        ) if salt > 1 else dedup.join(
+            ranks, dedup["src"] == ranks["node_id"]
+        )
         push = (
-            dedup.join(ranks, dedup["src"] == ranks["node_id"])
-            .groupBy(F.col("dst").alias("node_id"))
+            joined.groupBy(F.col("dst").alias("node_id"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
         danglesum = (

@@ -195,3 +195,32 @@ def test_triangle_count(spark, seed):
     }
     for n, c in want_per.items():
         assert got_per[n] == c
+
+
+def test_salted_pagerank_matches_unsalted(spark):
+    """Explicit hub salting (functions/skew.py) leaves scores unchanged
+    on a hub-skewed star + chain graph."""
+    import numpy as np
+
+    from online_centrality_spark.operators.static_pagerank import static_pagerank
+
+    rng = np.random.default_rng(11)
+    hub_edges = [(int(s), 0) for s in rng.integers(1, 40, 300)]
+    chain = [(i, i + 1) for i in range(1, 39)]
+    rows = [(s, d) for s, d in hub_edges + chain]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    plain = (
+        static_pagerank(edges, max_iter=40, strict=False, collect_threshold=0)
+        .toPandas()
+        .set_index("node_id")["score"]
+    )
+    salted = (
+        static_pagerank(
+            edges, max_iter=40, strict=False, collect_threshold=0, salt=4
+        )
+        .toPandas()
+        .set_index("node_id")["score"]
+    )
+    assert set(plain.index) == set(salted.index)
+    for n in plain.index:
+        assert abs(plain[n] - salted[n]) < 1e-12
