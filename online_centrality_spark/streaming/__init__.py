@@ -1,0 +1,11 @@
+from .stream import (
+    stream_edge_induction,
+    windowed_decayed_indegree,
+    windowed_edge_counts,
+)
+
+__all__ = [
+    "stream_edge_induction",
+    "windowed_decayed_indegree",
+    "windowed_edge_counts",
+]

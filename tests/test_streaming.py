@@ -1,0 +1,128 @@
+"""Structured Streaming front-end: stateful edge induction parity with
+the batch rule, watermarked windowed metrics vs batch equivalents."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from online_centrality_spark.sources.transcripts import generate_transcripts
+from online_centrality_spark.streaming import (
+    stream_edge_induction,
+    windowed_decayed_indegree,
+    windowed_edge_counts,
+)
+
+TSCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def _expected_edges(pdf):
+    """Pandas oracle for the §1.5 induction rule (per-turn lag)."""
+    out = []
+    for conv, sub in pdf.groupby("conv_id"):
+        sub = sub.sort_values("turn_idx")
+        actors = [
+            f"tool:{t}" if r == "tool" else r
+            for r, t in zip(sub["role"], sub["tool"])
+        ]
+        ts = (sub["ts"].astype("int64") // 1000).tolist()  # ns -> us
+        turns = sub["turn_idx"].tolist()
+        for i in range(1, len(actors)):
+            out.append((conv, ts[i], actors[i - 1], actors[i], turns[i]))
+    return sorted(out)
+
+
+def _run_stream(spark, src_dir, build, mode="append", name="sink_t"):
+    # append mode only emits windows the watermark has passed — the
+    # trailing windows of a finite fixture never close, so aggregate
+    # parity tests read the full state via complete mode instead
+    stream_in = spark.readStream.schema(TSCHEMA).parquet(str(src_dir))
+    q = (
+        build(stream_in)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@pytest.fixture()
+def transcript_files(spark, tmp_path):
+    pdf = generate_transcripts(n_convs=25, max_turns=10, seed=3)
+    src = tmp_path / "in"
+    src.mkdir()
+    # two files; second contains a conv's EARLIER turns (out-of-order
+    # arrival across micro-batches exercises the state buffer)
+    mid = pdf.sort_values(["conv_id", "turn_idx"], ascending=[True, False])
+    a = mid.iloc[: len(mid) // 2]
+    b = mid.iloc[len(mid) // 2 :]
+    # parts land directly in the watched dir (the file-stream source
+    # does not recurse into subdirectories)
+    spark.createDataFrame(a, TSCHEMA).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b, TSCHEMA).write.mode("append").parquet(str(src))
+    return src, pdf
+
+
+def test_stream_edge_induction_matches_batch(spark, transcript_files):
+    src, pdf = transcript_files
+    got = _run_stream(spark, src, stream_edge_induction).toPandas()
+    got_t = sorted(
+        zip(got["conv_id"], got["t"], got["src_actor"], got["dst_actor"], got["turn_idx"])
+    )
+    assert got_t == _expected_edges(pdf)
+
+
+def test_windowed_metrics_match_batch(spark, transcript_files):
+    src, pdf = transcript_files
+    delta = 3600
+
+    def build(stream_in):
+        return windowed_edge_counts(stream_edge_induction(stream_in), delta)
+
+    got = _run_stream(spark, src, build, mode="complete", name="s_cnt").toPandas()
+    exp_edges = _expected_edges(pdf)
+    starts = (
+        pd.Series([t for _, t, _, _, _ in exp_edges]) // (delta * 1_000_000)
+    ) * delta
+    want = starts.value_counts().to_dict()
+    got_map = {
+        int(r["snapshot"]["start"].timestamp()): int(r["edges"])
+        for _, r in got.iterrows()
+    }
+    assert got_map == {int(k): v for k, v in want.items()}
+
+
+def test_windowed_decayed_indegree_matches_closed_form(spark, transcript_files):
+    src, pdf = transcript_files
+    delta, norm = 3600, 1800.0
+
+    def build(stream_in):
+        return windowed_decayed_indegree(
+            stream_edge_induction(stream_in), delta, norm
+        )
+
+    got = _run_stream(spark, src, build, mode="complete", name="s_did").toPandas()
+    exp_edges = _expected_edges(pdf)
+    want: dict = {}
+    for _, t, _s, d, _ in exp_edges:
+        w_start = (t // (delta * 1_000_000)) * delta
+        w_end = (w_start + delta) * 1_000_000
+        want[(w_start, d)] = want.get((w_start, d), 0.0) + 0.5 ** (
+            (w_end - t) / (norm * 1e6)
+        )
+    got_map = {
+        (int(r["snapshot"]["start"].timestamp()), r["dst_actor"]): r[
+            "decayed_indegree"
+        ]
+        for _, r in got.iterrows()
+    }
+    assert set(got_map) == set(want)
+    for k, v in want.items():
+        assert got_map[k] == pytest.approx(v, rel=1e-9)
