@@ -14,6 +14,20 @@ from pyspark.sql import functions as F
 TOKEN_RE = "[a-z0-9]+"
 
 
+def spread(df, min_ratio: int = 1):
+    """Repartition a small-file input up to the session's parallelism.
+
+    Operators that EXPLODE rows (shingling, salted minhashing) multiply
+    per-partition work by orders of magnitude; a single-file parquet scan
+    arrives as one partition and would serialize the whole stage on one
+    core. No-op when the input is already spread.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * min_ratio
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def portable_hash(col: Column) -> Column:
     """Deterministic 60-bit hash of a string column (md5-prefix based)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .common import word_ngrams
+from .common import spread, word_ngrams
 
 
 def minhash_signatures(
@@ -31,7 +31,7 @@ def minhash_signatures(
     k: int = 16,
 ) -> DataFrame:
     """(doc_id, i, minhash) — k min-hash values per doc."""
-    grams = docs.select(
+    grams = spread(docs).select(
         F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
     )
     salted = grams.select(
