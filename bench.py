@@ -5,12 +5,14 @@ Prints ONE JSON line:
      "queries": {...}, "sf": ..., "edges_per_sec_superstep": ...}
 
 The headline superstep metric replays a deterministically replicated
-copy of the induced event edge stream (same 5-actor dictionary, time-
-shifted replicas — no external data) through the temporal-Katz
-distributed affine-scan superstep engine, reporting edges/sec. Replica
-count via $BENCH_REPLICAS (default 32 → ~3.1M edges at sf0.1);
-$BENCH_QUERIES can restrict to a comma-separated subset (used by the
-scaling harness, tools/bench_scaling.py).
+copy of the induced event edge stream (disjoint per-replica node
+spaces, overlap-compressed time shifts — no external data) through the
+temporal-Katz WALK path (decay-chunked single-job replay, chain-closed
+partitions, generation fused into the kernel), reporting edges/sec over
+64 snapshot read-outs with an 8-param Exp grid sized for bounded
+dynamics. Replica count via $BENCH_REPLICAS (default 512 → ~50M edges
+at sf0.1); $BENCH_QUERIES restricts to a comma-separated subset (used
+by tools/bench_scaling.py); $BENCH_WALK_BLOCK tunes the cache block.
 """
 
 from __future__ import annotations

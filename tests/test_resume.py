@@ -15,9 +15,9 @@ from online_centrality_spark.sources.transcripts import transcripts_spark
 PARAMS = [(1.0, ExponentialWeighter(norm=3600.0, base=0.5))]
 
 
-def make_measures(spark, n_nodes):
+def make_measures(spark, n_nodes, tk_path="scan"):
     return [
-        TemporalKatz(PARAMS, n_nodes, path="scan"),
+        TemporalKatz(PARAMS, n_nodes, path=tk_path),
         TemporalPageRank([(0.85, 0.5)], n_nodes),
         DecayedIndegree([ExponentialWeighter(norm=3600.0, base=0.5)], spark),
     ]
@@ -30,7 +30,8 @@ def scores_map(driver):
     }
 
 
-def test_kill_and_resume_identical(spark, tmp_path):
+@pytest.mark.parametrize("tk_path", ["scan", "walk"])
+def test_kill_and_resume_identical(spark, tmp_path, tk_path):
     tr = transcripts_spark(spark, n_convs=30, max_turns=10, seed=3)
     edges, nodes = edges_from_transcripts(tr)
     edges = edges.persist()
@@ -40,7 +41,9 @@ def test_kill_and_resume_identical(spark, tmp_path):
 
     # full uninterrupted run
     full = SuperstepDriver(spark, str(tmp_path / "full"), str(tmp_path / "ckpt_full"))
-    full.run(edges, boundaries, "epoch", online=make_measures(spark, n_nodes))
+    full.run(
+        edges, boundaries, "epoch", online=make_measures(spark, n_nodes, tk_path)
+    )
     want = scores_map(full)
 
     # interrupted run: stop after interval 4 (max_index=5 emits 0..4)
@@ -49,7 +52,7 @@ def test_kill_and_resume_identical(spark, tmp_path):
         edges,
         boundaries,
         "epoch",
-        online=make_measures(spark, n_nodes),
+        online=make_measures(spark, n_nodes, tk_path),
         max_index=5,
     )
     assert sched1[-1].interval_id == 4
@@ -60,7 +63,7 @@ def test_kill_and_resume_identical(spark, tmp_path):
         edges,
         boundaries,
         "epoch",
-        online=make_measures(spark, n_nodes),
+        online=make_measures(spark, n_nodes, tk_path),
         resume=True,
     )
     got = scores_map(resumed)
