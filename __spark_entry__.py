@@ -543,6 +543,18 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_static_katz(spark, sf_dir):
+    """B1: static Katz power series on the induced actor graph
+    (rows-only check: the per-term aggregation is not expressible in a
+    DuckDB recursive CTE, which forbids aggregates in the recursive
+    member; exactness is covered by the dense-series oracle test)."""
+    from online_centrality_spark.operators.static_katz import static_katz
+
+    edges, _ = _event_edges(spark, sf_dir)
+    out = static_katz(edges, alpha=0.05)
+    return out.select("node_id", F.round("score", 6).alias("score"))
+
+
 def q_interval_labels(spark, sf_dir):
     """L6: daily entity labels fanned out to snapshot intervals via the
     broadcast range join (online_centrality_spark.labeling); labels =
@@ -631,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "ann_topk": q_ann_topk,
+        "static_katz": q_static_katz,
         "interval_labels": q_interval_labels,
         "lineitem_pricing": q_lineitem_pricing,
     }

@@ -224,3 +224,46 @@ def test_salted_pagerank_matches_unsalted(spark):
     assert set(plain.index) == set(salted.index)
     for n in plain.index:
         assert abs(plain[n] - salted[n]) < 1e-12
+
+
+def test_static_katz_matches_dense_series(spark):
+    """Engine Katz (compact + distributed) vs a dense matrix-power oracle
+    (reference semantics: column sums of sum_i (alpha A)^i, binarized —
+    concept_drift/experiment_utils.py:21-43)."""
+    import numpy as np
+
+    from online_centrality_spark.operators.static_katz import static_katz
+
+    rng = np.random.default_rng(5)
+    n, E = 25, 160
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    edges = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    A = np.zeros((n, n))
+    A[src, dst] = 1.0  # binarized
+    alpha = 0.05
+    total = np.zeros(n)
+    term = np.ones(n)
+    M = alpha * A
+    P = M.copy()
+    for _ in range(200):
+        contrib = P.sum(axis=0)
+        total += contrib
+        if np.abs(contrib).mean() < 1e-12:
+            break
+        P = P @ M
+    present = sorted(set(src.tolist()) | set(dst.tolist()))
+    for threshold in (100_000, 0):  # compact, then distributed
+        got = (
+            static_katz(edges, alpha=alpha, collect_threshold=threshold)
+            .toPandas()
+            .set_index("node_id")["score"]
+        )
+        assert sorted(got.index) == present
+        for node in present:
+            assert got[node] == pytest.approx(total[node], abs=1e-9), (
+                threshold,
+                node,
+            )
