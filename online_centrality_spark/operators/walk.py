@@ -609,3 +609,273 @@ def run_walk_batch(
     else:
         endstate = (np.empty(0, np.int64), np.empty((0, p)))
     return readouts, endstate, metrics
+
+
+# ---------------------------------------------------------------------------
+# Fully distributed state: nothing driver-held, nothing broadcast.
+# ---------------------------------------------------------------------------
+
+DIST_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.IntegerType(), False),  # 0 readout, 1 state, 2 metrics
+        T.StructField("interval", T.LongType(), False),
+        T.StructField("node", T.LongType(), False),
+        T.StructField("closure", T.LongType(), True),
+        T.StructField("vals", T.ArrayType(T.DoubleType()), True),
+        T.StructField("meta", T.BinaryType(), True),
+    ]
+)
+
+
+def run_walk_batch_distributed(
+    edges: DataFrame,
+    betas: np.ndarray,
+    weighters: list[Weighter],
+    chunk_plan: list[tuple[float, list[tuple[int, float, float]]]],
+    closure_col: str,
+    state_in: DataFrame | None = None,
+    state_basis: float | None = None,
+    closure_partitions: int | None = None,
+    tol: float = 1e-12,
+    block_size: int = 8192,
+    layers: int = 1,
+):
+    """Distributed-state temporal-walk replay: the complement of
+    :func:`run_walk_batch` for node spaces too large for driver-held
+    ``(p, n)`` state.
+
+    State is a DataFrame ``(node, closure, vals: array<double>)`` in the
+    basis ``state_basis`` (the previous batch's last chunk end).  Edges
+    must carry a node-disjoint ``closure_col`` (component id, tenant,
+    ...); state rows are co-partitioned with the edges by that key in
+    ONE union job, each task rebases/advances/reads out its own nodes,
+    and the job's output IS the product: a tidy read-out frame plus the
+    next state frame — the driver touches only the per-task metrics.
+    Closure groups with carried state but no edges this batch are pure
+    decay: their task (state rows only) still emits every read-out.
+
+    Returns ``(out_df, metrics_extractor)`` where ``out_df`` must be
+    persisted/written by the caller and split on ``kind`` (0 = read-out
+    rows ``(interval, node, vals)``, 1 = next-state rows
+    ``(node, closure, vals)``); ``metrics_extractor(out_df)`` collects
+    the per-task convergence rows (small).
+    """
+    spark = edges.sparkSession
+    p = len(betas)
+    p_rows = layers * p
+    t_first = float(chunk_plan[0][0])
+    t_last = float(chunk_plan[-1][0])
+    nparts = closure_partitions or spark.sparkContext.defaultParallelism
+    e = edges.select(
+        F.col("key").cast("double").alias("key"),
+        "src",
+        "dst",
+        "seq",
+        F.col(closure_col).cast("long").alias("closure"),
+        F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("svals"),
+    ).filter(F.col("key") <= F.lit(t_last))
+    if state_in is not None:
+        srows = state_in.select(
+            F.lit(None).cast("double").alias("key"),
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(None).cast("long").alias("seq"),
+            F.col("closure").cast("long").alias("closure"),
+            F.col("vals").alias("svals"),
+        )
+        e = e.unionByName(srows)
+    u = e.repartition(nparts, "closure")
+    sb = float(state_basis) if state_basis is not None else t_first
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        is_state = pdf["svals"].notna().to_numpy()
+        spdf = pdf[is_state]
+        epdf = pdf[~is_state]
+        key = epdf["key"].to_numpy(np.float64)
+        seq = epdf["seq"].to_numpy(np.int64) if len(epdf) else np.empty(0, np.int64)
+        gsrc = epdf["src"].to_numpy(np.int64)
+        gdst = epdf["dst"].to_numpy(np.int64)
+        gclo = epdf["closure"].to_numpy(np.int64)
+        if len(key) and np.any(np.diff(key) < 0):
+            order = np.lexsort((seq, key))
+            key = key[order]
+            gsrc = gsrc[order]
+            gdst = gdst[order]
+            gclo = gclo[order]
+        E = len(key)
+        snodes = spdf["src"].to_numpy(np.int64)
+        all_ids = np.concatenate([gsrc, gdst, snodes])
+        if len(all_ids) == 0:
+            return
+        n_lo = int(all_ids.min())
+        n_hi = int(all_ids.max())
+        if n_hi - n_lo + 1 <= 2 * len(all_ids) + 64:
+            nodes = np.arange(n_lo, n_hi + 1, dtype=np.int64)
+            enc = lambda a: a - n_lo  # noqa: E731
+        else:
+            nodes = np.unique(all_ids)
+            enc = lambda a: np.searchsorted(nodes, a)  # noqa: E731
+        nl = len(nodes)
+        src = enc(gsrc)
+        dst = enc(gdst)
+        sidx = enc(snodes)
+        y0loc = np.zeros((nl, p_rows))
+        if len(spdf):
+            y0loc[sidx] = np.stack(spdf["svals"].to_numpy())
+        y0_active = np.zeros(nl, dtype=bool)
+        y0_active[sidx] = True
+        # closure value per node (for the state-out rows)
+        node_closure = np.zeros(nl, dtype=np.int64)
+        if E:
+            node_closure[src] = gclo
+            node_closure[dst] = gclo
+        if len(spdf):
+            node_closure[sidx] = spdf["closure"].to_numpy(np.int64)
+        # rebase carried state to the first chunk basis
+        basis = float(chunk_plan[0][0])
+        if sb != basis:
+            for r in range(p_rows):
+                y0loc[:, r] *= weighters[r % p].weight(basis - sb)
+        carry = np.zeros((nl, p_rows))
+        touched = np.zeros(nl, dtype=bool)
+        rows = []
+        rounds_sum = edges_sum = 0
+        resid_max = 0.0
+        diverged_any = False
+        pos_lo = 0
+        for t_end, ivs in chunk_plan:
+            t_end = float(t_end)
+            if t_end != basis:
+                for r in range(p_rows):
+                    fac = weighters[r % p].weight(t_end - basis)
+                    carry[:, r] *= fac
+                    y0loc[:, r] *= fac
+                basis = t_end
+            hi_cut = int(np.searchsorted(key, t_end, side="right")) if E else 0
+            iv_cuts = [
+                int(np.searchsorted(key, float(hi), side="right")) if E else 0
+                for _, hi, _ in ivs
+            ]
+            block_starts = sorted(
+                set(range(pos_lo, hi_cut, block_size))
+                | set(iv_cuts)
+                | {pos_lo, hi_cut}
+            )
+            iv_ptr = 0
+
+            def emit_readouts_upto(pos):
+                nonlocal iv_ptr
+                while iv_ptr < len(ivs) and iv_cuts[iv_ptr] <= pos:
+                    iid, hi, rt = ivs[iv_ptr]
+                    mask = touched | y0_active
+                    if mask.any():
+                        scores = carry[mask] + y0loc[mask]
+                        for r in range(p_rows):
+                            scores[:, r] /= weighters[r % p].weight(
+                                t_end - float(rt)
+                            )
+                        for nd, vv in zip(nodes[mask], scores):
+                            rows.append((0, iid, int(nd), None, vv.tolist(), None))
+                    iv_ptr += 1
+
+            emit_readouts_upto(pos_lo)
+            for s, en in zip(block_starts[:-1], block_starts[1:]):
+                if en > s:
+                    bsrc = src[s:en]
+                    bdst = dst[s:en]
+                    B = en - s
+                    edge_flat, pred_flat, views, flat_size = (
+                        build_walk_layout(bsrc, bdst)
+                    )
+                    base_in = y0loc + carry
+                    if layers == 1:
+                        w_inject = np.empty((p, B))
+                        for j in range(p):
+                            w_inject[j] = betas[j] * (
+                                base_in[bsrc, j]
+                                + weighters[j].weight_np(t_end - key[s:en])
+                            )
+                        totals, rounds, resid, diverged = walk_totals(
+                            w_inject, betas, edge_flat, pred_flat, views,
+                            flat_size, tol=tol,
+                        )
+                    else:
+                        totals = np.empty((p_rows, B))
+                        FB = np.zeros(flat_size + 1)
+                        for j in range(p):
+                            wv = weighters[j].weight_np(t_end - key[s:en])
+                            totals[j] = betas[j] * wv
+                            for l in range(1, layers):
+                                prev = totals[(l - 1) * p + j]
+                                FB.fill(0.0)
+                                FB[edge_flat] = prev
+                                for off, rws, width in views:
+                                    if width == 1:
+                                        continue
+                                    view = FB[
+                                        off : off + rws * width
+                                    ].reshape(rws, width)
+                                    np.cumsum(view, axis=1, out=view)
+                                totals[l * p + j] = betas[j] * (
+                                    wv
+                                    + base_in[bsrc, (l - 1) * p + j]
+                                    + FB[pred_flat]
+                                )
+                        rounds, resid, diverged = layers, 0.0, False
+                    np.add.at(carry, bdst, np.ascontiguousarray(totals.T))
+                    touched[bsrc] = True
+                    touched[bdst] = True
+                    rounds_sum += rounds * B
+                    edges_sum += B
+                    resid_max = max(resid_max, resid)
+                    diverged_any = diverged_any or diverged
+                emit_readouts_upto(en)
+            pos_lo = hi_cut
+        out_mask = touched | y0_active
+        y_end = carry[out_mask] + y0loc[out_mask]
+        for nd, cl, vv in zip(
+            nodes[out_mask], node_closure[out_mask], y_end
+        ):
+            rows.append((1, -1, int(nd), int(cl), vv.tolist(), None))
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        mean_rounds = rounds_sum / edges_sum if edges_sum else 0.0
+        meta = np.array(
+            [
+                float(pid),
+                mean_rounds,
+                resid_max,
+                float(E),
+                1.0 if diverged_any else 0.0,
+            ]
+        )
+        rows.append((2, -1, -1, None, None, meta.tobytes()))
+        yield pd.DataFrame(
+            rows,
+            columns=["kind", "interval", "node", "closure", "vals", "meta"],
+        )
+
+    out = u.mapInPandas(kernel, schema=DIST_ROW_SCHEMA)
+
+    def metrics_extractor(out_df):
+        mets = []
+        for row in out_df.filter(F.col("kind") == 2).collect():
+            v = np.frombuffer(row["meta"], np.float64)
+            mets.append(
+                dict(
+                    partition=int(v[0]),
+                    rounds=float(v[1]),
+                    residual=float(v[2]),
+                    edges=int(v[3]),
+                    diverged=bool(v[4]),
+                )
+            )
+        return mets
+
+    return out, metrics_extractor

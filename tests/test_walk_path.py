@@ -199,3 +199,99 @@ def test_walk_sparse_node_ids_and_self_loops(spark):
     df_c = _edges_df(spark, oracle_stream)
     _, outs = _walk_readouts(df_c, oracle_stream, params, boundaries)
     _assert_match(outs, captured, params)
+
+
+def test_walk_distributed_state_matches_driver_state(spark):
+    """Fully distributed-state replay (state co-partitioned DataFrame,
+    job-side read-outs, nothing broadcast) over TWO sequential batches
+    matches the driver-state engine, including a closure group that goes
+    silent in batch 2 (pure-decay carry) and one that first appears
+    there."""
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.operators.walk import (
+        plan_decay_chunks,
+        run_walk_batch_distributed,
+    )
+
+    rng = np.random.default_rng(33)
+    params = [
+        (0.3, ExponentialWeighter(norm=300.0, base=0.5)),
+        (0.15, ExponentialWeighter(norm=600.0, base=0.5)),
+    ]
+    betas = np.array([b for b, _ in params])
+    ws = [w for _, w in params]
+
+    def block(b, lo, hi, E=90):
+        t = np.sort(rng.uniform(lo, hi, E)).astype(np.int64)
+        src = rng.integers(0, 5, E) + 5 * b
+        dst = rng.integers(0, 5, E) + 5 * b
+        return list(zip(t.tolist(), src.tolist(), dst.tolist()))
+
+    # batch 1: groups 0 and 1; batch 2: groups 1 and 2 (0 silent, 2 new)
+    s1 = sorted(block(0, 0, 2000) + block(1, 0, 2000))
+    s2 = sorted(block(1, 2000, 4000) + block(2, 2000, 4000))
+    b1 = [1000.0, 2000.0]
+    b2 = [3000.0, 4000.0]
+
+    def df_of(stream, seq0=0):
+        rows = [
+            (float(t), int(s), int(d), seq0 + i + 1, int(s) // 5)
+            for i, (t, s, d) in enumerate(stream)
+        ]
+        return spark.createDataFrame(
+            rows, "key double, src long, dst long, seq long, grp long"
+        )
+
+    # driver-state reference over the concatenated replay
+    n = 15
+    tk = TemporalKatz(params, n, path="walk")
+    all_ivs = [(i, float(b), float(b)) for i, b in enumerate(b1 + b2)]
+    full = tk.run_batch(df_of(sorted(s1 + s2)), all_ivs)
+
+    # distributed-state: two batches, state handed over as a DataFrame
+    lam = max(
+        __import__(
+            "online_centrality_spark.operators.walk", fromlist=["x"]
+        ).decay_rate(w)
+        for w in ws
+    )
+    state = None
+    basis = None
+    got = {}
+    for ivs, stream, seq0 in ((b1, s1, 0), (b2, s2, 10_000)):
+        plan = [
+            (float(c[-1][1]), c)
+            for c in plan_decay_chunks(
+                [(i, float(b), float(b)) for i, b in enumerate(ivs)], lam
+            )
+        ]
+        out, metx = run_walk_batch_distributed(
+            df_of(stream, seq0),
+            betas,
+            ws,
+            plan,
+            closure_col="grp",
+            state_in=state,
+            state_basis=basis,
+            closure_partitions=4,
+        )
+        out = out.persist()
+        assert not any(m["diverged"] for m in metx(out))
+        ro = out.filter(F.col("kind") == 0).select("interval", "node", "vals")
+        for r in ro.collect():
+            got[(ivs[r["interval"]], r["node"])] = np.asarray(r["vals"])
+        state = out.filter(F.col("kind") == 1).select("node", "closure", "vals")
+        state = spark.createDataFrame(state.toPandas())  # cut lineage
+        basis = plan[-1][0]
+
+    want = {}
+    for iid, pdf in full.items():
+        b = (b1 + b2)[iid]
+        for pj, pid in enumerate(tk.param_ids):
+            sub = pdf[pdf["param_id"] == pid]
+            for nd, sc in zip(sub["node_id"], sub["score"]):
+                want.setdefault((b, nd), np.zeros(len(params)))[pj] = sc
+    assert set(got) == set(want)
+    for k in want:
+        assert np.allclose(got[k], want[k], rtol=1e-9, atol=1e-12), k
