@@ -179,21 +179,29 @@ def walk_totals(
     views: list[tuple[int, int, int]],
     flat_size: int,
     tol: float = 1e-12,
-    max_rounds: int = 1000,
+    max_rounds: int | None = None,
 ) -> tuple[np.ndarray, int, float, bool]:
     """Iterate rounds until the residual round is negligible.
+
+    Termination is GUARANTEED for finite blocks: round ``r`` carries only
+    walks of path length ``r``, and no within-block walk is longer than
+    the block's edge count, so ``g`` becomes exactly zero after at most
+    ``E`` rounds even for explosive parameterizations (which the
+    reference computes too — scores just get astronomically large).  The
+    only genuine failure mode is float64 overflow, reported as
+    ``diverged`` (callers raise with the param context).
 
     Returns ``(totals (p, E), rounds, max_residual, diverged)``.
     """
     p, E = w_inject.shape
+    if max_rounds is None:
+        max_rounds = E + 8  # chain-length bound: g == 0 by round E
     g = w_inject.copy()
     total = g.copy()
     # +1: trailing always-zero slot gathered by predecessor-less reads
     F = np.zeros(flat_size + 1)
     active = np.ones(p, dtype=bool)
     resid = 0.0
-    grew = np.zeros(p, dtype=np.int32)
-    prev_m = np.full(p, np.inf)
     diverged = False
     r = 0
     for r in range(1, max_rounds + 1):
@@ -209,6 +217,10 @@ def walk_totals(
             gj = betas[j] * F[pred_flat]
             total[j] += gj
             g[j] = gj
+            m_abs = float(np.abs(gj).max()) if E else 0.0
+            if not np.isfinite(m_abs):
+                diverged = True  # float64 overflow: truly unbounded params
+                break
             # convergence must be relative PER EDGE: magnitudes inside a
             # chunk span e^{lambda * span}, so a chunk-global threshold
             # would truncate the series for early (heavily decayed) edges
@@ -226,19 +238,9 @@ def walk_totals(
                 active[j] = False
             else:
                 all_done = False
-                # divergence shows as sustained growth of the ABSOLUTE
-                # residual round (the relative ratio plateaus below 1 for
-                # a diverging geometric series, so it can't detect it)
-                m_abs = float(np.abs(gj).max())
-                grew[j] = grew[j] + 1 if m_abs > prev_m[j] else 0
-                prev_m[j] = m_abs
                 resid = max(resid, m)
-                if grew[j] >= 16 and m_abs > 1e9:
-                    diverged = True
         if all_done or diverged:
             break
-    if not diverged and bool(active.any()) and r >= max_rounds:
-        diverged = True  # failed to certify convergence
     return total, r, resid, diverged
 
 
@@ -597,8 +599,8 @@ def run_walk_batch(
     diverged = [m for m in metrics if m["diverged"]]
     if diverged:
         raise ValueError(
-            "temporal-walk iteration diverged (unbounded dynamics for these "
-            f"(beta, weighter) params): {diverged[:3]}"
+            "temporal-walk scores overflowed float64 (unbounded dynamics "
+            f"for these (beta, weighter) params): {diverged[:3]}"
         )
     readouts = {
         iid: (np.concatenate(ro_nodes[iid]), np.concatenate(ro_vals[iid]))

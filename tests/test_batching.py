@@ -105,3 +105,34 @@ def test_numpy2d_kernel_path_matches_oracle(spark, tmp_path):
             pid = "tpr_a%0.2f_b%0.2f" % (a, b)
             want = {n: v[j] for n, v in cap_tpr[i].items() if v[j] > 0}
             assert_close_maps(got[(pid, i)], want, f"tpr {pid} snap {i}")
+
+
+def test_batched_walk_writes_convergence_metrics(spark, tmp_path):
+    """North rule: per-partition lineage + convergence metrics land in
+    the metrics tree for batched walk supersteps."""
+    import glob
+
+    import pandas as pd
+
+    from online_centrality_spark.functions.weights import ExponentialWeighter
+    from online_centrality_spark.operators.temporal_katz import TemporalKatz
+    from online_centrality_spark.plans.superstep import SuperstepDriver
+    from online_centrality_spark.sources.edges import edges_from_transcripts
+    from online_centrality_spark.sources.transcripts import transcripts_spark
+
+    tr = transcripts_spark(spark, n_convs=12, max_turns=8, seed=9)
+    edges, nodes = edges_from_transcripts(tr)
+    n_nodes = nodes.count()
+    t0 = edges.agg({"t": "min"}).collect()[0][0]
+    boundaries = [t0 + 1800 * (i + 1) for i in range(6)]
+    tk = TemporalKatz(
+        [(0.5, ExponentialWeighter(norm=3600.0, base=0.5))], n_nodes, path="walk"
+    )
+    drv = SuperstepDriver(spark, str(tmp_path / "out"))
+    drv.run(edges, boundaries, "epoch", online=[tk], batch_size=3)
+    files = glob.glob(str(tmp_path / "out" / "_metrics" / "convergence_tk_*.parquet"))
+    assert files
+    pdf = pd.concat([pd.read_parquet(f) for f in files])
+    assert {"measure", "partition", "rounds", "residual", "edges"} <= set(pdf.columns)
+    assert (pdf["measure"] == "tk").all()
+    assert pdf["edges"].sum() > 0

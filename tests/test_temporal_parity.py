@@ -148,17 +148,18 @@ def test_temporal_parity_epoch(spark, edge_data, tmp_path, path):
             assert_close_maps(got[(pid, i)], want, f"did {pid} snap {i}")
 
 
-def test_temporal_parity_index_mode(spark, edge_data, tmp_path):
+@pytest.mark.parametrize("path", ["scan", "walk"])
+def test_temporal_parity_index_mode(spark, edge_data, tmp_path, path):
     edges, stream, n_nodes = edge_data
     boundaries = [50 * (i + 1) for i in range(8)]
     params_tk = EXP_PARAMS
     captured, _ = run_oracle(stream, boundaries, "index", params_tk, k=2)
 
-    tk = TemporalKatz(params_tk, n_nodes, path="scan")
-    ttk = TruncatedTemporalKatz(params_tk, n_nodes, k=2, path="scan")
+    tk = TemporalKatz(params_tk, n_nodes, path=path)
+    ttk = TruncatedTemporalKatz(params_tk, n_nodes, k=2, path=path)
     tpr = TemporalPageRank(TPR_PARAMS, n_nodes)
     did = DecayedIndegree(DID_PARAMS, spark)
-    driver = SuperstepDriver(spark, str(tmp_path / "out_idx"))
+    driver = SuperstepDriver(spark, str(tmp_path / f"out_idx_{path}"))
     sched = driver.run(edges, boundaries, "index", online=[tk, ttk, tpr, did])
     assert [s.interval_id for s in sched] == sorted(captured.keys())
     got = engine_scores_map(driver)

@@ -144,7 +144,7 @@ def test_walk_divergence_guard(spark):
     params = [(1.0, ExponentialWeighter(norm=1e9, base=0.5))]
     df = _edges_df(spark, stream)
     tk = TemporalKatz(params, n, path="walk")
-    with pytest.raises(ValueError, match="diverged"):
+    with pytest.raises(ValueError, match="overflowed"):
         tk.run_batch(df, [(0, 10.0, 10.0)])
 
 
