@@ -37,10 +37,15 @@ one vectorized multiply (lazy decay, as the reference does per-touch).
 
 Distribution contract: temporal-walk chains never leave a weakly
 connected component of the (time-collapsed) graph, so any partitioning of
-the edge stream by a **node-disjoint closure key** (connected component,
-replica id, tenant id, ...) makes tasks independent and the result exact;
+the edge stream by a **node-disjoint closure key** (connected component —
+derivable in-engine via ``walk_layout='components'`` — replica id,
+tenant id, ...) makes tasks independent and the result exact;
 each task resolves its chains locally with the vectorized kernel and
-emits read-out rows + end-state rows.  Without such a key the caller
+emits read-out rows + end-state rows.  Two state regimes: driver-held
+``(p, n)`` arrays (broadcast per batch; right for actor dictionaries) or
+fully distributed state via :func:`run_walk_batch_distributed` (state
+co-partitioned with the edges, nothing driver-held — right for unbounded
+node spaces).  Without such a key the caller
 falls back to a single task (still ~4x faster than the per-edge ``fold``
 because all work is vectorized).  Hub actors skew *within* a component;
 they cost O(1) per edge here (prefix sums are oblivious to degree), which
