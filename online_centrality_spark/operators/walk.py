@@ -652,74 +652,74 @@ def run_walk_batch_distributed(
     ``(p, n)`` state.
 
     State is a DataFrame ``(node, closure, vals: array<double>)`` in the
-    basis ``state_basis`` (the previous batch's last chunk end).  Edges
-    must carry a node-disjoint ``closure_col`` (component id, tenant,
-    ...); state rows are co-partitioned with the edges by that key in
-    ONE union job, each task rebases/advances/reads out its own nodes,
-    and the job's output IS the product: a tidy read-out frame plus the
-    next state frame — the driver touches only the per-task metrics.
-    Closure groups with carried state but no edges this batch are pure
-    decay: their task (state rows only) still emits every read-out.
+    basis ``state_basis`` (the previous batch's last chunk end); edges
+    carry a node-disjoint ``closure_col``. The two sides meet via
+    ``groupBy(closure).cogroup(...).applyInPandas`` — Spark's native
+    two-sided grouped map, so the state rows reach exactly their group's
+    kernel call without widening the edge schema (a nullable state
+    column on every edge row makes Arrow->pandas object conversion the
+    bottleneck).  Each group rebases/advances/reads out its own nodes —
+    a group with carried state but no edges this batch is pure decay and
+    still emits every read-out.  The job output IS the product: tidy
+    read-out rows plus the next state frame; the driver touches only the
+    per-task metrics.
 
-    Returns ``(out_df, metrics_extractor)`` where ``out_df`` must be
-    persisted/written by the caller and split on ``kind`` (0 = read-out
-    rows ``(interval, node, vals)``, 1 = next-state rows
-    ``(node, closure, vals)``); ``metrics_extractor(out_df)`` collects
-    the per-task convergence rows (small).
+    Returns ``(out_df, metrics_extractor)``: persist/write ``out_df``
+    and split on ``kind`` (0 = read-out ``(interval, node, vals)``,
+    1 = next-state ``(node, closure, vals)``);
+    ``metrics_extractor(out_df)`` collects the per-group convergence
+    rows (small).
     """
     spark = edges.sparkSession
     p = len(betas)
     p_rows = layers * p
-    t_first = float(chunk_plan[0][0])
     t_last = float(chunk_plan[-1][0])
-    nparts = closure_partitions or spark.sparkContext.defaultParallelism
     e = edges.select(
         F.col("key").cast("double").alias("key"),
         "src",
         "dst",
         "seq",
         F.col(closure_col).cast("long").alias("closure"),
-        F.lit(None).cast(T.ArrayType(T.DoubleType())).alias("svals"),
     ).filter(F.col("key") <= F.lit(t_last))
-    if state_in is not None:
-        srows = state_in.select(
-            F.lit(None).cast("double").alias("key"),
-            F.col("node").alias("src"),
-            F.col("node").alias("dst"),
-            F.lit(None).cast("long").alias("seq"),
-            F.col("closure").cast("long").alias("closure"),
-            F.col("vals").alias("svals"),
+    if state_in is None:
+        state_in = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", T.LongType(), False),
+                    T.StructField("closure", T.LongType(), False),
+                    T.StructField("vals", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
         )
-        e = e.unionByName(srows)
-    u = e.repartition(nparts, "closure")
-    sb = float(state_basis) if state_basis is not None else t_first
+    srows = state_in.select(
+        "node", F.col("closure").cast("long").alias("closure"), "vals"
+    )
+    sb = float(state_basis) if state_basis is not None else float(chunk_plan[0][0])
 
-    def kernel(batches):
+    def kernel(key_tuple, epdf, spdf):
+        import time as _t
+
         from pyspark import TaskContext
 
-        pdfs = [b for b in batches if len(b)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        is_state = pdf["svals"].notna().to_numpy()
-        spdf = pdf[is_state]
-        epdf = pdf[~is_state]
+        t_k0 = _t.time()
+        closure_val = int(key_tuple[0])
         key = epdf["key"].to_numpy(np.float64)
         seq = epdf["seq"].to_numpy(np.int64) if len(epdf) else np.empty(0, np.int64)
         gsrc = epdf["src"].to_numpy(np.int64)
         gdst = epdf["dst"].to_numpy(np.int64)
-        gclo = epdf["closure"].to_numpy(np.int64)
         if len(key) and np.any(np.diff(key) < 0):
             order = np.lexsort((seq, key))
             key = key[order]
             gsrc = gsrc[order]
             gdst = gdst[order]
-            gclo = gclo[order]
         E = len(key)
-        snodes = spdf["src"].to_numpy(np.int64)
+        snodes = spdf["node"].to_numpy(np.int64) if len(spdf) else np.empty(0, np.int64)
         all_ids = np.concatenate([gsrc, gdst, snodes])
         if len(all_ids) == 0:
-            return
+            return pd.DataFrame(
+                columns=["kind", "interval", "node", "closure", "vals", "meta"]
+            )
         n_lo = int(all_ids.min())
         n_hi = int(all_ids.max())
         if n_hi - n_lo + 1 <= 2 * len(all_ids) + 64:
@@ -734,16 +734,9 @@ def run_walk_batch_distributed(
         sidx = enc(snodes)
         y0loc = np.zeros((nl, p_rows))
         if len(spdf):
-            y0loc[sidx] = np.stack(spdf["svals"].to_numpy())
+            y0loc[sidx] = np.stack(spdf["vals"].to_numpy())
         y0_active = np.zeros(nl, dtype=bool)
         y0_active[sidx] = True
-        # closure value per node (for the state-out rows)
-        node_closure = np.zeros(nl, dtype=np.int64)
-        if E:
-            node_closure[src] = gclo
-            node_closure[dst] = gclo
-        if len(spdf):
-            node_closure[sidx] = spdf["closure"].to_numpy(np.int64)
         # rebase carried state to the first chunk basis
         basis = float(chunk_plan[0][0])
         if sb != basis:
@@ -756,6 +749,7 @@ def run_walk_batch_distributed(
         resid_max = 0.0
         diverged_any = False
         pos_lo = 0
+        t_k1 = _t.time()
         for t_end, ivs in chunk_plan:
             t_end = float(t_end)
             if t_end != basis:
@@ -788,7 +782,9 @@ def run_walk_batch_distributed(
                                 t_end - float(rt)
                             )
                         for nd, vv in zip(nodes[mask], scores):
-                            rows.append((0, iid, int(nd), None, vv.tolist(), None))
+                            rows.append(
+                                (0, iid, int(nd), closure_val, vv.tolist(), None)
+                            )
                     iv_ptr += 1
 
             emit_readouts_upto(pos_lo)
@@ -846,10 +842,8 @@ def run_walk_batch_distributed(
             pos_lo = hi_cut
         out_mask = touched | y0_active
         y_end = carry[out_mask] + y0loc[out_mask]
-        for nd, cl, vv in zip(
-            nodes[out_mask], node_closure[out_mask], y_end
-        ):
-            rows.append((1, -1, int(nd), int(cl), vv.tolist(), None))
+        for nd, vv in zip(nodes[out_mask], y_end):
+            rows.append((1, -1, int(nd), closure_val, vv.tolist(), None))
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         mean_rounds = rounds_sum / edges_sum if edges_sum else 0.0
@@ -860,15 +854,21 @@ def run_walk_batch_distributed(
                 resid_max,
                 float(E),
                 1.0 if diverged_any else 0.0,
+                t_k1 - t_k0,
+                _t.time() - t_k1,
             ]
         )
-        rows.append((2, -1, -1, None, None, meta.tobytes()))
-        yield pd.DataFrame(
+        rows.append((2, -1, -1, closure_val, None, meta.tobytes()))
+        return pd.DataFrame(
             rows,
             columns=["kind", "interval", "node", "closure", "vals", "meta"],
         )
 
-    out = u.mapInPandas(kernel, schema=DIST_ROW_SCHEMA)
+    out = (
+        e.groupBy("closure")
+        .cogroup(srows.groupBy("closure"))
+        .applyInPandas(kernel, schema=DIST_ROW_SCHEMA)
+    )
 
     def metrics_extractor(out_df):
         mets = []
@@ -881,6 +881,8 @@ def run_walk_batch_distributed(
                     residual=float(v[2]),
                     edges=int(v[3]),
                     diverged=bool(v[4]),
+                    t_input=float(v[5]) if len(v) > 5 else 0.0,
+                    t_compute=float(v[6]) if len(v) > 6 else 0.0,
                 )
             )
         return mets
