@@ -95,6 +95,17 @@ def plan_decay_chunks(
     of the chunk's end (the basis time)."""
     chunks: list[list[tuple[int, float, float]]] = []
     cur: list[tuple[int, float, float]] = []
+    for iid, hi, rt in intervals:
+        # a single interval whose own span exceeds the safe window cannot
+        # be split by chunking: its read-out rescale would overflow
+        # without tripping the round-total divergence guard
+        if (float(hi) - float(rt)) * lambda_max > SAFE_EXPONENT:
+            raise ValueError(
+                f"interval {iid}: (hi - readout_time) * lambda "
+                f"= {(float(hi) - float(rt)) * lambda_max:.1f} exceeds "
+                f"SAFE_EXPONENT={SAFE_EXPONENT}; read-outs this far from "
+                "the interval end underflow/overflow float64"
+            )
     for iv in intervals:
         cand = cur + [iv]
         t_end = cand[-1][1]
@@ -318,7 +329,12 @@ def make_walk_kernel(
                 gdst = gdst[keep]
         if len(key) == 0:
             return
-        if np.any(np.diff(key) < 0):  # skip the sort for presorted input
+        # skip the sort only for input already sorted by (key, seq): a
+        # key-monotone check alone would miss seq disorder at timestamp
+        # ties, silently applying tied chained edges out of the
+        # reference's stable seq order
+        dk = np.diff(key)
+        if np.any((dk < 0) | ((dk == 0) & (np.diff(seq) < 0))):
             order = np.lexsort((seq, key))
             key = key[order]
             gsrc = gsrc[order]
@@ -448,7 +464,11 @@ def make_walk_kernel(
                                     + base_in[bsrc, (l - 1) * p + j]
                                     + FB[pred_flat]
                                 )
-                        rounds, resid, diverged = layers, 0.0, False
+                        # layered path has no per-round isfinite check:
+                        # verify the block's totals so an overflowing
+                        # parameterization raises like the iterative path
+                        rounds, resid = layers, 0.0
+                        diverged = not np.isfinite(totals).all()
                     np.add.at(carry, bdst, np.ascontiguousarray(totals.T))
                     touched[bsrc] = True
                     touched[bdst] = True
@@ -708,11 +728,15 @@ def run_walk_batch_distributed(
         seq = epdf["seq"].to_numpy(np.int64) if len(epdf) else np.empty(0, np.int64)
         gsrc = epdf["src"].to_numpy(np.int64)
         gdst = epdf["dst"].to_numpy(np.int64)
-        if len(key) and np.any(np.diff(key) < 0):
-            order = np.lexsort((seq, key))
-            key = key[order]
-            gsrc = gsrc[order]
-            gdst = gdst[order]
+        if len(key):
+            dk = np.diff(key)
+            # lexicographic (key, seq) disorder check — see the note in
+            # make_walk_kernel: key-only misses seq disorder at ties
+            if np.any((dk < 0) | ((dk == 0) & (np.diff(seq) < 0))):
+                order = np.lexsort((seq, key))
+                key = key[order]
+                gsrc = gsrc[order]
+                gdst = gdst[order]
         E = len(key)
         snodes = spdf["node"].to_numpy(np.int64) if len(spdf) else np.empty(0, np.int64)
         all_ids = np.concatenate([gsrc, gdst, snodes])
@@ -830,7 +854,11 @@ def run_walk_batch_distributed(
                                     + base_in[bsrc, (l - 1) * p + j]
                                     + FB[pred_flat]
                                 )
-                        rounds, resid, diverged = layers, 0.0, False
+                        # layered path has no per-round isfinite check:
+                        # verify the block's totals so an overflowing
+                        # parameterization raises like the iterative path
+                        rounds, resid = layers, 0.0
+                        diverged = not np.isfinite(totals).all()
                     np.add.at(carry, bdst, np.ascontiguousarray(totals.T))
                     touched[bsrc] = True
                     touched[bdst] = True

@@ -53,21 +53,35 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _induce(state_tuple, turns, actors, ts):
-    """Emit edges for in-order turns; buffer out-of-order arrivals."""
+def _induce(state_tuple, turns, actors, ts, max_buffer=1024):
+    """Emit edges for in-order turns; buffer out-of-order arrivals.
+
+    The dense-0-based ``turn_idx`` contract is enforced with a bounded
+    buffer: a permanent gap (a dropped/filtered turn, or a source whose
+    turns start at 1) would otherwise stall the conversation forever
+    under ``GroupStateTimeout.NoTimeout``.  When more than ``max_buffer``
+    turns are pending, the gap is skipped — replay resumes at the
+    smallest buffered turn, chaining from the last emitted actor — so a
+    contract violation degrades to a bounded reorder window instead of
+    silently withholding all subsequent edges.
+    """
     last_turn, last_actor, bt, ba, bts = state_tuple
     pend = dict(zip(bt or [], zip(ba or [], bts or [])))
     for turn, actor, t in zip(turns, actors, ts):
         pend[int(turn)] = (actor, int(t))
     edges = []
     nxt = 0 if last_turn is None else last_turn + 1
-    while nxt in pend:
-        actor, t = pend.pop(nxt)
-        if last_actor is not None:
-            edges.append((t, last_actor, actor, nxt))
-        last_actor = actor
-        last_turn = nxt
-        nxt += 1
+    while True:
+        while nxt in pend:
+            actor, t = pend.pop(nxt)
+            if last_actor is not None:
+                edges.append((t, last_actor, actor, nxt))
+            last_actor = actor
+            last_turn = nxt
+            nxt += 1
+        if len(pend) <= max_buffer:
+            break
+        nxt = min(pend)  # gap-skip flush (contract violation)
     bt = sorted(pend)
     return (
         (last_turn, last_actor, bt, [pend[k][0] for k in bt], [pend[k][1] for k in bt]),
@@ -75,13 +89,18 @@ def _induce(state_tuple, turns, actors, ts):
     )
 
 
-def stream_edge_induction(transcripts: DataFrame) -> DataFrame:
+def stream_edge_induction(
+    transcripts: DataFrame, max_buffer: int = 1024
+) -> DataFrame:
     """Streaming §1.5 edge induction, keyed by ``conv_id``.
 
     Input: streaming ``(conv_id, turn_idx, role, tool, ts)``; output:
     streaming ``(conv_id, t, src_actor, dst_actor, turn_idx)`` in stable
     turn order per conversation (actor ids still string-form here — the
     dictionary encode is a batch-side join against the node table).
+    ``max_buffer`` bounds the per-conversation out-of-order buffer; a
+    turn_idx gap larger than it is skipped rather than stalling the
+    conversation forever (see :func:`_induce`).
     """
     from ..sources.edges import actor_expr
 
@@ -106,6 +125,7 @@ def stream_edge_induction(transcripts: DataFrame) -> DataFrame:
                 pdf["turn_idx"].tolist(),
                 pdf["actor"].tolist(),
                 pdf["t"].tolist(),
+                max_buffer=max_buffer,
             )
             all_edges.extend(edges)
         state.update(st)

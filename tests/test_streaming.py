@@ -126,3 +126,21 @@ def test_windowed_decayed_indegree_matches_closed_form(spark, transcript_files):
     assert set(got_map) == set(want)
     for k, v in want.items():
         assert got_map[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_induce_gap_skip_bounded_buffer():
+    # a permanent turn_idx gap (dropped turn / 1-based source) must not
+    # stall the conversation forever: once the out-of-order buffer
+    # exceeds max_buffer, replay skips the gap and resumes (ADVICE r01)
+    from online_centrality_spark.streaming.stream import _induce
+
+    st = (None, None, [], [], [])
+    # turn 0 never arrives; turns 1..8 do
+    st, edges = _induce(st, list(range(1, 9)), [f"a{i}" for i in range(1, 9)],
+                        list(range(1, 9)), max_buffer=4)
+    # buffer exceeded 4 -> gap skipped at turn 1, chain emitted from there
+    assert st[0] == 8  # last_turn advanced
+    assert [e[3] for e in edges] == list(range(2, 9))
+    # after the flush, in-order turns keep flowing normally
+    st, edges = _induce(st, [9], ["a9"], [9], max_buffer=4)
+    assert edges == [(9, "a8", "a9", 9)]

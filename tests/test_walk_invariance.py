@@ -84,6 +84,34 @@ def test_walk_invariant_to_slicing(spark, seed, ties):
     _assert_equal(base, tiny_blocks)
 
 
+def test_walk_seq_order_at_timestamp_ties(spark):
+    # chained edges at ONE tied timestamp, presented key-sorted but
+    # seq-REVERSED: the presorted fast path must detect lexicographic
+    # (key, seq) disorder, not just key disorder, or the chain is applied
+    # out of the reference's stable seq order (ADVICE r01, medium)
+    rows = [
+        (100.0, 0, 1, 1),
+        (100.0, 1, 2, 2),
+        (100.0, 2, 3, 3),
+        (100.0, 3, 4, 4),
+    ]
+    schema = "key double, src long, dst long, seq long"
+    ivs = [(0, 200.0, 200.0)]
+    outs = []
+    for data in (rows, rows[::-1]):
+        tk = TemporalKatz(PARAMS, 5, path="walk")
+        outs.append(
+            _canon(tk.run_batch(spark.createDataFrame(data, schema), ivs))
+        )
+    _assert_equal(outs[0], outs[1])
+    # ground truth: the chain must actually have propagated (node 4 sees
+    # a length-4 walk term, strictly greater than the single-edge inject)
+    beta, w = PARAMS[0]
+    pid = "tk_b%0.2f_%s" % (beta, w)
+    single = beta * w.weight(100.0)
+    assert outs[0][0][(pid, 4)] > single * (1 + beta * 0.5)
+
+
 def test_walk_invariant_to_partitioning(spark):
     # two disjoint node blocks -> closure partitioning must not change
     # anything vs the single-task run

@@ -65,6 +65,14 @@ def test_plan_decay_chunks_splits_long_spans():
     assert [iv[0] for iv in chunks[0]] == list(range(8))
 
 
+def test_plan_decay_chunks_rejects_unsplittable_interval():
+    # a SINGLE interval whose own (hi - readout) span exceeds the safe
+    # window cannot be fixed by chunking: the read-out rescale would
+    # overflow silently (ADVICE r01) — must raise instead
+    with pytest.raises(ValueError, match="SAFE_EXPONENT"):
+        plan_decay_chunks([(0, 1000.0, 0.0)], lambda_max=1.0)
+
+
 def test_walk_multi_chunk_parity(spark):
     """Span many decay norms -> several chunk jobs, carry rebased between."""
     rng = np.random.default_rng(5)
