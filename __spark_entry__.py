@@ -11,10 +11,14 @@ components, LPA) are unrolled to a fixed, verified-convergent number of
 rounds so both engines compute the identical fixpoint; every float is
 rounded identically on both sides.
 
-Fully sequential temporal recurrences (full Temporal Katz, temporal
-PageRank) are not SQL-expressible and carry no oracle entry (the driver
-records a rows-only check); their per-vertex exactness is proven against
-the reference-semantics oracle replay in tests/test_temporal_parity.py.
+Temporal recurrences with factorizing decay unroll exactly: full
+Temporal Katz is oracle-checked via its geometric walk series to depth L
+(the truncated tail is below the round(.,6) quantum — an exact hash
+match, not an approximation). Temporal PageRank's recurrence
+renormalizes per-edge and does not telescope, so it carries no oracle
+entry (the driver records a rows-only check); its per-vertex exactness
+is proven against the reference-semantics oracle replay in
+tests/test_temporal_parity.py.
 """
 
 from __future__ import annotations
@@ -144,6 +148,84 @@ def _pagerank_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node AS node_id, round(rank, 9) AS score FROM r{PR_ITERS}"
+    )
+
+
+STATIC_KATZ_ALPHA = 0.05
+STATIC_KATZ_TERMS = 24  # term_{i+1} ~ alpha*rho*term_i; tail << 0.5e-6
+TK_BETA = 0.1
+TK_NORM_US = 300.0 * 1e6
+TK_DEPTH = 10  # beta^L chain tail below the round(.,6) quantum
+
+
+def _static_katz_sql() -> str:
+    """B1 oracle: the Katz power series unrolled to a fixed term count
+    (same technique as :func:`_pagerank_sql`).  With alpha=0.05 the terms
+    shrink by >= 10x per level on the induced actor graph, so the
+    truncated tail is far below the round(.,6) quantum and the hash match
+    vs the converged Spark series is exact."""
+    a = f"CAST({STATIC_KATZ_ALPHA} AS DOUBLE)"  # literal would be DECIMAL
+    ctes = [
+        EDGES_CTE.strip(),
+        GNODES_CTE.strip(),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        f"k1 AS MATERIALIZED (SELECT dst AS node, {a} * count(*) AS term "
+        "FROM de GROUP BY dst)",
+    ]
+    for i in range(2, STATIC_KATZ_TERMS + 1):
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT de.dst AS node, {a} * sum(p.term) AS term
+  FROM de JOIN k{i - 1} p ON de.src = p.node GROUP BY de.dst
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT node, term FROM k{i}" for i in range(1, STATIC_KATZ_TERMS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT node, sum(term) AS s FROM ({union}) u GROUP BY node)
+SELECT g.node_id, round(coalesce(t.s, 0.0), 6) AS score
+FROM gnodes g LEFT JOIN tot t ON g.node_id = t.node"""
+    )
+
+
+def _temporal_katz_sql() -> str:
+    """C1 oracle: the temporal-walk geometric series unrolled to depth
+    ``TK_DEPTH`` (the `truncated_katz_len2` pattern extended to L
+    seq-ordered chain joins).  A length-m temporal walk e1<e2<...<em
+    (seq-increasing, dst_k = src_{k+1}) ending at v contributes
+    ``beta^m * w(T - t_first)``; with beta=0.1 the per-level totals decay
+    ~10x per level, so the length->L tail is below the round(.,6)
+    quantum and the hash match vs the converged walk kernel is exact."""
+    t_max = "(SELECT max(t) FROM edges)"
+    w1 = f"pow(0.5, ({t_max} - e.t) / {TK_NORM_US:.1f})"
+    ctes = [
+        EDGES_CTE.strip(),
+        GNODES_CTE.strip(),
+        f"g1 AS MATERIALIZED (SELECT e.seq, e.src, e.dst, "
+        f"{TK_BETA} * {w1} AS g FROM edges e)",
+    ]
+    for i in range(2, TK_DEPTH + 1):
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT e.seq, e.src, e.dst, {TK_BETA} * sum(p.g) AS g
+  FROM edges e JOIN g{i - 1} p ON p.dst = e.src AND p.seq < e.seq
+  GROUP BY e.seq, e.src, e.dst
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT dst, g FROM g{i}" for i in range(1, TK_DEPTH + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT dst AS node, sum(g) AS s FROM ({union}) u GROUP BY dst)
+SELECT g.node_id, round(coalesce(t.s, 0.0), 6) AS score
+FROM gnodes g LEFT JOIN tot t ON g.node_id = t.node"""
     )
 
 
@@ -305,7 +387,8 @@ def q_truncated_katz_len2(spark, sf_dir):
 
 def q_temporal_katz(spark, sf_dir):
     """Full temporal Katz via the walk path (sequential-order semantics,
-    vectorized Jacobi path-length kernel — rows-only check).
+    vectorized Jacobi path-length kernel), oracle-checked against the
+    unrolled walk series (:func:`_temporal_katz_sql`).
 
     Params are sized for bounded dynamics at the events stream's
     per-node rate (beta * rate * norm / ln2 < 0.5); the walk path raises
@@ -318,7 +401,7 @@ def q_temporal_katz(spark, sf_dir):
     n_nodes = nodes.count()
     t_max = float(edges.agg(F.max("t")).collect()[0][0])
     tk = TemporalKatz(
-        [(0.1, ExponentialWeighter(norm=300.0 * 1e6, base=0.5))],
+        [(TK_BETA, ExponentialWeighter(norm=TK_NORM_US, base=0.5))],
         n_nodes,
         path="walk",
     )
@@ -544,14 +627,15 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_static_katz(spark, sf_dir):
-    """B1: static Katz power series on the induced actor graph
-    (rows-only check: the per-term aggregation is not expressible in a
-    DuckDB recursive CTE, which forbids aggregates in the recursive
-    member; exactness is covered by the dense-series oracle test)."""
+    """B1: static Katz power series on the induced actor graph,
+    oracle-checked against the series unrolled to a fixed term count in
+    MATERIALIZED CTEs (:func:`_static_katz_sql` — DuckDB's recursive CTE
+    forbids aggregates in the recursive member, so the unroll is
+    explicit, exactly like :func:`_pagerank_sql`)."""
     from online_centrality_spark.operators.static_katz import static_katz
 
     edges, _ = _event_edges(spark, sf_dir)
-    out = static_katz(edges, alpha=0.05)
+    out = static_katz(edges, alpha=STATIC_KATZ_ALPHA)
     return out.select("node_id", F.round("score", 6).alias("score"))
 
 
@@ -706,6 +790,8 @@ FROM gnodes g
 LEFT JOIN part1 p1 ON g.node_id = p1.node_id
 LEFT JOIN part2 p2 ON g.node_id = p2.node_id
 """
+    sqls["static_katz"] = _static_katz_sql()
+    sqls["temporal_katz"] = _temporal_katz_sql()
     sqls["static_pagerank"] = _pagerank_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
