@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 from online_centrality_spark.benchmark import (  # noqa: E402
+    bench_tk_driver_distributed,
     bench_tk_superstep,
     build_replicated_edges,
 )
@@ -50,6 +51,9 @@ def main():
             "spark.default.parallelism": cpus,
             "spark.ui.showConsoleProgress": "false",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+            # the distributed-state replay shuffles ~50M rows twice in
+            # the single local JVM; headroom avoids GC-pressure cliffs
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
         },
     )
 
@@ -71,6 +75,16 @@ def main():
         timings["tk_superstep_walk"] = round(elapsed, 3)
         extras["edges_per_sec_superstep"] = round(n_edges / elapsed, 1)
         extras["superstep_edges"] = n_edges
+        extras.update(info)
+
+    # full replay through SuperstepDriver in distributed-state mode
+    # (cogroup state, partitioned score sink — no driver-held arrays)
+    if only is None or "tk_driver_distributed" in only:
+        elapsed, n_edges, info = bench_tk_driver_distributed(
+            spark, sf_dir, replicas
+        )
+        timings["tk_driver_distributed"] = round(elapsed, 3)
+        extras["edges_per_sec_driver_dist"] = round(n_edges / elapsed, 1)
         extras.update(info)
 
     run("edge_induction", lambda: entry_mod.q_edge_induction(spark, sf_dir).count())

@@ -136,3 +136,83 @@ def bench_tk_superstep(spark, sf_dir, replicas, windows=64):
     return elapsed, total, info
 
 
+def bench_tk_driver_distributed(spark, sf_dir, replicas, windows=64):
+    """FULL replay through ``SuperstepDriver`` in distributed-state mode:
+    parquet edge scan with a replica closure column, DataFrame state via
+    the cogroup runner, per-interval take_snapshot metrics, and the
+    read-outs landing via the partitioned distributed score sink —
+    nothing driver-held, no ``toPandas()`` of scores anywhere.
+
+    The timed section is the whole ``driver.run`` (bucketing, interval
+    stats, replay, score + metric writes); edge materialization to
+    parquet is untimed input prep.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.functions.weights import ExponentialWeighter
+    from online_centrality_spark.operators.temporal_katz_distributed import (
+        DistributedTemporalKatz,
+    )
+    from online_centrality_spark.plans.superstep import SuperstepDriver
+
+    raw, etf, n_nodes, total, t0, t_max = build_replicated_edges(
+        spark, sf_dir, replicas
+    )
+    n_base = n_nodes // replicas
+    edges_dir = tempfile.mkdtemp(prefix="drv_edges_")
+    out_dir = tempfile.mkdtemp(prefix="drv_out_")
+    (
+        raw.mapInPandas(
+            lambda it: (etf(pdf) for pdf in it),
+            schema="key double, src long, dst long, seq long",
+        )
+        .select(
+            F.col("key").cast("long").alias("t"),
+            "src",
+            "dst",
+            "seq",
+            (F.col("src") / n_base).cast("long").alias("closure"),
+        )
+        .write.mode("overwrite")
+        .parquet(edges_dir)
+    )
+    edges = spark.read.parquet(edges_dir)
+    span_s = (t_max - t0) / 1e6
+    rate = (total / replicas) / n_base / (span_s / 2)
+    params = []
+    for i in range(int(os.environ.get("BENCH_PARAMS", "8"))):
+        norm_s = 1800.0 * (i + 1)
+        beta = min(1.0, 0.3 * 0.6931 / (rate * norm_s))
+        params.append((beta, ExponentialWeighter(norm=norm_s * 1e6, base=0.5)))
+    width = (t_max - t0) // windows + 1
+    boundaries = [int(t0 + (i + 1) * width) for i in range(windows)]
+    tk = DistributedTemporalKatz(
+        params, closure_partitions=spark.sparkContext.defaultParallelism * 2
+    )
+    # untimed warm-up (spins up Python workers / Arrow path / JIT),
+    # matching the headline superstep bench's warm-up convention
+    warm = DistributedTemporalKatz(params)
+    warm.run_batch(
+        edges.withColumn("key", F.col("t").cast("double")).limit(200_000),
+        [(0, float(t0 + width), float(t0 + width))],
+        readouts=False,
+    )
+    driver = SuperstepDriver(spark, out_dir)
+    t_start = time.time()
+    # persist_edges=False: the source is a cheap parquet re-scan and the
+    # run is one batch — caching 50M rows just pressures the heap
+    driver.run(
+        edges, boundaries, "epoch", online=[tk], batch_size=windows,
+        persist_edges=False,
+    )
+    elapsed = time.time() - t_start
+    n_scores = driver.scores().count()
+    assert n_scores > 0
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed, total, {"driver_dist_score_rows": n_scores}
+
+

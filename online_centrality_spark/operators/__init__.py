@@ -4,12 +4,20 @@ from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import static_pagerank
 from .harmonic import harmonic_centrality
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
+from .temporal_katz_distributed import (
+    DistributedTemporalKatz,
+    DistributedTruncatedTemporalKatz,
+    attach_closure_components,
+)
 from .temporal_pagerank import TemporalPageRank
 from .triangles import triangle_count
 
 __all__ = [
     "TemporalKatz",
     "TruncatedTemporalKatz",
+    "DistributedTemporalKatz",
+    "DistributedTruncatedTemporalKatz",
+    "attach_closure_components",
     "TemporalPageRank",
     "DecayedIndegree",
     "static_indegree",

@@ -768,7 +768,21 @@ def run_walk_batch_distributed(
                 y0loc[:, r] *= weighters[r % p].weight(basis - sb)
         carry = np.zeros((nl, p_rows))
         touched = np.zeros(nl, dtype=bool)
-        rows = []
+        # columnar accumulators -> ONE DataFrame per group at the end
+        # (per-row tuples and per-emit frames both dominated the kernel
+        # at many groups x many read-out boundaries)
+        acc_kind: list[np.ndarray] = []
+        acc_iv: list[np.ndarray] = []
+        acc_node: list[np.ndarray] = []
+        acc_vals: list[np.ndarray] = []
+
+        def emit_frame(kind, iid, out_nodes, out_scores):
+            m = len(out_nodes)
+            acc_kind.append(np.full(m, kind, np.int32))
+            acc_iv.append(np.full(m, iid, np.int64))
+            acc_node.append(out_nodes)
+            acc_vals.append(np.ascontiguousarray(out_scores))
+
         rounds_sum = edges_sum = 0
         resid_max = 0.0
         diverged_any = False
@@ -805,10 +819,7 @@ def run_walk_batch_distributed(
                             scores[:, r] /= weighters[r % p].weight(
                                 t_end - float(rt)
                             )
-                        for nd, vv in zip(nodes[mask], scores):
-                            rows.append(
-                                (0, iid, int(nd), closure_val, vv.tolist(), None)
-                            )
+                        emit_frame(0, iid, nodes[mask], scores)
                     iv_ptr += 1
 
             emit_readouts_upto(pos_lo)
@@ -870,8 +881,8 @@ def run_walk_batch_distributed(
             pos_lo = hi_cut
         out_mask = touched | y0_active
         y_end = carry[out_mask] + y0loc[out_mask]
-        for nd, vv in zip(nodes[out_mask], y_end):
-            rows.append((1, -1, int(nd), closure_val, vv.tolist(), None))
+        if out_mask.any():
+            emit_frame(1, -1, nodes[out_mask], y_end)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else -1
         mean_rounds = rounds_sum / edges_sum if edges_sum else 0.0
@@ -886,11 +897,34 @@ def run_walk_batch_distributed(
                 _t.time() - t_k1,
             ]
         )
-        rows.append((2, -1, -1, closure_val, None, meta.tobytes()))
-        return pd.DataFrame(
-            rows,
-            columns=["kind", "interval", "node", "closure", "vals", "meta"],
+        if acc_kind:
+            kind_col = np.concatenate(acc_kind)
+            iv_col = np.concatenate(acc_iv)
+            node_col = np.concatenate(acc_node)
+            vals_mat = np.concatenate(acc_vals, axis=0)
+            body = pd.DataFrame(
+                {
+                    "kind": kind_col,
+                    "interval": iv_col,
+                    "node": node_col,
+                    "closure": np.int64(closure_val),
+                    "vals": list(vals_mat),
+                    "meta": None,
+                }
+            )
+        else:
+            body = None
+        tail = pd.DataFrame(
+            {
+                "kind": np.int32(2),
+                "interval": np.int64(-1),
+                "node": np.int64(-1),
+                "closure": np.int64(closure_val),
+                "vals": [None],
+                "meta": [meta.tobytes()],
+            }
         )
+        return pd.concat([body, tail], ignore_index=True) if body is not None else tail
 
     out = (
         e.groupBy("closure")

@@ -36,6 +36,39 @@ from ..operators.static_degree import static_indegree, static_negative_beta
 from ..operators.static_pagerank import static_pagerank
 
 
+def _interval_id_expr(bounds: list[int], key_col: str) -> str:
+    """SQL expression: number of ``bounds`` strictly below ``key_col``.
+
+    Uniform spacing → integer ceil-division (O(1) per row, exact for
+    integral keys/boundaries). Otherwise a balanced comparison tree —
+    O(log k) comparisons on the evaluation path (total expression size
+    is still O(k), which Catalyst handles fine at hundreds of
+    boundaries).
+    """
+    n = len(bounds)
+    if n == 0:
+        return "CAST(0 AS INT)"
+    if n == 1:
+        return f"CAST(IF({bounds[0]} < {key_col}, 1, 0) AS INT)"
+    deltas = {bounds[i + 1] - bounds[i] for i in range(n - 1)}
+    if len(deltas) == 1:
+        d = deltas.pop()
+        if d > 0:
+            b0 = bounds[0]
+            return (
+                f"CAST(greatest(0L, least(CAST({n} AS BIGINT), "
+                f"(CAST({key_col} AS BIGINT) - {b0} + {d - 1}) DIV {d})) AS INT)"
+            )
+
+    def rec(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return f"IF({bounds[mid]} < {key_col}, {rec(mid + 1, hi)}, {rec(lo, mid)})"
+
+    return f"CAST({rec(0, n)} AS INT)"
+
+
 @dataclass(frozen=True)
 class StaticMeasure:
     """A (kind, lookback) static measure family member.
@@ -84,11 +117,17 @@ class SuperstepDriver:
         max_index: int | None = None,
         resume: bool = False,
         batch_size: int = 1,
+        persist_edges: bool = True,
     ) -> list[SnapshotInterval]:
         """``batch_size`` > 1 groups consecutive snapshot intervals so
         scan-path temporal measures advance B windows with one Spark job
         (``run_batch``); read-outs per boundary stay driver-side. Other
-        measures run one superstep per interval as usual."""
+        measures run one superstep per interval as usual.
+
+        ``persist_edges=False`` skips caching the bucketed edge frame —
+        right when the source is a cheap columnar re-scan (parquet) and
+        the run is batched (few passes over the edges), where the cache's
+        memory pressure costs more than the re-scans."""
         online = online or []
         static = static or []
         key_col = "t" if time_type == "epoch" else "seq"
@@ -102,7 +141,7 @@ class SuperstepDriver:
         if not schedule:
             return []
 
-        bucketed = self._bucket(edges, boundaries, key_col, schedule)
+        bucketed = self._bucket(edges, boundaries, key_col, schedule, persist_edges)
         stats = self._interval_stats(bucketed, time_type)
 
         start_from = 0
@@ -114,16 +153,19 @@ class SuperstepDriver:
             remaining[i : i + batch_size]
             for i in range(0, len(remaining), batch_size)
         ]
+        # distributed-state measures (scores stay DataFrames end-to-end)
+        # ALWAYS take the batch path, whatever the chunk size
+        dist = [m for m in online if getattr(m, "distributed", False)]
         for chunk in chunks:
             t_chunk = _time.time()
             batched = (
-                [m for m in online if getattr(m, "can_batch", lambda: False)()]
+                [m for m in online if m not in dist
+                 and getattr(m, "can_batch", lambda: False)()]
                 if len(chunk) > 1
                 else []
             )
-            per_step = [m for m in online if m not in batched]
             batch_outs: dict[int, dict] = {}
-            if batched:
+            if batched or dist:
                 cdf = bucketed.filter(
                     (F.col("interval_id") >= chunk[0].interval_id)
                     & (F.col("interval_id") <= chunk[-1].interval_id)
@@ -134,6 +176,13 @@ class SuperstepDriver:
                 for m in batched:
                     batch_outs[id(m)] = m.run_batch(cdf, intervals)
                     self._write_convergence(m, chunk[-1].interval_id)
+                for m in dist:
+                    # read-outs stay a DataFrame: one distributed
+                    # partitioned write for the whole chunk, no pandas
+                    self._write_dist_scores(m, m.run_batch(cdf, intervals))
+                    self._write_convergence(m, chunk[-1].interval_id)
+            n_parts = bucketed.rdd.getNumPartitions()
+            metric_rows = []
             for snap in chunk:
                 i = snap.interval_id
                 t0 = _time.time()
@@ -142,6 +191,8 @@ class SuperstepDriver:
                 win_or_none = window if has_edges else None
                 rows = []
                 for m in online:
+                    if m in dist:
+                        continue
                     if m in batched:
                         out = batch_outs[id(m)][i]
                     else:
@@ -155,7 +206,10 @@ class SuperstepDriver:
                     out["param_id"] = sm.param_id
                     rows.append(out)
                 self._write_scores(rows, i)
-                self._write_metrics(snap, stats, _time.time() - t0, bucketed)
+                metric_rows.append(
+                    self._metric_row(snap, stats, _time.time() - t0, n_parts)
+                )
+            self._write_metrics(metric_rows, chunk[-1].interval_id)
             if self.ckpt_dir is not None:
                 self._checkpoint(online, chunk[-1].interval_id)
             del t_chunk
@@ -168,17 +222,22 @@ class SuperstepDriver:
         boundaries: list[int],
         key_col: str,
         schedule: list[SnapshotInterval],
+        persist: bool = True,
     ) -> DataFrame:
         last = schedule[-1]
-        barr = ",".join(str(int(b)) for b in boundaries[: last.interval_id + 1])
-        # interval_id = number of boundaries strictly below the key
-        expr = f"size(filter(array({barr}), b -> b < {key_col}))"
+        bounds = [int(b) for b in boundaries[: last.interval_id + 1]]
+        # interval_id = number of boundaries strictly below the key.
+        # O(1) per edge for uniform deltas (integer ceil-div — keys and
+        # boundaries are integral), O(log k) balanced-comparison tree
+        # otherwise; the old size(filter(array(...))) form was O(k) per
+        # edge (457 compares/edge on the tennis shape).
+        expr = _interval_id_expr(bounds, key_col)
         bucketed = (
             edges.withColumn("key", F.col(key_col).cast("double"))
             .filter(F.col("key") <= F.lit(float(last.hi)))
             .withColumn("interval_id", F.expr(expr))
         )
-        return bucketed.persist()
+        return bucketed.persist() if persist else bucketed
 
     def _interval_stats(self, bucketed: DataFrame, time_type: str) -> dict:
         """Cumulative graph stats per interval (take_snapshot parity:
@@ -187,32 +246,44 @@ class SuperstepDriver:
             r["interval_id"]: r["cnt"]
             for r in bucketed.groupBy("interval_id").agg(F.count("*").alias("cnt")).collect()
         }
-        # first interval each distinct edge / node appears in
-        first_edge = {
-            r["interval_id"]: r["cnt"]
-            for r in bucketed.groupBy("src", "dst")
-            .agg(F.min("interval_id").alias("interval_id"))
-            .groupBy("interval_id")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        nodes_long = bucketed.select(
-            "interval_id", F.col("src").alias("node")
-        ).unionAll(bucketed.select("interval_id", F.col("dst").alias("node")))
-        first_node = {
-            r["interval_id"]: r["cnt"]
-            for r in nodes_long.groupBy("node")
-            .agg(F.min("interval_id").alias("interval_id"))
-            .groupBy("interval_id")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        # first interval each distinct edge appears in: only consumed by
+        # index-mode total_edges (DiGraph dedup) — skip the (src, dst)
+        # shuffle entirely in epoch mode
+        if time_type == "index":
+            first_edge = {
+                r["interval_id"]: r["cnt"]
+                for r in bucketed.groupBy("src", "dst")
+                .agg(F.min("interval_id").alias("interval_id"))
+                .groupBy("interval_id")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+        else:
+            first_edge = {}
+        # one distinct pass over (interval, node) feeds BOTH per-interval
+        # distinct node counts and first-appearance counts (the naive
+        # form shuffled the 2x-edges node list twice)
+        nodes_iv = (
+            bucketed.select("interval_id", F.col("src").alias("node"))
+            .unionAll(bucketed.select("interval_id", F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
         win_nodes = {
             r["interval_id"]: r["cnt"]
-            for r in nodes_long.groupBy("interval_id")
-            .agg(F.countDistinct("node").alias("cnt"))
+            for r in nodes_iv.groupBy("interval_id")
+            .agg(F.count("*").alias("cnt"))
             .collect()
         }
+        first_node = {
+            r["interval_id"]: r["cnt"]
+            for r in nodes_iv.groupBy("node")
+            .agg(F.min("interval_id").alias("interval_id"))
+            .groupBy("interval_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        nodes_iv.unpersist()
         return dict(
             edge_counts=edge_counts,
             first_edge=first_edge,
@@ -266,36 +337,66 @@ class SuperstepDriver:
             )
         merged.to_parquet(path / "part-0.parquet", index=False)
 
-    def _write_metrics(
+    def _write_dist_scores(self, m, ro: DataFrame | None) -> None:
+        """Distributed score sink: the read-out DataFrame of a
+        distributed-state measure is written with a partitioned
+        distributed write (never collected).  Dynamic partition
+        overwrite keeps re-runs/resumes idempotent per interval; each
+        measure owns its own ``dist/measure=<m>`` subtree so measures
+        never clobber each other."""
+        if ro is None:
+            return
+        out = ro.select(
+            "param_id",
+            F.col("node_id").cast("long").alias("node_id"),
+            F.col("score").cast("double").alias("score"),
+            F.col("interval_id").alias("snapshot_id"),
+        )
+        (
+            # co-locate each snapshot's rows before the partitioned write:
+            # without this every task writes a file into every partition
+            # dir (tasks x intervals small files + commit overhead)
+            out.repartition("snapshot_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("snapshot_id")
+            .parquet(str(self.out_dir / "dist" / f"measure={m.measure}"))
+        )
+
+    def _metric_row(
         self,
         snap: SnapshotInterval,
         stats: dict,
         elapsed: float,
-        bucketed: DataFrame,
-    ) -> None:
+        n_partitions: int,
+    ) -> dict:
         i = snap.interval_id
         cum = lambda d: sum(v for k, v in d.items() if k <= i)  # noqa: E731
         if stats["time_type"] == "epoch":
             total_edges = cum(stats["edge_counts"])  # MultiDiGraph keeps parallels
         else:
             total_edges = cum(stats["first_edge"])  # DiGraph dedups
-        row = pd.DataFrame(
-            [
-                dict(
-                    interval_id=i,
-                    boundary=float(snap.boundary),
-                    total_nodes=cum(stats["first_node"]),
-                    total_edges=total_edges,
-                    snapshot_nodes=stats["win_nodes"].get(i, 0),
-                    snapshot_edges=stats["edge_counts"].get(i, 0),
-                    superstep_sec=elapsed,
-                    n_partitions=bucketed.rdd.getNumPartitions(),
-                )
-            ]
+        return dict(
+            interval_id=i,
+            boundary=float(snap.boundary),
+            total_nodes=cum(stats["first_node"]),
+            total_edges=total_edges,
+            snapshot_nodes=stats["win_nodes"].get(i, 0),
+            snapshot_edges=stats["edge_counts"].get(i, 0),
+            superstep_sec=elapsed,
+            n_partitions=n_partitions,
         )
+
+    def _write_metrics(self, rows: list[dict], upto_interval: int) -> None:
+        """One take_snapshot-parity metrics file per chunk (per-interval
+        rows inside); chunk-end naming keeps resume runs collision-free."""
+        if not rows:
+            return
         path = self.out_dir / "_metrics"
         path.mkdir(parents=True, exist_ok=True)
-        row.to_parquet(path / f"interval_{i}.parquet", index=False)
+        pd.DataFrame(rows).to_parquet(
+            path / f"intervals_{upto_interval}.parquet", index=False
+        )
 
     def _write_convergence(self, m, upto_interval: int) -> None:
         """Per-partition convergence/lineage rows for iterative measures
@@ -349,8 +450,9 @@ class SuperstepDriver:
                 with np.load(step / f"{m.measure}.npz") as d:
                     m.load_state(dict(d.items()))
             elif hasattr(m, "state_frames"):
+                names = getattr(m, "state_frame_names", ("edge_state", "active"))
                 frames = {}
-                for name in ("edge_state", "active"):
+                for name in names:
                     p = step / f"{m.measure}_{name}.parquet"
                     if p.exists():
                         # materialize so lineage doesn't dangle on checkpoint
@@ -360,14 +462,22 @@ class SuperstepDriver:
                         )
                     else:
                         frames[name] = None
-                m.load_state_frames(frames["edge_state"], frames["active"])
+                m.load_state_frames(**frames)
         return completed
 
     # -- outputs ---------------------------------------------------------
     def scores(self) -> DataFrame:
-        return self.spark.read.option("basePath", str(self.out_dir)).parquet(
+        cols = ["measure", "param_id", "node_id", "score", "snapshot_id"]
+        main = self.spark.read.option("basePath", str(self.out_dir)).parquet(
             str(self.out_dir / "snapshot_id=*")
         )
+        dist_dir = self.out_dir / "dist"
+        if dist_dir.exists():
+            d = self.spark.read.option("basePath", str(dist_dir)).parquet(
+                str(dist_dir)
+            )
+            return main.select(*cols).unionByName(d.select(*cols))
+        return main
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(str(self.out_dir / "_metrics"))

@@ -70,3 +70,56 @@ def test_kill_and_resume_identical(spark, tmp_path, tk_path):
     assert set(got.keys()) == set(want.keys())
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_distributed_state_driver_parity_and_resume(spark, tmp_path):
+    """Distributed-state mode: no driver-held (p, n) array, no toPandas()
+    of scores — read-outs land via a partitioned distributed write, state
+    is a checkpointed DataFrame. Parity vs the driver-state walk path,
+    plus kill/resume parity with fresh measure objects."""
+    from online_centrality_spark.operators import (
+        DistributedTemporalKatz,
+        attach_closure_components,
+    )
+
+    tr = transcripts_spark(spark, n_convs=30, max_turns=10, seed=3)
+    edges, nodes = edges_from_transcripts(tr)
+    edges_c = attach_closure_components(edges).persist()
+    n_nodes = nodes.count()
+    t0 = edges.agg({"t": "min"}).collect()[0][0]
+    boundaries = [t0 + 1800 * (i + 1) for i in range(10)]
+
+    ref = SuperstepDriver(spark, str(tmp_path / "ref"))
+    ref.run(
+        edges, boundaries, "epoch",
+        online=[TemporalKatz(PARAMS, n_nodes, path="walk")], batch_size=4,
+    )
+    want = scores_map(ref)
+
+    full = SuperstepDriver(spark, str(tmp_path / "full"))
+    full.run(
+        edges_c, boundaries, "epoch",
+        online=[DistributedTemporalKatz(PARAMS)], batch_size=4,
+    )
+    got = scores_map(full)
+    assert set(got.keys()) == set(want.keys())
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
+    # interrupted at interval 4, resumed with a FRESH measure object
+    part = SuperstepDriver(spark, str(tmp_path / "part"), str(tmp_path / "ckpt"))
+    sched1 = part.run(
+        edges_c, boundaries, "epoch",
+        online=[DistributedTemporalKatz(PARAMS)], max_index=5, batch_size=2,
+    )
+    assert sched1[-1].interval_id == 4
+    resumed = SuperstepDriver(spark, str(tmp_path / "part"), str(tmp_path / "ckpt"))
+    resumed.run(
+        edges_c, boundaries, "epoch",
+        online=[DistributedTemporalKatz(PARAMS)], resume=True, batch_size=2,
+    )
+    got2 = scores_map(resumed)
+    assert set(got2.keys()) == set(want.keys())
+    for k, v in want.items():
+        assert got2[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+    edges_c.unpersist()

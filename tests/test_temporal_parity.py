@@ -217,3 +217,41 @@ def test_static_parity_over_snapshots(spark, edge_data, tmp_path):
             assert_close_maps(
                 got.get((sm.param_id, i), {}), want, f"{sm.param_id} snap {i}", atol
             )
+
+
+def test_temporal_parity_distributed_state(spark, edge_data, tmp_path):
+    """Distributed-state mode (DataFrame state + partitioned score sink,
+    nothing driver-held) matches the oracle replay per-vertex."""
+    from online_centrality_spark.operators import (
+        DistributedTemporalKatz,
+        DistributedTruncatedTemporalKatz,
+        attach_closure_components,
+    )
+
+    edges, stream, n_nodes = edge_data
+    edges_c = attach_closure_components(edges).persist()
+    boundaries = make_boundaries(stream, delta=1800, count=20)
+    k = 3
+    captured, _ = run_oracle(stream, boundaries, "epoch", EXP_PARAMS, k=k)
+
+    tk = DistributedTemporalKatz(EXP_PARAMS)
+    ttk = DistributedTruncatedTemporalKatz(EXP_PARAMS, k=k)
+    driver = SuperstepDriver(spark, str(tmp_path / "out_dist"))
+    sched = driver.run(
+        edges_c, boundaries, "epoch", online=[tk, ttk], batch_size=5
+    )
+    got = engine_scores_map(driver)
+    for snap in sched:
+        i = snap.interval_id
+        for j, (beta, w) in enumerate(EXP_PARAMS):
+            pid = "tk_b%0.2f_%s" % (beta, w)
+            want = {n: v[j] for n, v in captured[i]["tk"].items()}
+            assert_close_maps(got.get((pid, i), {}), want, f"dist tk {pid} snap {i}")
+        for layer in range(k):
+            for j, (beta, w) in enumerate(EXP_PARAMS):
+                pid = "ttk_b%0.2f_%s_length_limit_%i" % (beta, w, layer + 1)
+                want = {n: v[j] for n, v in captured[i]["ttk"][layer].items()}
+                assert_close_maps(
+                    got.get((pid, i), {}), want, f"dist ttk {pid} snap {i}"
+                )
+    edges_c.unpersist()
