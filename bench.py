@@ -30,6 +30,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from online_centrality_spark.benchmark import (  # noqa: E402
     bench_tk_driver_distributed,
     bench_tk_superstep,
+    bench_tpr_distributed,
     build_replicated_edges,
 )
 
@@ -85,6 +86,13 @@ def main():
         )
         timings["tk_driver_distributed"] = round(elapsed, 3)
         extras["edges_per_sec_driver_dist"] = round(n_edges / elapsed, 1)
+        extras.update(info)
+
+    # distributed-state Temporal PageRank (per-closure ordered fold)
+    if only is None or "tpr_distributed" in only:
+        elapsed, n_edges, info = bench_tpr_distributed(spark, sf_dir, replicas)
+        timings["tpr_distributed"] = round(elapsed, 3)
+        extras["edges_per_sec_tpr_dist"] = round(n_edges / elapsed, 1)
         extras.update(info)
 
     run("edge_induction", lambda: entry_mod.q_edge_induction(spark, sf_dir).count())

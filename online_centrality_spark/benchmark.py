@@ -136,6 +136,52 @@ def bench_tk_superstep(spark, sf_dir, replicas, windows=64):
     return elapsed, total, info
 
 
+def bench_tpr_distributed(spark, sf_dir, replicas, windows=64):
+    """Distributed-state Temporal PageRank replay (per-closure ordered
+    scalar fold via cogroup) over the replicated stream: 64 read-outs,
+    2 (alpha, beta) params, state carried as a DataFrame."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.operators.temporal_pagerank_distributed import (
+        DistributedTemporalPageRank,
+    )
+
+    raw, etf, n_nodes, total, t0, t_max = build_replicated_edges(
+        spark, sf_dir, replicas
+    )
+    n_base = n_nodes // replicas
+    edges_dir = tempfile.mkdtemp(prefix="tpr_edges_")
+    (
+        raw.mapInPandas(
+            lambda it: (etf(pdf) for pdf in it),
+            schema="key double, src long, dst long, seq long",
+        )
+        .withColumn("closure", (F.col("src") / n_base).cast("long"))
+        .write.mode("overwrite")
+        .parquet(edges_dir)
+    )
+    edges = spark.read.parquet(edges_dir)
+    width = (t_max - t0) // windows + 1
+    intervals = [
+        (i, float(t0 + (i + 1) * width), float(t0 + (i + 1) * width))
+        for i in range(windows)
+    ]
+    params = [(0.85, 0.05), (0.85, 0.5)]
+    warm = DistributedTemporalPageRank(params)
+    warm.run_batch(edges.limit(200_000), intervals[:1]).count()
+    m = DistributedTemporalPageRank(params)
+    t_start = time.time()
+    ro = m.run_batch(edges, intervals)
+    n_rows = ro.count()
+    elapsed = time.time() - t_start
+    assert n_rows > 0
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    return elapsed, total, {"tpr_score_rows": n_rows}
+
+
 def bench_tk_driver_distributed(spark, sf_dir, replicas, windows=64):
     """FULL replay through ``SuperstepDriver`` in distributed-state mode:
     parquet edge scan with a replica closure column, DataFrame state via

@@ -10,6 +10,7 @@ from .temporal_katz_distributed import (
     attach_closure_components,
 )
 from .temporal_pagerank import TemporalPageRank
+from .temporal_pagerank_distributed import DistributedTemporalPageRank
 from .triangles import triangle_count
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "DistributedTruncatedTemporalKatz",
     "attach_closure_components",
     "TemporalPageRank",
+    "DistributedTemporalPageRank",
     "DecayedIndegree",
     "static_indegree",
     "static_negative_beta",

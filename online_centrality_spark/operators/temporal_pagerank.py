@@ -21,10 +21,14 @@ Scale note: unlike temporal Katz, TPR's affine maps stay numerically
 bounded (the mass block is a contraction: each edge moves ``alpha*(1-b)``
 of m(u) to v while scaling m(u) by ``b``), so the scan path does not
 overflow on busy windows — its limit is the dense ``2n x 2n`` segment
-summaries, i.e. small node spaces. For large node spaces use the fold
-path (one ordered Arrow task); a path-length expansion like the Katz
+summaries, i.e. small node spaces. A path-length expansion like the Katz
 walk kernel does not apply because the per-edge ``m(u) *= b`` makes the
 recurrence state-multiplicative, not affine-additive per chain hop.
+For large node spaces use
+:class:`~.temporal_pagerank_distributed.DistributedTemporalPageRank` —
+per-closure ordered folds over cogrouped DataFrame state, the exact
+distributed plan (this class's ``fold`` path collects to the driver and
+is only for small spaces / tests).
 """
 
 from __future__ import annotations
