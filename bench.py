@@ -130,6 +130,21 @@ def main():
             k=10,
         ).count(),
     )
+    # embedding near-dups via the bucketed LSH path (no full-matrix
+    # broadcast): candidates from 24x4 hyperplane buckets, JVM cosine
+    # verify, hub buckets capped
+    run(
+        "embedding_dedup_lsh",
+        lambda: __import__(
+            "online_centrality_spark.dedup.embedding", fromlist=["x"]
+        ).embedding_near_dups_lsh(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.4,
+            num_tables=24,
+            num_planes=4,
+            max_bucket_size=2000,
+        ).count(),
+    )
     # scale path: cap shingle doc-frequency (drops ultra-common bigrams
     # whose candidate fan-out is quadratic; the exact uncapped variant is
     # the sf0.01 correctness query)

@@ -2,7 +2,7 @@ from .exact import exact_dedup, exact_duplicate_groups
 from .minhash import minhash_lsh_candidates, minhash_signatures
 from .ngram import ngram_jaccard_pairs, shingles
 from .simhash import simhash_fingerprints, simhash_near_dups
-from .embedding import embedding_near_dups
+from .embedding import embedding_near_dups, embedding_near_dups_lsh
 
 __all__ = [
     "exact_dedup",
@@ -14,4 +14,5 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "embedding_near_dups",
+    "embedding_near_dups_lsh",
 ]

@@ -91,3 +91,82 @@ def embedding_near_dups(
                 )
 
     return embeddings.select(id_col).mapInPandas(kernel, schema=_PAIR_SCHEMA)
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: int = 16,
+    num_planes: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) near-dup pairs via hyperplane LSH — the
+    100 TB path: no broadcast of the full matrix, no all-pairs block.
+
+    Candidates come from random-hyperplane buckets (the same
+    deterministic planes as ``similarity.ann.lsh_topk``): two vectors
+    collide in a table with probability ``(1 - theta/pi)^num_planes``,
+    so recall tunes with ``num_tables x num_planes``; candidates are
+    verified JVM-side with :func:`cosine_expr` and the threshold applied
+    on the exact cosine — precision is always 1.0 and only bucket-mates
+    are ever scored.  ``max_bucket_size`` drops degenerate hub buckets
+    (quadratic fan-out) like the MinHash-LSH candidate generator.
+
+    Physical plan: one Arrow pass to bucket (emits ``num_tables`` rows
+    per vector), a bucket self-join (shuffle on (table, bucket)),
+    dedup, and a verify join — every step partition-parallel.
+    """
+    from ..similarity.ann import _bucket_df, _hyperplanes
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(num_tables * num_planes, dim)
+    b = _bucket_df(
+        embeddings, id_col, vec_col, planes, num_tables, num_planes, "doc"
+    )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count("*").alias("_n"))
+        b = (
+            b.join(sizes, ["table", "bucket"])
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    b2 = (
+        b.withColumnRenamed("doc", "doc_b")
+        .withColumnRenamed("table", "t2")
+        .withColumnRenamed("bucket", "k2")
+    )
+    cand = (
+        b.join(
+            b2,
+            (F.col("table") == F.col("t2"))
+            & (F.col("bucket") == F.col("k2"))
+            & (F.col("doc") < F.col("doc_b")),
+        )
+        .select(F.col("doc").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    paired = cand.join(
+        v.withColumnRenamed("_id", "doc_a").withColumnRenamed("_v", "va"), "doc_a"
+    ).join(
+        v.withColumnRenamed("_id", "doc_b").withColumnRenamed("_v", "vb"), "doc_b"
+    )
+    # bulk verify with an Arrow-batched kernel: the JVM lambda-chain
+    # (aggregate/zip_with) evaluates ~3*dim interpreted steps per row —
+    # fine for small candidate sets, slow for millions
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy())
+        b = np.stack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+        return pd.Series(num / den)
+
+    return (
+        paired.select("doc_a", "doc_b", _cos("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -226,3 +226,25 @@ def test_unknown_format_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|FAKE"):
         decode_media(bad).collect()
+
+
+def test_embedding_near_dups_lsh_matches_all_pairs(spark):
+    """The bucketed near-dup path returns EXACTLY the all-pairs result on
+    the sf fixture (recall 1.0 at 24 tables x 4 planes, precision 1.0 by
+    construction: candidates are verified on the exact cosine)."""
+    from online_centrality_spark.dedup import embedding_near_dups_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.4, num_tables=24, num_planes=4
+        ).collect()
+    }
+    assert got.keys() == exact.keys()
+    for k, v in exact.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
