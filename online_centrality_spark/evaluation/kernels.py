@@ -11,10 +11,12 @@ deterministically by node id so results are reproducible (SURVEY §5.4).
   (``correlation_computer.py:63-75``)
 - tiedrank: decreasing-score average-tie ranks (``correlation_computer.py:78-80``)
 - weighted Kendall: the reference's pair weight 1/rankY[i] + 1/rankY[j]
-  over all aligned positions (``correlation_computer.py:93-120``; the
-  O(n log n) variant ``:225-254`` computes the same statistic — we keep
-  the vectorized O(n^2) formulation, exact and fast to ~10^4 nodes per
-  snapshot, which matches per-snapshot cardinalities)
+  over all aligned positions (``correlation_computer.py:93-120``).
+  :func:`weighted_kendall` computes the statistic in O(n log n) via a
+  tie-mass decomposition + merge-sort weighted inversion count (same
+  asymptotics as the reference's FastWKendall ``:225-254``, independent
+  derivation); the literal O(n^2) formulation survives as
+  :func:`weighted_kendall_quadratic`, the test cross-check
 - NDCG / precision / recall: ``ndcg_computer.py:4-28``,
   ``binary_eval_computer.py:4-32`` (relevance threshold > 0.999)
 """
@@ -81,10 +83,13 @@ def kendall(a: np.ndarray, b: np.ndarray) -> float:
     return num / denom if denom > 0 else float("nan")
 
 
-def weighted_kendall(a: np.ndarray, b: np.ndarray) -> float:
-    """Reference WKendall: pair weight 1/rankY[i] + 1/rankY[j] with Y = b's
-    average-tie ranks; numerator sign-product, denominators weighted
-    non-tie counts (``computeWKendall``)."""
+def weighted_kendall_quadratic(a: np.ndarray, b: np.ndarray) -> float:
+    """Reference WKendall, literal O(n^2) formulation: pair weight
+    1/rankY[i] + 1/rankY[j] with Y = b's average-tie ranks; numerator
+    sign-product, denominators weighted non-tie counts
+    (``computeWKendall``, correlation_computer.py:93-120).  Kept as the
+    cross-check for :func:`weighted_kendall` — it materializes three
+    n x n matrices, so it is test-scale only."""
     rx, ry = tiedrank(a), tiedrank(b)
     n = len(rx)
     if n < 2:
@@ -99,6 +104,75 @@ def weighted_kendall(a: np.ndarray, b: np.ndarray) -> float:
     denom_xw = float((tx * tx * w).sum())
     denom_yw = float((ty * ty * w).sum())
     denom = np.sqrt(denom_xw * denom_yw)
+    return num_w / denom if denom > 0 else float("nan")
+
+
+def _weighted_inversions(
+    y: np.ndarray, w: np.ndarray
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """Sum of (w_i + w_j) over pairs i < j (by position) with y_i > y_j
+    strictly — a merge-sort inversion count where every level's cross
+    count is one vectorized ``searchsorted`` + suffix-sum gather (C
+    speed; O(n log^2 n) total because merges use a stable argsort).
+    Returns (total, y sorted ascending, w in that order)."""
+    n = len(y)
+    if n < 2:
+        return 0.0, y, w
+    mid = n // 2
+    d1, y1, w1 = _weighted_inversions(y[:mid], w[:mid])
+    d2, y2, w2 = _weighted_inversions(y[mid:], w[mid:])
+    # cross pairs: i in left half, j in right half, y_i > y_j
+    pos = np.searchsorted(y1, y2, side="right")  # per j: #left <= y_j
+    cnt_gt = len(y1) - pos
+    suf = np.concatenate([np.cumsum(w1[::-1])[::-1], [0.0]])
+    d = d1 + d2 + float((cnt_gt * w2).sum()) + float(suf[pos].sum())
+    ym = np.concatenate([y1, y2])
+    wm = np.concatenate([w1, w2])
+    o = np.argsort(ym, kind="mergesort")
+    return d, ym[o], wm[o]
+
+
+def _tie_group_weight(key: np.ndarray, w: np.ndarray) -> float:
+    """Sum of (w_i + w_j) over pairs tied on ``key``: per tie group G,
+    Sum_{i<j in G} (w_i + w_j) = (|G| - 1) * Sum_{i in G} w_i."""
+    _, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv)
+    sw = np.bincount(inv, weights=w)
+    return float(((cnt - 1) * sw).sum())
+
+
+def weighted_kendall(a: np.ndarray, b: np.ndarray) -> float:
+    """Reference WKendall statistic in O(n log n): identical to
+    :func:`weighted_kendall_quadratic` (cross-checked to 1e-12) without
+    the n x n matrices.
+
+    Decomposition over the pair weight w_ij = 1/rankY[i] + 1/rankY[j]:
+    with T = Sum over ALL pairs of w_ij = (n-1) * Sum w, and TX / TY / TB
+    the weighted masses of pairs tied in X / in Y / in both,
+
+        denomXW = T - TX,  denomYW = T - TY,
+        numW    = (T - TX - TY + TB) - 2 * D
+
+    where D is the weighted mass of strictly discordant pairs, counted
+    by a merge-sort inversion pass over Y in (X asc, Y asc) order (X-tie
+    and Y-tie pairs produce no strict inversion in that order).
+    """
+    rx, ry = tiedrank(a), tiedrank(b)
+    n = len(rx)
+    if n < 2:
+        return float("nan")
+    w = 1.0 / ry
+    t_w = (n - 1) * float(w.sum())
+    tx_w = _tie_group_weight(rx, w)
+    ty_w = _tie_group_weight(ry, w)
+    # both-tied groups: rank pairs as one combined key — ranks live in
+    # [1, n] on an exact 0.5 grid, so distinct rx differ by >= 0.5 and
+    # rx * (2n + 1) + ry separates all (rx, ry) pairs in exact float64
+    tb_w = _tie_group_weight(rx * (2 * n + 1.0) + ry, w)
+    order = np.lexsort((ry, rx))
+    d_w, _, _ = _weighted_inversions(ry[order], w[order])
+    num_w = (t_w - tx_w - ty_w + tb_w) - 2.0 * d_w
+    denom = np.sqrt((t_w - tx_w) * (t_w - ty_w))
     return num_w / denom if denom > 0 else float("nan")
 
 

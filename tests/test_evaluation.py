@@ -234,3 +234,44 @@ def test_evaluate_pairwise_and_sequential(spark, eval_maps):
     # identical ranking up to scaling -> rank correlations == 1
     assert seq["spearman"] == pytest.approx(1.0, abs=1e-12)
     assert seq["kendall"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_weighted_kendall_fast_matches_quadratic():
+    """O(n log n) decomposition == literal O(n^2) reference formulation
+    to 1e-12 on random fixtures incl. heavy ties, zeros, and both
+    orientations."""
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(2, 200))
+        if trial % 3 == 0:
+            a = rng.integers(0, 5, n).astype(float)  # heavy ties
+            b = rng.integers(0, 4, n).astype(float)
+        else:
+            a = rng.normal(size=n)
+            b = 0.5 * a + rng.normal(size=n) * (trial % 5)
+        want = kernels.weighted_kendall_quadratic(a, b)
+        got = kernels.weighted_kendall(a, b)
+        if np.isnan(want):
+            assert np.isnan(got)
+        else:
+            assert got == pytest.approx(want, abs=1e-12), (trial, n)
+    # perfect agreement / reversal sanity
+    a = np.arange(1, 50, dtype=float)
+    assert kernels.weighted_kendall(a, a) == pytest.approx(1.0, abs=1e-12)
+    assert kernels.weighted_kendall(a, -a) == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_weighted_kendall_fast_scales():
+    """1e5 elements complete in seconds without n^2 memory (the
+    quadratic kernel would need three ~80 GB matrices here)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    n = 100_000
+    a = rng.normal(size=n)
+    b = 0.7 * a + rng.normal(size=n)
+    t0 = time.time()
+    v = kernels.weighted_kendall(a, b)
+    elapsed = time.time() - t0
+    assert -1.0 <= v <= 1.0 and not np.isnan(v)
+    assert elapsed < 30.0, elapsed
