@@ -3,13 +3,17 @@
 North-rule additions with no reference counterpart (standard semantics,
 validated against pure-python oracles in tests).
 
-- ``connected_components``: weakly connected components by iterative
-  hash-min label propagation over the symmetrized edge set. Each
-  iteration is one shuffle (join + min-agg); convergence is detected with
-  a changed-count aggregate and lineage is cut per iteration. Converges
-  in O(diameter) rounds — acceptable for social/actor graphs (small
-  diameter); a large-star/small-star variant is the O(log n) upgrade
-  path.
+- ``connected_components``: weakly connected components, two physical
+  strategies behind one surface (component = min node id in the WCC,
+  identical output either way):
+
+  * ``algorithm="star"`` (default): alternating large-star / small-star
+    contractions — O(log n) rounds regardless of diameter, the
+    100 TB-scale plan (each round is two grouped shuffles over the
+    current edge set, which SHRINKS towards one star per component).
+  * ``algorithm="hashmin"``: iterative hash-min label propagation — one
+    shuffle per round but O(diameter) rounds; kept for low-diameter
+    graphs and as the cross-check.
 
 - ``label_propagation``: synchronous LPA. Every node starts with its own
   id; each round a node adopts the most frequent label among its
@@ -43,12 +47,32 @@ def _nodes(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 200, algorithm: str = "star"
+) -> DataFrame:
     """(node_id, component) — component = min node id in the WCC."""
+    labels, _ = connected_components_detail(edges, max_iter, algorithm)
+    return labels
+
+
+def connected_components_detail(
+    edges: DataFrame, max_iter: int = 200, algorithm: str = "star"
+) -> tuple[DataFrame, int]:
+    """Like :func:`connected_components` but also returns the number of
+    rounds taken (convergence lineage for tests / metrics)."""
+    if algorithm == "star":
+        return _cc_star(edges, max_iter)
+    if algorithm == "hashmin":
+        return _cc_hashmin(edges, max_iter)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _cc_hashmin(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     sym = _sym(edges).persist()
     labels = _nodes(edges).select(
         "node_id", F.col("node_id").alias("component")
     ).localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["node_id"])
@@ -68,9 +92,85 @@ def connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
         )
         changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node_id", "component")
+        rounds += 1
         if changed == 0:
             break
-    return labels
+    return labels, rounds
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star contractions (the classic
+    MapReduce CC algorithm): the edge set converges in O(log n) rounds
+    to one star per component, rooted at the component minimum.
+
+    Round = large-star (every node hooks its LARGER neighbors onto the
+    minimum of its closed neighborhood) then small-star (every node
+    hooks its smaller-or-equal neighbors onto that minimum). Both
+    preserve connectivity; the fixed point is a star forest. Each round
+    is two grouped shuffles over the CURRENT edge set, which shrinks as
+    components contract — unlike hash-min, rounds do not scale with the
+    graph diameter.
+    """
+    nodes = _nodes(edges).persist()
+    # canonical undirected pairs (h > l)
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("h"), F.least("src", "dst").alias("l")
+        )
+        .filter(F.col("h") != F.col("l"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star: neighbors from both directions; for node u emit
+        # (v, min(N(u) + {u})) for every neighbor v > u
+        sym = cur.select(F.col("h").alias("u"), F.col("l").alias("v")).unionAll(
+            cur.select(F.col("l").alias("u"), F.col("h").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.col("v").alias("h"),
+                F.least(F.col("mn"), F.col("u")).alias("l"),
+            )
+            .filter(F.col("h") != F.col("l"))
+            .distinct()
+        )
+        # small-star: pairs are canonical (h > l); for node h emit
+        # (l, min(N_small(h))) for every smaller neighbor l, plus
+        # (h, min) itself
+        mins2 = ls.groupBy("h").agg(F.min("l").alias("m"))
+        joined = ls.join(mins2, "h")
+        out = joined.select(
+            F.col("l").alias("x"), F.col("m").alias("y")
+        ).unionAll(joined.select(F.col("h").alias("x"), F.col("m").alias("y")))
+        new = (
+            out.filter(F.col("x") != F.col("y"))
+            .select(F.greatest("x", "y").alias("h"), F.least("x", "y").alias("l"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        same_size = new.count() == cur.count()
+        if same_size and new.join(cur, ["h", "l"], "left_anti").count() == 0:
+            cur = new
+            break
+        cur = new
+    labels = (
+        nodes.join(
+            cur.select(F.col("h").alias("node_id"), F.col("l").alias("component")),
+            "node_id",
+            "left",
+        )
+        .select(
+            "node_id",
+            F.coalesce(F.col("component"), F.col("node_id")).alias("component"),
+        )
+    )
+    return labels, rounds
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:

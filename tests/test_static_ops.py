@@ -267,3 +267,27 @@ def test_static_katz_matches_dense_series(spark):
                 threshold,
                 node,
             )
+
+
+def test_cc_star_vs_hashmin_and_round_count(spark):
+    """Both algorithms agree with the oracle; the star variant converges
+    in O(log n) rounds on a long path where hash-min needs O(diameter)."""
+    from online_centrality_spark.operators.components import (
+        connected_components_detail,
+    )
+
+    # long path (diameter 119) + a separate clique + isolated-ish pair
+    path = [(i, i + 1) for i in range(120)]
+    clique = [(200 + a, 200 + b) for a in range(6) for b in range(a + 1, 6)]
+    es = path + clique + [(300, 301)]
+    df = to_df(spark, es)
+    star, r_star = connected_components_detail(df, algorithm="star")
+    hm, r_hm = connected_components_detail(df, algorithm="hashmin")
+    want = oracle_wcc(es)
+    got_star = {r["node_id"]: r["component"] for r in star.collect()}
+    got_hm = {r["node_id"]: r["component"] for r in hm.collect()}
+    assert got_star == want
+    assert got_hm == want
+    # hash-min propagates one hop per round (O(diameter)); star doubles
+    assert r_hm >= 60
+    assert r_star <= 12, (r_star, r_hm)
