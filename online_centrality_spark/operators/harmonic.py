@@ -63,11 +63,61 @@ def harmonic_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.nda
     return nodes, out
 
 
+def harmonic_weighted_numpy(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted-distance harmonic centrality (nx ``distance=`` parity):
+    Dijkstra over incoming edges per target."""
+    import heapq
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    pred: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for s, d, wt in zip(src, dst, w):
+        pred[idx[d]].append((idx[s], float(wt)))
+    out = np.zeros(n)
+    for v in range(n):
+        dist = {v: 0.0}
+        heap = [(0.0, v)]
+        h = 0.0
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, np.inf):
+                continue
+            if u != v:
+                h += 1.0 / du
+            for p, wt in pred[u]:
+                nd = du + wt
+                if nd < dist.get(p, np.inf):
+                    dist[p] = nd
+                    heapq.heappush(heap, (nd, p))
+        out[v] = h
+    return nodes, out
+
+
 def harmonic_centrality(
-    edges: DataFrame, collect_threshold: int = 20_000, max_hops: int = 10_000
+    edges: DataFrame,
+    collect_threshold: int = 20_000,
+    max_hops: int = 10_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """(node_id, score) harmonic centrality on the dedup digraph."""
-    dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    """(node_id, score) harmonic centrality on the dedup digraph.
+
+    ``weight_col`` selects the reference's weighted variant
+    (``harmonic_centrality_computer.py:19-38``, nx ``distance=`` attr):
+    d(u, v) becomes the min-weight path length. Parallel (src, dst)
+    edges dedup to the MINIMUM weight (deterministic; shortest paths
+    only ever use the cheapest parallel edge).
+    """
+    if weight_col is not None:
+        dedup = (
+            edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+            .groupBy("src", "dst")
+            .agg(F.min("w").alias("w"))
+        )
+    else:
+        dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     n_nodes = (
         dedup.select(F.col("src").alias("n"))
         .unionAll(dedup.select(F.col("dst").alias("n")))
@@ -82,13 +132,86 @@ def harmonic_centrality(
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
-            nodes, scores = harmonic_numpy(
-                pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
-            )
+            if weight_col is not None:
+                nodes, scores = harmonic_weighted_numpy(
+                    pdf["src"].to_numpy(np.int64),
+                    pdf["dst"].to_numpy(np.int64),
+                    pdf["w"].to_numpy(np.float64),
+                )
+            else:
+                nodes, scores = harmonic_numpy(
+                    pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)
+                )
             yield pd.DataFrame({"node_id": nodes.astype(np.int64), "score": scores})
 
         return dedup.coalesce(1).mapInPandas(kernel, schema=_HC_SCHEMA)
+    if weight_col is not None:
+        return _harmonic_weighted_distributed(dedup, max_hops)
     return _harmonic_distributed(dedup, max_hops)
+
+
+def _harmonic_weighted_distributed(dedup: DataFrame, max_hops: int) -> DataFrame:
+    """Min-plus frontier supersteps (distributed Bellman-Ford over all
+    targets at once): the dist table (target, node, dist) relaxes one
+    hop per round via a join on reversed weighted edges; only IMPROVED
+    rows re-enter the frontier, so rounds are bounded by the max hop
+    count of any shortest path and work shrinks as distances settle."""
+    dedup = dedup.persist()
+    nodes = (
+        dedup.select(F.col("src").alias("node_id"))
+        .unionAll(dedup.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    dist = nodes.select(
+        F.col("node_id").alias("target"),
+        F.col("node_id").alias("node"),
+        F.lit(0.0).alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(dedup, frontier["node"] == dedup["dst"])
+            .select(
+                "target",
+                F.col("src").alias("node"),
+                (F.col("dist") + F.col("w")).alias("nd"),
+            )
+            .groupBy("target", "node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, ["target", "node"], "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("target", "node", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "nd"),
+                      ["target", "node"], "outer")
+            .select(
+                "target",
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("nd")),
+                    F.coalesce(F.col("nd"), F.col("dist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return (
+        nodes.join(
+            dist.filter(F.col("node") != F.col("target"))
+            .groupBy(F.col("target").alias("node_id"))
+            .agg(F.sum(1.0 / F.col("dist")).alias("s")),
+            "node_id",
+            "left",
+        )
+        .select("node_id", F.coalesce(F.col("s"), F.lit(0.0)).alias("score"))
+    )
 
 
 def _harmonic_distributed(dedup: DataFrame, max_hops: int) -> DataFrame:

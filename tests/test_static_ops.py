@@ -291,3 +291,57 @@ def test_cc_star_vs_hashmin_and_round_count(spark):
     # hash-min propagates one hop per round (O(diameter)); star doubles
     assert r_hm >= 60
     assert r_star <= 12, (r_star, r_hm)
+
+
+def test_weighted_harmonic_matches_dijkstra_oracle(spark):
+    """C8 weighted variant (nx distance= parity): compact Dijkstra kernel
+    and distributed min-plus supersteps both match a dense Dijkstra
+    oracle, incl. parallel-edge min-weight dedup."""
+    import heapq
+
+    from online_centrality_spark.operators.harmonic import harmonic_centrality
+
+    rng = np.random.default_rng(5)
+    n, E = 24, 90
+    src = rng.integers(0, n, E)
+    dst = rng.integers(0, n, E)
+    w = np.round(rng.uniform(0.5, 4.0, E), 3)
+    rows = [
+        (int(s), int(d), float(ww)) for s, d, ww in zip(src, dst, w) if s != d
+    ]
+    rows += [(rows[0][0], rows[0][1], rows[0][2] + 1.0)]  # parallel edge, heavier
+    df = spark.createDataFrame(rows, "src long, dst long, distance double")
+
+    # dense oracle: per-target Dijkstra over incoming min-weight edges
+    adj: dict = {}
+    for s, d, ww in rows:
+        adj[(s, d)] = min(adj.get((s, d), float("inf")), ww)
+    pred: dict = {}
+    for (s, d), ww in adj.items():
+        pred.setdefault(d, []).append((s, ww))
+    nodes = sorted({x for s, d, _ in rows for x in (s, d)})
+    want = {}
+    for v in nodes:
+        dist = {v: 0.0}
+        heap = [(0.0, v)]
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist.get(u, float("inf")):
+                continue
+            for p, ww in pred.get(u, []):
+                nd = du + ww
+                if nd < dist.get(p, float("inf")):
+                    dist[p] = nd
+                    heapq.heappush(heap, (nd, p))
+        want[v] = sum(1.0 / d for u, d in dist.items() if u != v)
+
+    for thresh in (20_000, 0):  # compact kernel, then distributed path
+        got = {
+            r["node_id"]: r["score"]
+            for r in harmonic_centrality(
+                df, collect_threshold=thresh, weight_col="distance"
+            ).collect()
+        }
+        assert set(got) == set(want), thresh
+        for v in nodes:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), (thresh, v)
