@@ -345,8 +345,8 @@ def _did_scores(spark, sf_dir):
     t_max = edges.agg(F.max("t")).collect()[0][0]
     did = DecayedIndegree([ExponentialWeighter(norm=NORM_US, base=0.5)], spark)
     did.superstep(edges.withColumn("key", F.col("t").cast("double")))
-    out = did.readout(float(t_max))
-    return spark.createDataFrame(out[["node_id", "score"]])
+    # read-out stays a DataFrame end-to-end (no driver bounce)
+    return did.readout_df(float(t_max)).select("node_id", "score")
 
 
 def q_decayed_indegree(spark, sf_dir):

@@ -51,13 +51,9 @@ def _compute(metric_id: str, rel_ids, rel_s, pred_ids, pred_s) -> float:
     name, k = _parse(metric_id)
     if name in ("pearson", "spearman", "kendall", "w_kendall_fast"):
         if k is not None:
-            ro = kernels._top_order(rel_ids, rel_s, k)
-            keep = set(ro.tolist())
-            sel = np.array([i in keep for i in rel_ids.tolist()])
+            sel = np.isin(rel_ids, kernels._top_order(rel_ids, rel_s, k))
             rel_ids, rel_s = rel_ids[sel], rel_s[sel]
-            po = kernels._top_order(pred_ids, pred_s, k)
-            keep = set(po.tolist())
-            sel = np.array([i in keep for i in pred_ids.tolist()])
+            sel = np.isin(pred_ids, kernels._top_order(pred_ids, pred_s, k))
             pred_ids, pred_s = pred_ids[sel], pred_s[sel]
         _, a, b = kernels.align(rel_ids, rel_s, pred_ids, pred_s)
         fn = {

@@ -18,6 +18,10 @@ def ndcg(
 
     Window-function formulation: position by (score desc, node_id asc),
     gain = rel / ln(pos+1) (log decay) or rel * (k-pos+1)/k (linear).
+
+    Scalar helper (a handful of driver actions per call) — for many
+    (snapshot, param) groups use the single grouped-aggregation batch
+    path in ``labeling.labels.prediction_metrics`` instead.
     """
     n_pred = prediction.count()
     n_rel = relevance.count()

@@ -71,6 +71,40 @@ class DecayedIndegree:
             self.edge_state = self.edge_state.localCheckpoint(eager=True)
             self.active = self.active.localCheckpoint(eager=True)
 
+    def readout_df(self, boundary: float) -> DataFrame | None:
+        """Tidy (param_id, node_id, score) as a DataFrame — the canonical
+        plan: read-out stays distributed (one groupBy-sum with the decay
+        as a JVM column expression + a left join against the active set);
+        None when no superstep has run."""
+        if self.edge_state is None:
+            return None
+        aggs = [
+            F.sum(w.weight_col(F.lit(float(boundary)) - F.col("last_key"))).alias(
+                f"s{i}"
+            )
+            for i, w in enumerate(self.params)
+        ]
+        in_scores = self.edge_state.groupBy("dst").agg(*aggs)
+        joined = (
+            self.active.join(
+                in_scores, self.active["node_id"] == in_scores["dst"], "left"
+            )
+            .drop("dst")
+            .fillna(0.0)
+        )
+        parts = [
+            joined.select(
+                F.lit(pid).alias("param_id"),
+                "node_id",
+                F.col(f"s{i}").alias("score"),
+            )
+            for i, pid in enumerate(self.param_ids)
+        ]
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
     def readout(self, boundary: float) -> pd.DataFrame:
         if self.edge_state is None:
             return pd.DataFrame(columns=["param_id", "node_id", "score"])
