@@ -607,6 +607,35 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_lsh(spark, sf_dir):
+    """Bucketed near-dup path (hyperplane LSH candidates -> exact-cosine
+    verify). At 24 tables x 4 planes recall is 1.0 on these fixtures, so
+    the oracle is the all-pairs SQL — an exact match, which is the
+    point: the scale path loses nothing here."""
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_lsh(
+        emb, threshold=0.4 - 1e-6, num_tables=24, num_planes=4
+    )
+    return (
+        pairs.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+def q_weighted_kendall(spark, sf_dir):
+    """V6/V7: the reference WKendall statistic (O(n log n) kernel)
+    between decayed indegree and truncated Katz, oracle-checked against
+    the O(n^2) pair formulation in SQL."""
+    from online_centrality_spark.evaluation.correlation import corr_weighted_kendall
+
+    a = q_decayed_indegree(spark, sf_dir)
+    b = q_truncated_katz_len1(spark, sf_dir)
+    v = corr_weighted_kendall(a, b)
+    return spark.createDataFrame([(float(round(v, 6)),)], "w_kendall double")
+
+
 def q_ann_topk(spark, sf_dir):
     from online_centrality_spark.similarity.ann import brute_force_topk
 
@@ -726,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "weighted_kendall": q_weighted_kendall,
         "ann_topk": q_ann_topk,
         "static_katz": q_static_katz,
         "interval_labels": q_interval_labels,
@@ -1012,6 +1043,36 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round(list_cosine_similarity(a.e, b.e), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+"""
+    # LSH path returns exactly the all-pairs result (recall 1.0 at the
+    # chosen table/plane count on these fixtures) -> same oracle
+    sqls["embedding_dedup_lsh"] = sqls["embedding_dedup"]
+    sqls["weighted_kendall"] = f"""
+WITH {EDGES_CTE}, {GNODES_CTE},
+le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),
+didsc AS (SELECT dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - le.last_t) / 86400000000.0)) AS s FROM le GROUP BY dst),
+w1 AS (SELECT e.dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - e.t) / 86400000000.0)) AS s FROM edges e GROUP BY e.dst),
+ab AS (
+  SELECT g.node_id,
+         round(coalesce(d.s, 0.0), 6) AS a,
+         round(coalesce(w1.s, 0.0), 6) AS b
+  FROM gnodes g LEFT JOIN didsc d ON g.node_id = d.node_id
+  LEFT JOIN w1 ON g.node_id = w1.node_id
+),
+ranked AS (
+  SELECT node_id, a, b,
+    rank() OVER (ORDER BY a DESC) + (count(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+    rank() OVER (ORDER BY b DESC) + (count(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+  FROM ab
+),
+p AS (
+  SELECT sign(x.ra - y.ra) AS tx, sign(x.rb - y.rb) AS ty,
+         (1.0 / x.rb + 1.0 / y.rb) AS w
+  FROM ranked x JOIN ranked y ON x.node_id < y.node_id
+)
+SELECT round(sum(tx * ty * w) / sqrt(sum(tx * tx * w) * sum(ty * ty * w)), 6)
+       AS w_kendall
+FROM p
 """
     sqls["ann_topk"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
