@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=512)
     ap.add_argument("--windows", type=int, default=64)
+    ap.add_argument(
+        "--mode",
+        choices=["walk", "driver-dist"],
+        default="walk",
+        help="walk: driver-state walk replay; driver-dist: full "
+        "SuperstepDriver replay in distributed-state mode (DataFrame "
+        "state + partitioned score sink, nothing driver-held)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,16 +47,24 @@ def main():
         .getOrCreate()
     )
     # engine modules come from --py-files
-    from online_centrality_spark.benchmark import bench_tk_superstep
+    from online_centrality_spark.benchmark import (
+        bench_tk_driver_distributed,
+        bench_tk_superstep,
+    )
 
     t0 = time.time()
-    elapsed, total, info = bench_tk_superstep(
-        spark, args.sf_dir, args.replicas, windows=args.windows
-    )
+    if args.mode == "driver-dist":
+        elapsed, total, info = bench_tk_driver_distributed(
+            spark, args.sf_dir, args.replicas, windows=args.windows
+        )
+    else:
+        elapsed, total, info = bench_tk_superstep(
+            spark, args.sf_dir, args.replicas, windows=args.windows
+        )
     print(
         json.dumps(
             {
-                "job": "tk_walk_replay",
+                "job": f"tk_{args.mode}_replay",
                 "master": spark.sparkContext.master,
                 "default_parallelism": spark.sparkContext.defaultParallelism,
                 "replay_sec": round(elapsed, 3),

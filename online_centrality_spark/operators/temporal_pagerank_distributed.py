@@ -77,17 +77,28 @@ def run_tpr_batch_distributed(
         "node", F.col("closure").cast("long").alias("closure"), "vals"
     )
 
-    def kernel(key_tuple, epdf, spdf):
+    def kernel(key_tuple, etbl, stbl):
+        # applyInArrow kernel: pyarrow Tables in and out (no pandas hop)
         import time as _t
+
+        import pyarrow as pa
 
         from pyspark import TaskContext
 
         t_k0 = _t.time()
-        closure_val = int(key_tuple[0])
-        key = epdf["key"].to_numpy(np.float64)
-        seq = epdf["seq"].to_numpy(np.int64) if len(epdf) else np.empty(0, np.int64)
-        gsrc = epdf["src"].to_numpy(np.int64)
-        gdst = epdf["dst"].to_numpy(np.int64)
+        k0 = key_tuple[0]
+        closure_val = int(k0.as_py() if hasattr(k0, "as_py") else k0)
+        E0 = etbl.num_rows
+
+        def col(tbl, name, dtype):
+            return tbl.column(name).to_numpy(zero_copy_only=False).astype(
+                dtype, copy=False
+            )
+
+        key = col(etbl, "key", np.float64) if E0 else np.empty(0, np.float64)
+        seq = col(etbl, "seq", np.int64) if E0 else np.empty(0, np.int64)
+        gsrc = col(etbl, "src", np.int64) if E0 else np.empty(0, np.int64)
+        gdst = col(etbl, "dst", np.int64) if E0 else np.empty(0, np.int64)
         if len(key):
             dk = np.diff(key)
             if np.any((dk < 0) | ((dk == 0) & (np.diff(seq) < 0))):
@@ -96,11 +107,19 @@ def run_tpr_batch_distributed(
                 gsrc = gsrc[order]
                 gdst = gdst[order]
         E = len(key)
-        snodes = spdf["node"].to_numpy(np.int64) if len(spdf) else np.empty(0, np.int64)
+        n_state = stbl.num_rows
+        snodes = col(stbl, "node", np.int64) if n_state else np.empty(0, np.int64)
         all_ids = np.concatenate([gsrc, gdst, snodes])
         if len(all_ids) == 0:
-            return pd.DataFrame(
-                columns=["kind", "interval", "node", "closure", "vals", "meta"]
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int32()),
+                    "interval": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "closure": pa.array([], pa.int64()),
+                    "vals": pa.array([], pa.list_(pa.float64())),
+                    "meta": pa.array([], pa.binary()),
+                }
             )
         nodes = np.unique(all_ids)
         nl = len(nodes)
@@ -112,9 +131,12 @@ def run_tpr_batch_distributed(
         # dominates an 8-op update)
         prs = [[0.0] * nl for _ in range(p)]
         mss = [[0.0] * nl for _ in range(p)]
-        if len(spdf):
+        if n_state:
             sidx = np.searchsorted(nodes, snodes)
-            sv = np.stack(spdf["vals"].to_numpy())  # (m, 2p): pr..., m...
+            flat = stbl.column("vals").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            sv = flat.reshape(n_state, 2 * p)  # (m, 2p): pr..., m...
             for j in range(p):
                 pr_j, m_j = prs[j], mss[j]
                 for t_i, row in zip(sidx.tolist(), sv):
@@ -191,36 +213,57 @@ def run_tpr_batch_distributed(
             ]
         )
         if acc_kind:
-            body = pd.DataFrame(
-                {
-                    "kind": np.concatenate(acc_kind),
-                    "interval": np.concatenate(acc_iv),
-                    "node": np.concatenate(acc_node),
-                    "closure": np.int64(closure_val),
-                    # read-out rows carry p values, state rows 2p — rows
-                    # stay per-block numpy views (widths differ)
-                    "vals": [row for block in acc_vals for row in block],
-                    "meta": None,
-                }
+            kind_col = np.concatenate(acc_kind)
+            iv_col = np.concatenate(acc_iv)
+            node_col = np.concatenate(acc_node)
+            # read-out rows carry p values, state rows 2p: explicit
+            # per-row widths drive the ListArray offsets
+            widths = np.concatenate(
+                [np.full(len(b), b.shape[1], np.int32) for b in acc_vals]
             )
+            flat_vals = np.concatenate([b.ravel() for b in acc_vals])
         else:
-            body = None
-        tail = pd.DataFrame(
+            kind_col = np.empty(0, np.int32)
+            iv_col = np.empty(0, np.int64)
+            node_col = np.empty(0, np.int64)
+            widths = np.empty(0, np.int32)
+            flat_vals = np.empty(0, np.float64)
+        m = len(kind_col)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(widths, dtype=np.int64)]).astype(
+                np.int32
+            ),
+            pa.int32(),
+        )
+        vals_body = pa.ListArray.from_arrays(
+            offsets, pa.array(flat_vals, pa.float64())
+        )
+        vals_arr = pa.concat_arrays(
+            [vals_body, pa.array([None], pa.list_(pa.float64()))]
+        )
+        return pa.table(
             {
-                "kind": np.int32(2),
-                "interval": np.int64(-1),
-                "node": np.int64(-1),
-                "closure": np.int64(closure_val),
-                "vals": [None],
-                "meta": [meta.tobytes()],
+                "kind": pa.array(
+                    np.concatenate([kind_col, np.array([2], np.int32)]), pa.int32()
+                ),
+                "interval": pa.array(
+                    np.concatenate([iv_col, np.array([-1], np.int64)]), pa.int64()
+                ),
+                "node": pa.array(
+                    np.concatenate([node_col, np.array([-1], np.int64)]), pa.int64()
+                ),
+                "closure": pa.array(
+                    np.full(m + 1, closure_val, np.int64), pa.int64()
+                ),
+                "vals": vals_arr,
+                "meta": pa.array([None] * m + [meta.tobytes()], pa.binary()),
             }
         )
-        return pd.concat([body, tail], ignore_index=True) if body is not None else tail
 
     out = (
         e.groupBy("closure")
         .cogroup(srows.groupBy("closure"))
-        .applyInPandas(kernel, schema=DIST_ROW_SCHEMA)
+        .applyInArrow(kernel, schema=DIST_ROW_SCHEMA)
     )
 
     def metrics_extractor(out_df):

@@ -717,17 +717,27 @@ def run_walk_batch_distributed(
     )
     sb = float(state_basis) if state_basis is not None else float(chunk_plan[0][0])
 
-    def kernel(key_tuple, epdf, spdf):
+    def kernel(key_tuple, etbl, stbl):
+        # applyInArrow kernel: pyarrow Tables in and out — no pandas
+        # DataFrame materialization on either side (the row count here
+        # is the whole edge stream)
         import time as _t
+
+        import pyarrow as pa
 
         from pyspark import TaskContext
 
         t_k0 = _t.time()
-        closure_val = int(key_tuple[0])
-        key = epdf["key"].to_numpy(np.float64)
-        seq = epdf["seq"].to_numpy(np.int64) if len(epdf) else np.empty(0, np.int64)
-        gsrc = epdf["src"].to_numpy(np.int64)
-        gdst = epdf["dst"].to_numpy(np.int64)
+        closure_val = int(key_tuple[0].as_py() if hasattr(key_tuple[0], "as_py") else key_tuple[0])
+        E0 = etbl.num_rows
+
+        def col(tbl, name, dtype):
+            return tbl.column(name).to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+        key = col(etbl, "key", np.float64) if E0 else np.empty(0, np.float64)
+        seq = col(etbl, "seq", np.int64) if E0 else np.empty(0, np.int64)
+        gsrc = col(etbl, "src", np.int64) if E0 else np.empty(0, np.int64)
+        gdst = col(etbl, "dst", np.int64) if E0 else np.empty(0, np.int64)
         if len(key):
             dk = np.diff(key)
             # lexicographic (key, seq) disorder check — see the note in
@@ -738,11 +748,21 @@ def run_walk_batch_distributed(
                 gsrc = gsrc[order]
                 gdst = gdst[order]
         E = len(key)
-        snodes = spdf["node"].to_numpy(np.int64) if len(spdf) else np.empty(0, np.int64)
+        n_state = stbl.num_rows
+        snodes = (
+            col(stbl, "node", np.int64) if n_state else np.empty(0, np.int64)
+        )
         all_ids = np.concatenate([gsrc, gdst, snodes])
         if len(all_ids) == 0:
-            return pd.DataFrame(
-                columns=["kind", "interval", "node", "closure", "vals", "meta"]
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int32()),
+                    "interval": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "closure": pa.array([], pa.int64()),
+                    "vals": pa.array([], pa.list_(pa.float64())),
+                    "meta": pa.array([], pa.binary()),
+                }
             )
         n_lo = int(all_ids.min())
         n_hi = int(all_ids.max())
@@ -757,8 +777,10 @@ def run_walk_batch_distributed(
         dst = enc(gdst)
         sidx = enc(snodes)
         y0loc = np.zeros((nl, p_rows))
-        if len(spdf):
-            y0loc[sidx] = np.stack(spdf["vals"].to_numpy())
+        if n_state:
+            vals_col = stbl.column("vals").combine_chunks()
+            flat = vals_col.flatten().to_numpy(zero_copy_only=False)
+            y0loc[sidx] = flat.reshape(n_state, p_rows)
         y0_active = np.zeros(nl, dtype=bool)
         y0_active[sidx] = True
         # rebase carried state to the first chunk basis
@@ -902,34 +924,46 @@ def run_walk_batch_distributed(
             iv_col = np.concatenate(acc_iv)
             node_col = np.concatenate(acc_node)
             vals_mat = np.concatenate(acc_vals, axis=0)
-            body = pd.DataFrame(
-                {
-                    "kind": kind_col,
-                    "interval": iv_col,
-                    "node": node_col,
-                    "closure": np.int64(closure_val),
-                    "vals": list(vals_mat),
-                    "meta": None,
-                }
-            )
         else:
-            body = None
-        tail = pd.DataFrame(
+            kind_col = np.empty(0, np.int32)
+            iv_col = np.empty(0, np.int64)
+            node_col = np.empty(0, np.int64)
+            vals_mat = np.empty((0, p_rows))
+        m = len(kind_col)
+        # vals as one zero-copy ListArray (uniform row width p_rows);
+        # the final metrics row carries a null vals + binary meta
+        offsets = pa.array(
+            np.arange(0, (m + 1) * p_rows, p_rows, dtype=np.int32), pa.int32()
+        )
+        vals_body = pa.ListArray.from_arrays(
+            offsets, pa.array(vals_mat.ravel(), pa.float64())
+        )
+        vals_arr = pa.concat_arrays(
+            [vals_body, pa.array([None], pa.list_(pa.float64()))]
+        )
+        return pa.table(
             {
-                "kind": np.int32(2),
-                "interval": np.int64(-1),
-                "node": np.int64(-1),
-                "closure": np.int64(closure_val),
-                "vals": [None],
-                "meta": [meta.tobytes()],
+                "kind": pa.array(
+                    np.concatenate([kind_col, np.array([2], np.int32)]), pa.int32()
+                ),
+                "interval": pa.array(
+                    np.concatenate([iv_col, np.array([-1], np.int64)]), pa.int64()
+                ),
+                "node": pa.array(
+                    np.concatenate([node_col, np.array([-1], np.int64)]), pa.int64()
+                ),
+                "closure": pa.array(
+                    np.full(m + 1, closure_val, np.int64), pa.int64()
+                ),
+                "vals": vals_arr,
+                "meta": pa.array([None] * m + [meta.tobytes()], pa.binary()),
             }
         )
-        return pd.concat([body, tail], ignore_index=True) if body is not None else tail
 
     out = (
         e.groupBy("closure")
         .cogroup(srows.groupBy("closure"))
-        .applyInPandas(kernel, schema=DIST_ROW_SCHEMA)
+        .applyInArrow(kernel, schema=DIST_ROW_SCHEMA)
     )
 
     def metrics_extractor(out_df):
