@@ -156,6 +156,7 @@ class SuperstepDriver:
         # distributed-state measures (scores stay DataFrames end-to-end)
         # ALWAYS take the batch path, whatever the chunk size
         dist = [m for m in online if getattr(m, "distributed", False)]
+        self._dist_only = bool(dist) and len(dist) == len(online) and not static
         for chunk in chunks:
             t_chunk = _time.time()
             batched = (
@@ -318,6 +319,11 @@ class SuperstepDriver:
 
     def _write_scores(self, rows: list[pd.DataFrame], i: int) -> None:
         frames = [r for r in rows if len(r)]
+        if not rows and getattr(self, "_dist_only", False):
+            # distributed-only run: every score row lands in the dist
+            # tree — 64 empty placeholder files per replay are pure
+            # serial driver overhead
+            return
         path = self.out_dir / f"snapshot_id={i}"
         path.mkdir(parents=True, exist_ok=True)
         if frames:
@@ -468,16 +474,25 @@ class SuperstepDriver:
     # -- outputs ---------------------------------------------------------
     def scores(self) -> DataFrame:
         cols = ["measure", "param_id", "node_id", "score", "snapshot_id"]
-        main = self.spark.read.option("basePath", str(self.out_dir)).parquet(
-            str(self.out_dir / "snapshot_id=*")
-        )
+        parts = []
+        if any(self.out_dir.glob("snapshot_id=*")):
+            parts.append(
+                self.spark.read.option("basePath", str(self.out_dir))
+                .parquet(str(self.out_dir / "snapshot_id=*"))
+            )
         dist_dir = self.out_dir / "dist"
         if dist_dir.exists():
-            d = self.spark.read.option("basePath", str(dist_dir)).parquet(
-                str(dist_dir)
+            parts.append(
+                self.spark.read.option("basePath", str(dist_dir)).parquet(
+                    str(dist_dir)
+                )
             )
-            return main.select(*cols).unionByName(d.select(*cols))
-        return main
+        if not parts:
+            raise FileNotFoundError(f"no score outputs under {self.out_dir}")
+        out = parts[0].select(*cols)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(*cols))
+        return out
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(str(self.out_dir / "_metrics"))
