@@ -78,23 +78,6 @@ def main():
         extras["superstep_edges"] = n_edges
         extras.update(info)
 
-    # full replay through SuperstepDriver in distributed-state mode
-    # (cogroup state, partitioned score sink — no driver-held arrays)
-    if only is None or "tk_driver_distributed" in only:
-        elapsed, n_edges, info = bench_tk_driver_distributed(
-            spark, sf_dir, replicas
-        )
-        timings["tk_driver_distributed"] = round(elapsed, 3)
-        extras["edges_per_sec_driver_dist"] = round(n_edges / elapsed, 1)
-        extras.update(info)
-
-    # distributed-state Temporal PageRank (per-closure ordered fold)
-    if only is None or "tpr_distributed" in only:
-        elapsed, n_edges, info = bench_tpr_distributed(spark, sf_dir, replicas)
-        timings["tpr_distributed"] = round(elapsed, 3)
-        extras["edges_per_sec_tpr_dist"] = round(n_edges / elapsed, 1)
-        extras.update(info)
-
     run("edge_induction", lambda: entry_mod.q_edge_induction(spark, sf_dir).count())
     run(
         "decayed_indegree",
@@ -160,11 +143,34 @@ def main():
         ).count(),
     )
 
+    # drop caches left by the query suite before the heavy replays (two
+    # ~50M-row shuffles; stale cached blocks cost GC headroom)
+    if only is None or {"tk_driver_distributed", "tpr_distributed"} & only:
+        spark.catalog.clearCache()
+
+    # full replay through SuperstepDriver in distributed-state mode
+    # (cogroup state, partitioned score sink — no driver-held arrays)
+    if only is None or "tk_driver_distributed" in only:
+        elapsed, n_edges, info = bench_tk_driver_distributed(
+            spark, sf_dir, replicas
+        )
+        timings["tk_driver_distributed"] = round(elapsed, 3)
+        extras["edges_per_sec_driver_dist"] = round(n_edges / elapsed, 1)
+        extras.update(info)
+
+    # distributed-state Temporal PageRank (per-closure ordered fold)
+    if only is None or "tpr_distributed" in only:
+        elapsed, n_edges, info = bench_tpr_distributed(spark, sf_dir, replicas)
+        timings["tpr_distributed"] = round(elapsed, 3)
+        extras["edges_per_sec_tpr_dist"] = round(n_edges / elapsed, 1)
+        extras.update(info)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline engine queries wallclock (tk temporal-walk superstep, "
-        "edge induction, did, pagerank30, cc, triangles, minhash-LSH, ANN, "
-        "ngram-jaccard)",
+        "edge induction, did, pagerank30, cc-star, triangles, minhash-LSH, ANN, "
+        "embedding-dedup-LSH, ngram-jaccard, distributed-state driver replay, "
+        "distributed TPR fold)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -178,6 +178,8 @@ def bench_tpr_distributed(spark, sf_dir, replicas, windows=64):
     n_rows = ro.count()
     elapsed = time.time() - t_start
     assert n_rows > 0
+    warm.release()
+    m.release()
     shutil.rmtree(edges_dir, ignore_errors=True)
     return elapsed, total, {"tpr_score_rows": n_rows}
 
@@ -257,6 +259,8 @@ def bench_tk_driver_distributed(spark, sf_dir, replicas, windows=64):
     elapsed = time.time() - t_start
     n_scores = driver.scores().count()
     assert n_scores > 0
+    warm.release()
+    tk.release()
     shutil.rmtree(edges_dir, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     return elapsed, total, {"driver_dist_score_rows": n_scores}

@@ -203,6 +203,12 @@ class DistributedTemporalKatz:
         ).select(pid_arr[F.col("pos")].alias("param_id"), "node_id", "score")
 
     # -- checkpoint protocol (frames, driver-persisted as parquet) -------
+    def release(self) -> None:
+        """Drop the cached job output (bench hygiene / end of replay)."""
+        if self._out_cached is not None:
+            self._out_cached.unpersist()
+            self._out_cached = None
+
     def state_frames(self) -> dict[str, DataFrame | None]:
         spark = None
         if self.state is not None:

@@ -372,6 +372,12 @@ class DistributedTemporalPageRank:
             )
         )
 
+    def release(self) -> None:
+        """Drop the cached job output (bench hygiene / end of replay)."""
+        if self._out_cached is not None:
+            self._out_cached.unpersist()
+            self._out_cached = None
+
     def state_frames(self) -> dict[str, DataFrame | None]:
         return {"state": self.state}
 
