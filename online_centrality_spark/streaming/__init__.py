@@ -1,3 +1,4 @@
+from .replay import StreamingDistributedReplay
 from .stream import (
     stream_edge_induction,
     windowed_decayed_indegree,
@@ -5,6 +6,7 @@ from .stream import (
 )
 
 __all__ = [
+    "StreamingDistributedReplay",
     "stream_edge_induction",
     "windowed_decayed_indegree",
     "windowed_edge_counts",

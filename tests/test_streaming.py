@@ -144,3 +144,81 @@ def test_induce_gap_skip_bounded_buffer():
     # after the flush, in-order turns keep flowing normally
     st, edges = _induce(st, [9], ["a9"], [9], max_buffer=4)
     assert edges == [(9, "a8", "a9", 9)]
+
+
+def test_streaming_distributed_replay_matches_batch(spark, tmp_path):
+    """Structured Streaming driving the distributed-state engine via
+    foreachBatch: N time-ordered micro-batches produce exactly the same
+    read-outs as ONE batch replay over the union with the same
+    boundaries (state carried as a cogrouped DataFrame throughout)."""
+    from online_centrality_spark.functions.weights import ExponentialWeighter
+    from online_centrality_spark.operators import (
+        DistributedTemporalKatz,
+        attach_closure_components,
+    )
+    from online_centrality_spark.sources.edges import edges_from_transcripts
+    from online_centrality_spark.sources.transcripts import transcripts_spark
+    from online_centrality_spark.streaming import StreamingDistributedReplay
+
+    params = [(1.0, ExponentialWeighter(norm=3600.0, base=0.5))]
+    tr = transcripts_spark(spark, n_convs=25, max_turns=10, seed=9)
+    edges, _ = edges_from_transcripts(tr)
+    epdf = (
+        attach_closure_components(edges)
+        .selectExpr("CAST(t AS DOUBLE) AS key", "src", "dst", "seq", "closure")
+        .toPandas()
+        .sort_values(["key", "seq"])
+        .reset_index(drop=True)
+    )
+    # split into 3 time-ordered files, cuts only where key strictly
+    # increases (the ordering contract: no key tie across micro-batches)
+    n = len(epdf)
+    cuts = []
+    for want in (n // 3, 2 * n // 3):
+        c = want
+        while c < n and epdf["key"][c] == epdf["key"][c - 1]:
+            c += 1
+        cuts.append(c)
+    parts = [epdf.iloc[: cuts[0]], epdf.iloc[cuts[0] : cuts[1]], epdf.iloc[cuts[1] :]]
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    import time as _time
+
+    schema = "key double, src long, dst long, seq long, closure long"
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    sink = StreamingDistributedReplay(
+        DistributedTemporalKatz(params), str(tmp_path / "stream_out")
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(sink.batches) == 3
+    got_pdf = sink.scores(spark).toPandas()
+    got = {
+        (r.interval_id, r.param_id, r.node_id): r.score
+        for r in got_pdf.itertuples()
+    }
+
+    # batch reference: ONE replay with the same three boundaries
+    ref = DistributedTemporalKatz(params)
+    all_edges = spark.createDataFrame(epdf, schema)
+    intervals = [(bid, hi, hi) for bid, hi in sink.batches]
+    want_pdf = ref.run_batch(all_edges, intervals).toPandas()
+    want = {
+        (r.interval_id, r.param_id, r.node_id): r.score
+        for r in want_pdf.itertuples()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
