@@ -101,10 +101,16 @@ class SuperstepDriver:
         spark: SparkSession,
         out_dir: str,
         checkpoint_dir: str | None = None,
+        table_format: str = "parquet",
     ):
+        """``table_format`` selects the distributed score sink's storage
+        format (path-based ``save``); on an Iceberg deployment the same
+        sink is a catalog-table ``writeTo(...).overwritePartitions()`` —
+        a session-catalog config change, not an engine change."""
         self.spark = spark
         self.out_dir = Path(out_dir)
         self.ckpt_dir = Path(checkpoint_dir) if checkpoint_dir else None
+        self.table_format = table_format
 
     # ------------------------------------------------------------------
     def run(
@@ -364,9 +370,10 @@ class SuperstepDriver:
             # dir (tasks x intervals small files + commit overhead)
             out.repartition("snapshot_id")
             .write.mode("overwrite")
+            .format(self.table_format)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("snapshot_id")
-            .parquet(str(self.out_dir / "dist" / f"measure={m.measure}"))
+            .save(str(self.out_dir / "dist" / f"measure={m.measure}"))
         )
 
     def _metric_row(

@@ -1,8 +1,9 @@
 from .edges import add_global_seq, edges_from_events, edges_from_transcripts
-from .transcripts import generate_transcripts
+from .transcripts import generate_transcripts, read_transcripts
 
 __all__ = [
     "generate_transcripts",
+    "read_transcripts",
     "edges_from_transcripts",
     "edges_from_events",
     "add_global_seq",

@@ -91,3 +91,32 @@ def transcripts_spark(spark, **kwargs):
         ]
     )
     return spark.createDataFrame(generate_transcripts(**kwargs), schema=schema)
+
+
+def read_transcripts(spark, source: str, fmt: str | None = None):
+    """Load the transcript table from a catalog table or a path.
+
+    The north-star input is an Iceberg table of transcripts; this
+    sandbox has no Iceberg runtime, so the engine treats the storage
+    backend as configuration, not code:
+
+    - ``source`` containing no ``/`` is read as a catalog table
+      (``spark.read.table`` — Iceberg/Hive/Unity resolve through the
+      session catalog, so an Iceberg deployment is purely a
+      ``spark.sql.catalog.*`` config change),
+    - otherwise as a path with ``fmt`` (default parquet; pass
+      ``fmt="iceberg"`` for Iceberg path-based reads on a cluster with
+      the runtime jar).
+
+    Returns the DataFrame in the FIXTURES.md §1 schema; column presence
+    is validated so misconfigured sources fail loudly at the boundary.
+    """
+    if "/" not in source and fmt is None:
+        df = spark.read.table(source)
+    else:
+        df = spark.read.format(fmt or "parquet").load(source)
+    required = {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    missing = required - set(df.columns)
+    if missing:
+        raise ValueError(f"transcript source {source!r} missing columns {sorted(missing)}")
+    return df
