@@ -689,6 +689,11 @@ def run_walk_batch_distributed(
     1 = next-state ``(node, closure, vals)``);
     ``metrics_extractor(out_df)`` collects the per-group convergence
     rows (small).
+
+    ``closure_partitions`` is advisory only: the cogroup's task count
+    follows ``spark.sql.shuffle.partitions`` (plus AQE coalescing) —
+    size that to the cluster; the parameter is kept for signature
+    parity with :func:`run_walk_batch`.
     """
     spark = edges.sparkSession
     p = len(betas)

@@ -1,3 +1,3 @@
-from .ann import brute_force_topk, lsh_topk
+from .ann import brute_force_topk, ivf_topk, lsh_topk
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "ivf_topk", "lsh_topk"]

@@ -13,6 +13,14 @@
   computed with a single matmul per Arrow batch. Queries score only
   candidates sharing a bucket in >= 1 table; recall tunes with
   ``num_tables`` x ``num_planes``.
+
+- ``ivf_topk``: inverted-file (coarse-quantizer) variant. Centroids are
+  trained driver-side on a deterministic sample (seeded numpy Lloyd
+  iterations — the trained model is tiny and broadcasts), items are
+  assigned to their nearest cell with one Arrow matmul pass, and each
+  query probes its ``n_probe`` nearest cells — candidate volume scales
+  with ``n_probe / n_cells``, and ``n_probe == n_cells`` degrades
+  gracefully to the exact search (tested equal to brute force).
 """
 
 from __future__ import annotations
@@ -172,6 +180,139 @@ def lsh_topk(
         .join(it, "item_id")
         .select("query_id", "item_id", cosine_expr("qv", "iv").alias("cosine"))
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _train_centroids(
+    items: DataFrame, id_col: str, vec_col: str, n_cells: int,
+    sample_size: int, iters: int = 12,
+) -> np.ndarray:
+    """Seeded Lloyd iterations on a deterministic sample (lowest ids).
+
+    Centroids are L2-normalized so nearest-centroid-by-dot == cosine
+    assignment; empty cells re-seed from the farthest points.
+    """
+    sample = (
+        items.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    )
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(0xC0FFEE)
+    n_cells = min(n_cells, len(x))
+    c = x[rng.choice(len(x), n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+            else:
+                # re-seed an empty cell from the worst-covered point
+                worst = (x @ c.T).max(axis=1).argmin()
+                c[j] = x[worst]
+    return c
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 100_000,
+) -> DataFrame:
+    """(query_id, item_id, cosine, rank) — IVF approximate top-k.
+
+    Plan: broadcast the (n_cells, dim) centroid matrix; one Arrow pass
+    assigns every item to its nearest cell, one Arrow pass gives every
+    query its ``n_probe`` nearest cells (exploded); the candidate join
+    on ``cell`` shuffles only the probed fraction, candidates are
+    scored with the Arrow cosine kernel and ranked per query.
+    """
+    from pyspark.sql import Window
+
+    spark = items.sparkSession
+    centroids = _train_centroids(items, id_col, vec_col, n_cells, sample_size)
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    def assign_kernel(batches):
+        c = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].to_numpy(np.int64),
+                    "cell": (m @ c.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    def probe_kernel(batches):
+        c = b_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ c.T
+            # deterministic probe order: (sim desc, cell asc)
+            cells = np.lexsort(
+                (np.broadcast_to(np.arange(sims.shape[1]), sims.shape), -sims),
+                axis=1,
+            )[:, :n_probe]
+            q_ids = pdf[id_col].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_probe),
+                    "cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    assigned = items.select(id_col, vec_col).mapInPandas(
+        assign_kernel, schema="item_id long, cell int"
+    )
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_kernel, schema="query_id long, cell int"
+    )
+    it = items.select(
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).cast("array<double>").alias("iv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("item_id"))
+        .select("query_id", "item_id")
+        .distinct()
+    )
+    paired = cand.join(q, "query_id").join(it, "item_id")
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy())
+        b = np.stack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a) * np.einsum("ij,ij->i", b, b))
+        return pd.Series(num / den)
+
+    scored = paired.select("query_id", "item_id", _cos("qv", "iv").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("item_id").asc()
     )

@@ -248,3 +248,33 @@ def test_embedding_near_dups_lsh_matches_all_pairs(spark):
     assert got.keys() == exact.keys()
     for k, v in exact.items():
         assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_ivf_topk(spark):
+    """IVF coarse-quantizer ANN: probing ALL cells reproduces the exact
+    brute-force top-k; probing a fraction keeps high recall on the
+    fixture (deterministic seeded training)."""
+    from online_centrality_spark.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(emb.vec_id < 30)
+    want = {
+        (r.query_id, r.rank): r.item_id
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.item_id
+        for r in ivf_topk(
+            emb, queries, k=5, n_cells=16, n_probe=16
+        ).collect()
+    }
+    assert full == want  # n_probe == n_cells -> exact
+    part = {
+        (r.query_id, r.rank): r.item_id
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6).collect()
+    }
+    hit = sum(part.get(k) == v for k, v in want.items()) / len(want)
+    # random-ish 64-dim fixture has weak cluster structure: recall at
+    # 6/16 probes is ~0.5 (above the 0.375 probed-fraction baseline);
+    # deterministic seeds make this stable
+    assert hit >= 0.45, hit
