@@ -655,6 +655,28 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN with full probing (n_probe == n_cells):
+    candidates cover every cell, so the result is EXACTLY the
+    brute-force top-k and shares its oracle — the correctness gate for
+    the IVF plumbing (assignment, probing, candidate join, rank)."""
+    from online_centrality_spark.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    scored = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=16)
+    rounded = scored.select(
+        "query_id", "item_id", F.round("cosine", 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 def q_static_katz(spark, sf_dir):
     """B1: static Katz power series on the induced actor graph,
     oracle-checked against the series unrolled to a fixed term count in
@@ -758,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "weighted_kendall": q_weighted_kendall,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "static_katz": q_static_katz,
         "interval_labels": q_interval_labels,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1089,6 +1112,8 @@ ranked AS (
 )
 SELECT query_id, item_id, cosine, rank FROM ranked WHERE rank <= 5
 """
+    # full-probe IVF covers every cell -> identical to brute force
+    sqls["ann_ivf_topk"] = sqls["ann_topk"]
     sqls["interval_labels"] = """
 WITH daily AS (
   SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_index,
