@@ -124,6 +124,7 @@ class SuperstepDriver:
         resume: bool = False,
         batch_size: int = 1,
         persist_edges: bool = True,
+        static_distributed: bool = False,
     ) -> list[SnapshotInterval]:
         """``batch_size`` > 1 groups consecutive snapshot intervals so
         scan-path temporal measures advance B windows with one Spark job
@@ -133,7 +134,14 @@ class SuperstepDriver:
         ``persist_edges=False`` skips caching the bucketed edge frame —
         right when the source is a cheap columnar re-scan (parquet) and
         the run is batched (few passes over the edges), where the cache's
-        memory pressure costs more than the re-scans."""
+        memory pressure costs more than the re-scans.
+
+        ``static_distributed=True`` keeps static-measure score tables as
+        DataFrames end-to-end: per chunk, each static measure's
+        per-interval outputs are unioned and written through the same
+        partitioned distributed sink as the distributed-state online
+        measures (no ``toPandas()`` of scores) — the mode for node
+        spaces where a score table should never visit the driver."""
         online = online or []
         static = static or []
         key_col = "t" if time_type == "epoch" else "seq"
@@ -162,7 +170,11 @@ class SuperstepDriver:
         # distributed-state measures (scores stay DataFrames end-to-end)
         # ALWAYS take the batch path, whatever the chunk size
         dist = [m for m in online if getattr(m, "distributed", False)]
-        self._dist_only = bool(dist) and len(dist) == len(online) and not static
+        self._dist_only = (
+            bool(dist)
+            and len(dist) == len(online)
+            and (not static or static_distributed)
+        )
         for chunk in chunks:
             t_chunk = _time.time()
             batched = (
@@ -188,6 +200,9 @@ class SuperstepDriver:
                     # partitioned write for the whole chunk, no pandas
                     self._write_dist_scores(m, m.run_batch(cdf, intervals))
                     self._write_convergence(m, chunk[-1].interval_id)
+            if static_distributed and static:
+                for sm in static:
+                    self._write_static_dist(bucketed, sm, chunk)
             n_parts = bucketed.rdd.getNumPartitions()
             metric_rows = []
             for snap in chunk:
@@ -208,6 +223,8 @@ class SuperstepDriver:
                     out["measure"] = m.measure
                     rows.append(out)
                 for sm in static:
+                    if static_distributed:
+                        continue  # written per chunk via the dist sink
                     out = self._static_scores(bucketed, sm, i)
                     out["measure"] = sm.kind
                     out["param_id"] = sm.param_id
@@ -299,9 +316,9 @@ class SuperstepDriver:
             time_type=time_type,
         )
 
-    def _static_scores(
+    def _static_scores_df(
         self, bucketed: DataFrame, sm: StaticMeasure, i: int
-    ) -> pd.DataFrame:
+    ) -> DataFrame:
         if sm.lookback == 0:
             g = bucketed.filter(F.col("interval_id") <= i)
         else:
@@ -321,7 +338,46 @@ class SuperstepDriver:
             )
         else:
             raise ValueError(sm.kind)
-        return out.toPandas()
+        return out
+
+    def _static_scores(
+        self, bucketed: DataFrame, sm: StaticMeasure, i: int
+    ) -> pd.DataFrame:
+        return self._static_scores_df(bucketed, sm, i).toPandas()
+
+    def _write_static_dist(
+        self, bucketed: DataFrame, sm: StaticMeasure, chunk
+    ) -> None:
+        """Static scores as DataFrames end-to-end: one partitioned write
+        per (measure, chunk) — the chunk's per-interval score tables are
+        unioned (the iterative measures still run their own supersteps
+        eagerly; only the SINK changes).  Each StaticMeasure owns its own
+        ``dist_static/<param_id>`` subtree (param ids are unique where
+        measure kinds are not), so dynamic partition overwrite stays
+        idempotent per measure."""
+        frames = []
+        for snap in chunk:
+            i = snap.interval_id
+            frames.append(
+                self._static_scores_df(bucketed, sm, i).select(
+                    F.lit(sm.kind).alias("measure"),
+                    F.lit(sm.param_id).alias("param_id"),
+                    F.col("node_id").cast("long").alias("node_id"),
+                    F.col("score").cast("double").alias("score"),
+                    F.lit(i).alias("snapshot_id"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        (
+            out.repartition("snapshot_id")
+            .write.mode("overwrite")
+            .format(self.table_format)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("snapshot_id")
+            .save(str(self.out_dir / "dist_static" / sm.param_id))
+        )
 
     def _write_scores(self, rows: list[pd.DataFrame], i: int) -> None:
         frames = [r for r in rows if len(r)]
@@ -494,6 +550,14 @@ class SuperstepDriver:
                     str(dist_dir)
                 )
             )
+        st_dir = self.out_dir / "dist_static"
+        if st_dir.exists():
+            for child in sorted(st_dir.glob("*")):
+                parts.append(
+                    self.spark.read.option("basePath", str(child)).parquet(
+                        str(child)
+                    )
+                )
         if not parts:
             raise FileNotFoundError(f"no score outputs under {self.out_dir}")
         out = parts[0].select(*cols)

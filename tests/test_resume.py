@@ -123,3 +123,40 @@ def test_distributed_state_driver_parity_and_resume(spark, tmp_path):
     for k, v in want.items():
         assert got2[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
     edges_c.unpersist()
+
+
+def test_static_distributed_sink_matches_pandas(spark, tmp_path):
+    """static_distributed=True: static score tables never visit the
+    driver (unioned per chunk, partitioned distributed write) and
+    scores() returns exactly the pandas-mode result."""
+    from online_centrality_spark.plans.superstep import StaticMeasure
+
+    tr = transcripts_spark(spark, n_convs=20, max_turns=8, seed=5)
+    edges, nodes = edges_from_transcripts(tr)
+    edges = edges.persist()
+    t0 = edges.agg({"t": "min"}).collect()[0][0]
+    boundaries = [t0 + 2400 * (i + 1) for i in range(6)]
+    static = [
+        StaticMeasure("indeg", 0),
+        StaticMeasure("indeg", 2),
+        StaticMeasure("spr", 0),
+    ]
+
+    a = SuperstepDriver(spark, str(tmp_path / "pandas_mode"))
+    a.run(edges, boundaries, "epoch", static=static, batch_size=3)
+    b = SuperstepDriver(spark, str(tmp_path / "dist_mode"))
+    b.run(
+        edges, boundaries, "epoch", static=static, batch_size=3,
+        static_distributed=True,
+    )
+    want = {
+        (r.measure, r.param_id, r.snapshot_id, r.node_id): r.score
+        for r in a.scores().collect()
+    }
+    got = {
+        (r.measure, r.param_id, r.snapshot_id, r.node_id): r.score
+        for r in b.scores().collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, rel=1e-12, abs=1e-15), k
