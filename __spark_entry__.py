@@ -229,6 +229,52 @@ FROM gnodes g LEFT JOIN tot t ON g.node_id = t.node"""
     )
 
 
+def _temporal_pagerank_sql() -> str:
+    """C3 oracle: the Rozenshtein–Gionis per-edge recurrence
+    (reference ``temporal_pagerank.py:39-52``) folded over the full
+    ``seq``-ordered edge stream with DuckDB's ``list_reduce`` — a single
+    sequential fold in one expression, evaluated once (a recursive CTE
+    re-inlines the windowed edge CTE per iteration and is ~100x slower).
+    State vector ``v``: slots ``1..n`` = pr, ``n+1..2n`` = active mass.
+    Constant expressions mirror the engine kernel's precomputed
+    ``one_a = 1 - a``, ``ab = a*(1-b)``, ``one_b = 1 - b`` so the float
+    op order matches the per-closure fold bitwise (beta = 0.5 makes the
+    remaining reassociations exact halvings)."""
+    a = "CAST(0.85 AS DOUBLE)"
+    b = "CAST(0.5 AS DOUBLE)"
+    one_a = f"(1.0 - {a})"
+    one_b = f"(1.0 - {b})"
+    ab = f"({a} * (1.0 - {b}))"
+    msrc = "acc[len(acc)//2 + CAST(x[1] AS BIGINT) + 1]"
+    emit = f"({a} * ({msrc} + {one_a}))"
+    lam = f"""(acc, x) ->
+  list_transform(generate_series(1, len(acc)), j ->
+    CASE WHEN j*2 <= len(acc) THEN
+      CASE WHEN (j-1) = CAST(x[2] AS BIGINT) THEN acc[j] + {emit}
+           WHEN (j-1) = CAST(x[1] AS BIGINT) THEN acc[j] + {one_a}
+           ELSE acc[j] END
+    ELSE
+      CASE WHEN (j - len(acc)//2 - 1) = CAST(x[2] AS BIGINT) AND x[1] = x[2]
+             THEN acc[j] * (1.0 + {ab}) + {one_a} * {ab}
+           WHEN (j - len(acc)//2 - 1) = CAST(x[2] AS BIGINT)
+             THEN acc[j] + {one_b} * {emit}
+           WHEN (j - len(acc)//2 - 1) = CAST(x[1] AS BIGINT)
+             THEN acc[j] * {b}
+           ELSE acc[j] END
+    END)"""
+    return f"""
+WITH {EDGES_CTE.strip()}, {GNODES_CTE.strip()},
+el AS (SELECT coalesce(list(list_value(CAST(src AS DOUBLE), CAST(dst AS DOUBLE))
+                            ORDER BY seq), []) AS es FROM edges),
+init AS (SELECT list_transform(generate_series(1, 2 * (SELECT count(*) FROM gnodes)),
+                               z -> CAST(0 AS DOUBLE)) AS v0 FROM (SELECT 1)),
+fold AS (SELECT list_reduce(list_prepend(v0, es), {lam}) AS v FROM el, init)
+SELECT g.node_id, round(f.v[g.node_id + 1], 6) AS score
+FROM gnodes g, fold f
+WHERE f.v[g.node_id + 1] > 0
+"""
+
+
 def _cc_sql() -> str:
     ctes = [COS_EDGES_CTE.strip().rstrip(), SYM_CTE.strip()]
     ctes.append("l0 AS (SELECT node_id, node_id AS component FROM cnodes)")
@@ -412,16 +458,22 @@ def q_temporal_katz(spark, sf_dir):
 
 
 def q_temporal_pagerank(spark, sf_dir):
-    """Temporal PageRank (sequential recurrence — rows-only check)."""
-    from online_centrality_spark.operators.temporal_pagerank import TemporalPageRank
+    """Temporal PageRank via the distributed per-closure ordered fold
+    (the scale path; bitwise-identical to the reference's global per-edge
+    fold because closures are node-disjoint).  Oracle: the same
+    recurrence folded in DuckDB with ``list_reduce``."""
+    from online_centrality_spark.operators.temporal_katz_distributed import (
+        attach_closure_components,
+    )
+    from online_centrality_spark.operators.temporal_pagerank_distributed import (
+        DistributedTemporalPageRank,
+    )
 
-    edges, nodes = _event_edges(spark, sf_dir)
-    n_nodes = nodes.count()
-    tpr = TemporalPageRank([(0.85, 0.5)], n_nodes)
-    tpr.superstep(edges.withColumn("key", F.col("t").cast("double")))
-    out = tpr.readout()[["node_id", "score"]].copy()
-    out["score"] = out["score"].round(6)
-    return spark.createDataFrame(out)
+    edges, _ = _event_edges(spark, sf_dir)
+    e = attach_closure_components(edges.withColumn("key", F.col("t").cast("double")))
+    tpr = DistributedTemporalPageRank([(0.85, 0.5)])
+    out = tpr.run_batch(e, [(0, float("inf"), float("inf"))], readouts=True)
+    return out.select("node_id", F.round("score", 6).alias("score"))
 
 
 def q_static_pagerank(spark, sf_dir):
@@ -846,6 +898,7 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
 """
     sqls["static_katz"] = _static_katz_sql()
     sqls["temporal_katz"] = _temporal_katz_sql()
+    sqls["temporal_pagerank"] = _temporal_pagerank_sql()
     sqls["static_pagerank"] = _pagerank_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
