@@ -401,34 +401,36 @@ def q_decayed_indegree(spark, sf_dir):
     )
 
 
-def _ttk_scores(spark, sf_dir, k=2):
+def _ttk_scores(spark, sf_dir, k=2) -> DataFrame:
+    """Truncated temporal Katz read-outs as a DataFrame end-to-end (the
+    distributed per-closure walk kernel — no driver pandas bounce)."""
     from online_centrality_spark.functions.weights import ExponentialWeighter
-    from online_centrality_spark.operators.temporal_katz import TruncatedTemporalKatz
-
-    edges, nodes = _event_edges(spark, sf_dir)
-    n_nodes = nodes.count()
-    t_max = float(edges.agg(F.max("t")).collect()[0][0])
-    ttk = TruncatedTemporalKatz(
-        [(1.0, ExponentialWeighter(norm=NORM_US, base=0.5))], n_nodes, k=k, path="scan"
+    from online_centrality_spark.operators.temporal_katz_distributed import (
+        DistributedTruncatedTemporalKatz,
+        attach_closure_components,
     )
-    ttk.superstep(edges.withColumn("key", F.col("t").cast("double")), t_max)
-    return ttk.readout(t_max)
+
+    edges, _ = _event_edges(spark, sf_dir)
+    t_max = float(edges.agg(F.max("t")).collect()[0][0])
+    e = attach_closure_components(edges.withColumn("key", F.col("t").cast("double")))
+    ttk = DistributedTruncatedTemporalKatz(
+        [(1.0, ExponentialWeighter(norm=NORM_US, base=0.5))], k=k
+    )
+    return ttk.run_batch(e, [(0, t_max, t_max)], readouts=True)
 
 
 def q_truncated_katz_len1(spark, sf_dir):
     out = _ttk_scores(spark, sf_dir)
-    out = out[out["param_id"].str.endswith("length_limit_1")]
-    out = out[["node_id", "score"]].copy()
-    out["score"] = out["score"].round(6)
-    return spark.createDataFrame(out)
+    return out.filter(F.col("param_id").endswith("length_limit_1")).select(
+        "node_id", F.round("score", 6).alias("score")
+    )
 
 
 def q_truncated_katz_len2(spark, sf_dir):
     out = _ttk_scores(spark, sf_dir)
-    out = out[out["param_id"].str.endswith("length_limit_2")]
-    out = out[["node_id", "score"]].copy()
-    out["score"] = out["score"].round(6)
-    return spark.createDataFrame(out)
+    return out.filter(F.col("param_id").endswith("length_limit_2")).select(
+        "node_id", F.round("score", 6).alias("score")
+    )
 
 
 def q_temporal_katz(spark, sf_dir):
