@@ -275,6 +275,60 @@ WHERE f.v[g.node_id + 1] > 0
 """
 
 
+def _dedup_clusters_sql() -> str:
+    """Dedup end stage: n-gram Jaccard pairs (same CTEs as the
+    ``ngram_jaccard`` oracle) -> unrolled hash-min components over ALL
+    documents (singletons stay their own cluster) -> canonical doc =
+    minimum id, i.e. ``keep = (doc_id = cluster)``."""
+    grams2 = (
+        f"list_distinct(list_transform(range(1, greatest(len({DOC_TOKENS}) - 0, 1)), "
+        f"i -> array_to_string(list_slice({DOC_TOKENS}, i, i + 1), ' ')))"
+    )
+    ctes = [
+        f"""sh AS (
+  SELECT doc_id, unnest({grams2}) AS gram FROM documents
+),
+hs AS (SELECT doc_id, {PORTABLE_HASH.format(s="gram")} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM hs a JOIN hs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+dpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+),
+dsym AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM dpairs UNION
+  SELECT doc_b AS a, doc_a AS b FROM dpairs
+)""",
+        "c0 AS (SELECT doc_id, doc_id AS component FROM documents)",
+    ]
+    for i in range(1, CC_ROUNDS + 1):
+        p, c = f"c{i - 1}", f"c{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT l.doc_id,
+         least(l.component, coalesce(m.nbr_min, l.component)) AS component
+  FROM {p} l LEFT JOIN (
+    SELECT s.b AS doc_id, min(l2.component) AS nbr_min
+    FROM dsym s JOIN {p} l2 ON s.a = l2.doc_id GROUP BY s.b
+  ) m ON l.doc_id = m.doc_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, component AS cluster,
+       CAST(doc_id = component AS INT) AS keep
+FROM c{CC_ROUNDS}"""
+    )
+
+
 def _cc_sql() -> str:
     ctes = [COS_EDGES_CTE.strip().rstrip(), SYM_CTE.strip()]
     ctes.append("l0 AS (SELECT node_id, node_id AS component FROM cnodes)")
@@ -635,6 +689,17 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup end stage over the documents table: n-gram Jaccard pairs ->
+    connected components (large-star/small-star) -> one canonical doc
+    per cluster (broadcast label join; singletons keep themselves)."""
+    from online_centrality_spark.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+    return dedup_clusters(docs, pairs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     from online_centrality_spark.dedup.minhash import minhash_signatures
 
@@ -828,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
@@ -1083,6 +1149,7 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
 """
+    sqls["dedup_clusters"] = _dedup_clusters_sql()
     gram_hash_i = PORTABLE_HASH.format(s="gram || '#' || CAST(i AS VARCHAR)")
     sqls["minhash_signatures"] = f"""
 WITH sh AS (

@@ -3,8 +3,10 @@ from .minhash import minhash_lsh_candidates, minhash_signatures
 from .ngram import ngram_jaccard_pairs, shingles
 from .simhash import simhash_fingerprints, simhash_near_dups
 from .embedding import embedding_near_dups, embedding_near_dups_lsh
+from .clusters import dedup_clusters
 
 __all__ = [
+    "dedup_clusters",
     "exact_dedup",
     "exact_duplicate_groups",
     "shingles",

@@ -8,6 +8,7 @@ import pandas as pd
 import pytest
 
 from online_centrality_spark.dedup import (
+    dedup_clusters,
     embedding_near_dups,
     exact_dedup,
     exact_duplicate_groups,
@@ -278,3 +279,31 @@ def test_ivf_topk(spark):
     # 6/16 probes is ~0.5 (above the 0.375 probed-fraction baseline);
     # deterministic seeds make this stable
     assert hit >= 0.45, hit
+
+
+def test_dedup_clusters(spark, docs_df):
+    """Pairs -> transitive clusters -> canonical doc = min id; singletons
+    keep themselves.  Chain 0-1 (exact dup) + 1-2 (near dup) must merge
+    into ONE cluster even though (0, 2) alone is below the threshold."""
+    pairs = ngram_jaccard_pairs(docs_df, n=2, threshold=0.4)
+    got = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_clusters(docs_df, pairs).collect()
+    }
+    assert len(got) == 7
+    # 0-1 jaccard = 1.0; 1-2 above 0.4; 0-2 transitive via 1
+    assert got[0] == (0, 1) and got[1] == (0, 0) and got[2] == (0, 0)
+    # 6 is a token permutation of 3: bigram jaccard 0.75 -> same cluster
+    assert got[3] == (3, 1) and got[6] == (3, 0)
+    # singletons are their own cluster and kept
+    for d in (4, 5):
+        assert got[d] == (d, 1), (d, got[d])
+    # a custom pair frame with extra columns and different names
+    extra = spark.createDataFrame(
+        pd.DataFrame({"left": [3], "right": [6], "score": [0.9]})
+    )
+    got2 = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_clusters(docs_df, extra, pair_cols=("left", "right")).collect()
+    }
+    assert got2[3] == (3, 1) and got2[6] == (3, 0)
