@@ -681,6 +681,31 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing under a 256-token budget (two-phase
+    distributed prefix sum — range buckets, partial sums, per-bucket
+    windows; no global-ordered partition anywhere)."""
+    from online_centrality_spark.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing: per-language
+    keep rates over md5-hash buckets — identical keep set in Spark,
+    DuckDB, and any rerun."""
+    from online_centrality_spark.text import hash_sample, language_id
+
+    docs = language_id(_t(spark, sf_dir, "documents"))
+    kept = hash_sample(
+        docs,
+        fraction=0.2,
+        stratum_col="lang_pred",
+        fractions={"en": 0.5, "de": 1.0},
+    )
+    return kept.select("doc_id", "lang_pred")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from online_centrality_spark.dedup.ngram import ngram_jaccard_pairs
 
@@ -894,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "hash_sample": q_hash_sample,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
@@ -1118,6 +1145,43 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
     ELSE 'unknown'
   END AS lang_pred
 FROM h
+"""
+    sqls["pack_sequences"] = """
+WITH tc AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+    '[a-z0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+  FROM tc
+)
+SELECT doc_id, n_tokens, prev // 256 AS bin, prev % 256 AS bin_offset
+FROM c
+"""
+    id_hash = PORTABLE_HASH.format(s="CAST(doc_id AS VARCHAR)")
+    sqls["hash_sample"] = f"""
+WITH h AS (SELECT doc_id, text,
+  {hit_cols}
+FROM documents),
+lang AS (
+  SELECT doc_id,
+    CASE
+      WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+      WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+      WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+      WHEN hits_es > 0 THEN 'es'
+      ELSE 'unknown'
+    END AS lang_pred
+  FROM h
+)
+SELECT doc_id, lang_pred
+FROM lang
+WHERE ({id_hash}) % 1000000 <
+      CASE lang_pred WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                     ELSE 200000 END
 """
     norm_text = (
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"

@@ -4,5 +4,13 @@ from .analysis import (
     quality_score,
     token_count,
 )
+from .packing import hash_sample, pack_sequences
 
-__all__ = ["token_count", "quality_score", "language_id", "document_fingerprint"]
+__all__ = [
+    "token_count",
+    "quality_score",
+    "language_id",
+    "document_fingerprint",
+    "pack_sequences",
+    "hash_sample",
+]

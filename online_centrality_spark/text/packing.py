@@ -1,0 +1,152 @@
+"""Training-batch construction operators: sequence packing + sampling.
+
+``pack_sequences`` assigns every document to a training bin under a
+token budget with the standard greedy-sequential rule (fill bins in
+deterministic id order; a document whose tokens straddle a boundary
+starts the next bin's straddle — documents are never split). The global
+running token offset it needs is a classic distributed prefix sum, done
+in two phases so NO stage ever sees a single global-ordered partition:
+
+1. range-bucket the ids (``width_bucket``-style affine map over the id
+   span, order-preserving), aggregate one partial token sum per bucket,
+2. turn the tiny per-bucket partial frame into running start offsets
+   (a window over B rows, B = O(parallelism), driver-scale by design),
+   broadcast it back, and finish with a per-bucket ordered window
+   cumsum — every bucket's window runs in parallel.
+
+At 100 TB the only shuffles are the per-bucket partial aggregation
+(map-side combined to B rows) and the bucket-partitioned window sort;
+there is no global sort and no single-task window.
+
+``hash_sample`` is deterministic stratified sampling for data mixing:
+keep a document iff ``portable_hash(id) mod 1e6 < fraction * 1e6``,
+with an optional per-stratum fraction map (e.g. per language). The
+md5-based hash evaluates identically in Spark SQL and DuckDB, so
+sampling decisions are exactly reproducible across engines and runs —
+no RNG, no seed drift, rerunning a 100 TB sweep keeps the same docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dedup.common import portable_hash
+from .analysis import token_count
+
+#: modulus for the deterministic sampling decision
+SAMPLE_MOD = 1_000_000
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """(id_col, n_tokens, bin, bin_offset) — greedy sequential packing.
+
+    ``bin = floor(prev / budget)`` and ``bin_offset = prev - bin*budget``
+    where ``prev`` is the running token count of all lower-id documents.
+    ``tokens_col`` may name a precomputed length column; otherwise the
+    engine's ``token_count`` (BPE-ish regex) supplies it.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if tokens_col is None:
+        counted = token_count(docs, text_col=text_col)
+        tokens_col = "n_tokens"
+    else:
+        counted = docs.withColumn("n_tokens", F.col(tokens_col).cast("long"))
+        tokens_col = "n_tokens"
+    counted = counted.select(
+        F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens")
+    )
+
+    bounds = counted.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return counted.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("bin_offset"),
+        ).limit(0)
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    spark = docs.sparkSession
+    nb = num_buckets or spark.sparkContext.defaultParallelism * 4
+    span = hi - lo + 1
+    nb = max(1, min(nb, span))
+    # order-preserving affine bucket map: ids in bucket b all sort below
+    # ids in bucket b+1 (integer DIV — no double rounding on wide spans)
+    bucket = F.expr(
+        f"CAST((CAST({id_col} AS BIGINT) - {lo}) * {nb} DIV {span} AS BIGINT)"
+    )
+    bucketed = counted.withColumn("_bucket", bucket)
+
+    partials = bucketed.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_bucket_sum")
+    )
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # B = O(parallelism) rows: the single-partition window here is on the
+    # tiny partials frame, never on the corpus
+    offsets = partials.select(
+        "_bucket",
+        (F.sum("_bucket_sum").over(w_off) - F.col("_bucket_sum")).alias(
+            "_bucket_start"
+        ),
+    )
+
+    w_local = Window.partitionBy("_bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = (
+        F.sum("n_tokens").over(w_local) - F.col("n_tokens") + F.col("_bucket_start")
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_prev", prev)
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(F.col("_prev") / budget).cast("long").alias("bin"),
+            (F.col("_prev") % budget).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float | None = None,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic (re-runnable) sampling of ``docs``.
+
+    Uniform: ``hash_sample(docs, 0.1)`` keeps ~10% of documents, the
+    SAME documents every run. Stratified: ``hash_sample(docs,
+    stratum_col="lang_pred", fractions={"en": 0.5, "de": 1.0})`` applies
+    a per-stratum rate (strata absent from the map keep ``fraction`` if
+    given, else 0 — explicit mixing weights only).
+    """
+    h = portable_hash(F.col(id_col).cast("string")) % SAMPLE_MOD
+    if fractions is not None:
+        if stratum_col is None:
+            raise ValueError("fractions requires stratum_col")
+        default = F.lit(int((fraction or 0.0) * SAMPLE_MOD))
+        cut = default
+        for k, v in sorted(fractions.items()):
+            cut = F.when(
+                F.col(stratum_col) == F.lit(k), F.lit(int(v * SAMPLE_MOD))
+            ).otherwise(cut)
+    elif fraction is not None:
+        cut = F.lit(int(fraction * SAMPLE_MOD))
+    else:
+        raise ValueError("need fraction or fractions")
+    return docs.filter(h < cut)

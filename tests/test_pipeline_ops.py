@@ -307,3 +307,72 @@ def test_dedup_clusters(spark, docs_df):
         for r in dedup_clusters(docs_df, extra, pair_cols=("left", "right")).collect()
     }
     assert got2[3] == (3, 1) and got2[6] == (3, 0)
+
+
+def test_pack_sequences(spark):
+    from online_centrality_spark.text import pack_sequences
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(f"w{j}" for j in range(int(n)))
+        for n in rng.integers(1, 40, size=60)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(100, 160), "text": texts})
+    docs = spark.createDataFrame(pdf).repartition(7)
+    budget = 64
+    got = (
+        pack_sequences(docs, budget=budget, num_buckets=5)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # python reference: greedy sequential fill in id order
+    n_tok = {i: len(re.findall(r"[a-z0-9]+|[^a-z0-9\s]+", t.lower()))
+             for i, t in zip(pdf["doc_id"], pdf["text"])}
+    prev = 0
+    for r in got.itertuples():
+        assert r.n_tokens == n_tok[r.doc_id]
+        assert r.bin == prev // budget
+        assert r.bin_offset == prev % budget
+        prev += r.n_tokens
+    # bucketing is an internal detail: same result at any bucket count
+    got1 = (
+        pack_sequences(docs, budget=budget, num_buckets=1)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got1)
+
+
+def test_hash_sample(spark, docs_df):
+    from online_centrality_spark.dedup.common import portable_hash
+    from online_centrality_spark.text import hash_sample
+
+    # uniform: decision is a pure function of the id
+    kept = {r["doc_id"] for r in hash_sample(docs_df, 0.5).collect()}
+    want = {
+        i for i, _ in DOCS if py_hash(str(i)) % 1_000_000 < 500_000
+    }
+    assert kept == want
+    # rerun => identical keep set
+    assert {r["doc_id"] for r in hash_sample(docs_df, 0.5).collect()} == kept
+    # stratified: per-stratum cutoffs, default applies to unlisted strata
+    from pyspark.sql import functions as F
+
+    with_lang = docs_df.withColumn(
+        "s", F.when(F.col("doc_id") < 3, "a").otherwise("b")
+    )
+    got = {
+        r["doc_id"]
+        for r in hash_sample(
+            with_lang, fraction=0.0, stratum_col="s", fractions={"a": 1.0}
+        ).collect()
+    }
+    assert got == {0, 1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_sample(docs_df)
+    with _pytest.raises(ValueError):
+        hash_sample(docs_df, fractions={"a": 1.0})
