@@ -681,6 +681,27 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation transcript profile (events: user_id = conv,
+    event_type = actor) — one map-side-combinable groupBy."""
+    from online_centrality_spark.sources import conversation_stats
+
+    return conversation_stats(
+        _t(spark, sf_dir, "events"),
+        conv_col="user_id",
+        actor_col="event_type",
+        ts_col="ts",
+        tool_col=None,
+    ).select(
+        F.col("user_id").alias("conv_id"),
+        "n_turns",
+        "n_actors",
+        "t_first_us",
+        "t_last_us",
+        "duration_us",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing under a 256-token budget (two-phase
     distributed prefix sum — range buckets, partial sums, per-bucket
@@ -921,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "hash_sample": q_hash_sample,
+        "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
@@ -1145,6 +1167,15 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
     ELSE 'unknown'
   END AS lang_pred
 FROM h
+"""
+    sqls["conversation_stats"] = """
+SELECT user_id AS conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT event_type) AS n_actors,
+       min(epoch_us(ts)) AS t_first_us,
+       max(epoch_us(ts)) AS t_last_us,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM events GROUP BY user_id
 """
     sqls["pack_sequences"] = """
 WITH tc AS (

@@ -173,6 +173,21 @@ def main():
         "distributed TPR fold)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # apples-to-apples subtotal over the round-1 query set (the
+        # heavy replay rows were added in round 2; comparing totals
+        # across rounds must not read suite growth as regression)
+        "value_r01_subset": round(
+            sum(
+                timings.get(q, 0.0)
+                for q in (
+                    "tk_superstep_walk", "edge_induction", "decayed_indegree",
+                    "static_pagerank30", "connected_components",
+                    "triangle_counts", "minhash_lsh", "ann_lsh_topk",
+                    "ngram_jaccard",
+                )
+            ),
+            3,
+        ),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),

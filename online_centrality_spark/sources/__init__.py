@@ -1,8 +1,13 @@
 from .edges import add_global_seq, edges_from_events, edges_from_transcripts
-from .transcripts import generate_transcripts, read_transcripts
+from .transcripts import (
+    conversation_stats,
+    generate_transcripts,
+    read_transcripts,
+)
 
 __all__ = [
     "generate_transcripts",
+    "conversation_stats",
     "read_transcripts",
     "edges_from_transcripts",
     "edges_from_events",

@@ -120,3 +120,36 @@ def read_transcripts(spark, source: str, fmt: str | None = None):
     if missing:
         raise ValueError(f"transcript source {source!r} missing columns {sorted(missing)}")
     return df
+
+
+def conversation_stats(
+    turns,
+    conv_col: str = "conv_id",
+    actor_col: str = "role",
+    ts_col: str = "ts",
+    tool_col: str | None = "tool",
+):
+    """Per-conversation profile: ``(conv_col, n_turns, n_actors,
+    t_first_us, t_last_us, duration_us[, n_tool_turns])``.
+
+    One partial-aggregating ``groupBy`` over the conversation key — at
+    transcript scale conversations are numerous and individually small,
+    so the map-side combine collapses nearly all rows before the
+    shuffle; the exact distinct-actor count rides the same shuffle via
+    Spark's expand rewrite (actor cardinality is a tiny enum).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct(F.col(actor_col)).alias("n_actors"),
+        F.min(t).alias("t_first_us"),
+        F.max(t).alias("t_last_us"),
+        (F.max(t) - F.min(t)).alias("duration_us"),
+    ]
+    if tool_col is not None and tool_col in turns.columns:
+        aggs.append(
+            F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_turns")
+        )
+    return turns.groupBy(F.col(conv_col)).agg(*aggs)

@@ -78,3 +78,18 @@ def test_add_global_seq_total_order(spark):
     df = spark.createDataFrame(pdf)
     out = add_global_seq(df, ["a"]).toPandas().sort_values("a")
     assert out["seq"].tolist() == list(range(1, 11))
+
+
+def test_conversation_stats(spark, fixture_pair):
+    from online_centrality_spark.sources import conversation_stats
+
+    pdf, df = fixture_pair
+    got = conversation_stats(df).toPandas().set_index("conv_id")
+    for conv, g in pdf.groupby("conv_id"):
+        r = got.loc[conv]
+        assert r["n_turns"] == len(g)
+        assert r["n_actors"] == g["role"].nunique()
+        us = g["ts"].astype("int64") // 1000  # ns -> us
+        assert r["t_first_us"] == us.min() and r["t_last_us"] == us.max()
+        assert r["duration_us"] == us.max() - us.min()
+        assert r["n_tool_turns"] == g["tool"].notna().sum()
