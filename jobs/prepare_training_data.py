@@ -1,0 +1,136 @@
+"""spark-submit entry point: end-to-end training-data preparation.
+
+The full corpus-prep pipeline the engine's pipeline operators exist
+for, composed as ONE DataFrame program (launch with --py-files exactly
+like jobs/replay_job.py):
+
+    documents
+      -> exact dedup        (content fingerprint, keep min id)
+      -> near-dup clusters  (n-gram Jaccard or MinHash-LSH pairs ->
+                             connected components -> canonical doc)
+      -> quality/language   (JVM column expressions)
+      -> stratified sample  (deterministic md5-bucket keep rates)
+      -> sequence packing   (token-budget bins, distributed prefix sum)
+      -> partitioned parquet sink (bin_group=<bin // bins_per_file>)
+
+Every stage is a column expression, hash aggregation, bucketed
+self-join, or broadcast join — the only corpus-wide shuffles are the
+dedup bucket joins and the packing range-bucket exchange. Prints one
+JSON metrics line.
+
+    spark-submit --master local[8] \
+        --py-files dist/online_centrality_spark.zip \
+        jobs/prepare_training_data.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/corpus_out
+"""
+
+import argparse
+import json
+import time
+
+
+def build_pipeline(
+    spark,
+    docs,
+    pair_method: str = "ngram",
+    jaccard_threshold: float = 0.5,
+    sample_rates: dict | None = None,
+    default_rate: float = 1.0,
+    budget: int = 512,
+):
+    """Return (kept_docs, packed) DataFrames for the prep pipeline."""
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from online_centrality_spark.text import (
+        hash_sample,
+        language_id,
+        pack_sequences,
+        quality_score,
+    )
+    from online_centrality_spark.text.analysis import document_fingerprint
+
+    # 1. exact dedup on the content fingerprint (min id per group kept)
+    fp = document_fingerprint(docs).select("doc_id", "fingerprint")
+    keep_exact = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    docs1 = docs.join(
+        F.broadcast(keep_exact.select("doc_id")), "doc_id", "left_semi"
+    )
+
+    # 2. near-dup clustering -> canonical docs only
+    if pair_method == "ngram":
+        pairs = ngram_jaccard_pairs(docs1, n=2, threshold=jaccard_threshold)
+    elif pair_method == "minhash":
+        pairs = minhash_lsh_candidates(docs1, k=16, num_bands=4)
+    else:
+        raise ValueError(f"unknown pair_method {pair_method!r}")
+    clustered = dedup_clusters(docs1, pairs)
+    docs2 = docs1.join(
+        F.broadcast(clustered.filter(F.col("keep") == 1).select("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 3. language + quality annotation (pure JVM expressions)
+    annotated = language_id(docs2).join(
+        quality_score(docs2).select("doc_id", "quality"), "doc_id"
+    )
+
+    # 4. deterministic stratified sampling (data mixing)
+    sampled = hash_sample(
+        annotated,
+        fraction=default_rate,
+        stratum_col="lang_pred",
+        fractions=sample_rates or {},
+    )
+
+    # 5. token-budget sequence packing
+    packed = pack_sequences(sampled, budget=budget)
+    return sampled, packed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--pair-method", choices=["ngram", "minhash"], default="ngram")
+    ap.add_argument("--budget", type=int, default=512)
+    ap.add_argument("--bins-per-file", type=int, default=1024)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("prepare_training_data").getOrCreate()
+    t0 = time.time()
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    sampled, packed = build_pipeline(spark, docs, pair_method=args.pair_method,
+                                     budget=args.budget)
+    out = (
+        sampled.select("doc_id", "text", "lang_pred", "quality")
+        .join(packed, "doc_id")
+        .withColumn(
+            "bin_group", (F.col("bin") / args.bins_per_file).cast("long")
+        )
+    )
+    out.write.mode("overwrite").partitionBy("bin_group").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    n_out = written.count()
+    print(
+        json.dumps(
+            {
+                "job": "prepare_training_data",
+                "n_in": docs.count(),
+                "n_out": n_out,
+                "n_bins": written.agg(F.countDistinct("bin")).collect()[0][0],
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

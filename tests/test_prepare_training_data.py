@@ -1,0 +1,81 @@
+"""End-to-end training-data preparation job over the sf0.001 corpus."""
+
+import re
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from jobs.prepare_training_data import build_pipeline  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 128
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled, packed = build_pipeline(
+        spark,
+        docs,
+        jaccard_threshold=0.5,
+        sample_rates={"en": 0.9},
+        default_rate=0.7,
+        budget=BUDGET,
+    )
+    return docs, sampled.toPandas(), packed.toPandas()
+
+
+def test_dedup_invariants(spark, pipeline_out):
+    docs, sampled, packed = pipeline_out
+    assert 0 < len(sampled) <= docs.count()
+    texts = (
+        docs.join(
+            spark.createDataFrame(sampled[["doc_id"]]), "doc_id", "left_semi"
+        )
+        .select("doc_id", "text")
+        .toPandas()
+    )
+
+    def norm(t):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    normed = texts["text"].map(norm)
+    assert normed.nunique() == len(texts), "exact dups survived"
+
+    # no kept pair with bigram jaccard >= threshold
+    def grams(t):
+        toks = re.findall("[a-z0-9]+", t.lower())
+        return {" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))}
+
+    gs = dict(zip(texts["doc_id"], texts["text"].map(grams)))
+    ids = sorted(gs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(gs[a] & gs[b])
+            if inter:
+                j = inter / len(gs[a] | gs[b])
+                assert j < 0.5, (a, b, j)
+
+
+def test_packing_matches_python_reference(pipeline_out):
+    _, sampled, packed = pipeline_out
+    assert set(packed["doc_id"]) == set(sampled["doc_id"])
+    p = packed.sort_values("doc_id").reset_index(drop=True)
+    prev = 0
+    for r in p.itertuples():
+        assert r.bin == prev // BUDGET
+        assert r.bin_offset == prev % BUDGET
+        prev += r.n_tokens
+
+
+def test_sampling_is_stratified(pipeline_out):
+    _, sampled, _ = pipeline_out
+    # decision must be the documented pure function of the id
+    import hashlib
+
+    for r in sampled.itertuples():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
+        cut = 900_000 if r.lang_pred == "en" else 700_000
+        assert h < cut, (r.doc_id, r.lang_pred)
