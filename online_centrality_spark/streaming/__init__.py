@@ -1,6 +1,7 @@
 from .replay import StreamingDistributedReplay
 from .stream import (
     stream_edge_induction,
+    streaming_exact_dedup,
     windowed_decayed_indegree,
     windowed_edge_counts,
 )
@@ -8,6 +9,7 @@ from .stream import (
 __all__ = [
     "StreamingDistributedReplay",
     "stream_edge_induction",
+    "streaming_exact_dedup",
     "windowed_decayed_indegree",
     "windowed_edge_counts",
 ]

@@ -204,3 +204,29 @@ def windowed_decayed_indegree(
     return with_ts.groupBy(win.alias("snapshot"), F.col("dst_actor")).agg(
         F.sum("_decayed").alias("decayed_indegree")
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen doc per content fingerprint.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per normalized-text
+    fingerprint while the watermark bounds the dedup state — the
+    streaming half of the batch exact-dedup stage.  State for a
+    fingerprint is purged once its event time falls behind the
+    watermark horizon, so a duplicate arriving later than ``watermark``
+    can re-emit: the standard bounded-state/at-least-once trade for
+    dedup over an unbounded stream (the batch ``dedup_exact`` pass
+    downstream stays exact).
+    """
+    from ..text.analysis import document_fingerprint
+
+    return (
+        document_fingerprint(docs, text_col=text_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )

@@ -222,3 +222,41 @@ def test_streaming_distributed_replay_matches_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12), k
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    from online_centrality_spark.streaming import streaming_exact_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    base = pd.Timestamp("2024-01-01")
+    mk = lambda i, t, s: (i, t, base + pd.Timedelta(seconds=s))
+    # batch 1: two distinct texts + an in-batch duplicate
+    b1 = pd.DataFrame(
+        [mk(0, "alpha beta gamma", 0), mk(1, "delta epsilon", 10),
+         mk(2, "Alpha  beta gamma!", 20)],  # normalizes equal to doc 0
+        columns=["doc_id", "text", "ts"],
+    )
+    # batch 2 (later file): cross-batch duplicate + a new text
+    b2 = pd.DataFrame(
+        [mk(3, "delta epsilon", 30), mk(4, "zeta eta", 40)],
+        columns=["doc_id", "text", "ts"],
+    )
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_exact_dedup(stream_in, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_sink").toPandas()
+    # one row per fingerprint; 2 and 3 are dups (in-batch and cross-batch)
+    assert sorted(got["doc_id"]) in ([0, 1, 4], [1, 2, 4], [0, 3, 4], [2, 3, 4])
+    assert got["fingerprint"].nunique() == 3
