@@ -275,6 +275,40 @@ WHERE f.v[g.node_id + 1] > 0
 """
 
 
+def _harmonic_sql(rounds: int = 4) -> str:
+    """C7 oracle: all-pairs shortest paths by min-plus doubling —
+    ``rounds`` doublings cover any diameter up to ``2^rounds`` (the
+    actor graph's diameter is tiny); harmonic(v) = sum over reachable
+    u != v of 1/d(u -> v).  Self-loop edges never shorten a path and
+    d(v, v) = 0 is excluded, so they are dropped up front."""
+    ctes = [
+        EDGES_CTE.strip(),
+        GNODES_CTE.strip(),
+        "h0 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM "
+        "(SELECT DISTINCT src, dst FROM edges WHERE src <> dst))",
+    ]
+    for i in range(1, rounds + 1):
+        p, c = f"h{i - 1}", f"h{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {p}
+    UNION ALL
+    SELECT a.src, b.dst, a.d + b.d
+    FROM {p} a JOIN {p} b ON a.dst = b.src WHERE a.src <> b.dst
+  ) u GROUP BY src, dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+hsum AS (SELECT dst AS node_id, sum(1.0 / d) AS h FROM h{rounds} GROUP BY dst)
+SELECT g.node_id, round(coalesce(s.h, 0.0), 6) AS score
+FROM gnodes g LEFT JOIN hsum s ON g.node_id = s.node_id"""
+    )
+
+
 def _dedup_clusters_sql() -> str:
     """Dedup end stage: n-gram Jaccard pairs (same CTEs as the
     ``ngram_jaccard`` oracle) -> unrolled hash-min components over ALL
@@ -543,6 +577,16 @@ def q_static_pagerank(spark, sf_dir):
     )
     pr = static_pagerank(e, alpha=0.85, max_iter=PR_ITERS, tol=0.0, strict=False)
     return pr.select("node_id", F.round("score", 9).alias("score"))
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """C7: harmonic centrality (incoming shortest paths, dedup digraph)
+    over the event-induced actor graph."""
+    from online_centrality_spark.operators.harmonic import harmonic_centrality
+
+    edges, _ = _event_edges(spark, sf_dir)
+    hc = harmonic_centrality(edges.select("src", "dst"))
+    return hc.select("node_id", F.round("score", 6).alias("score"))
 
 
 def q_connected_components(spark, sf_dir):
@@ -924,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_katz": q_temporal_katz,
         "temporal_pagerank": q_temporal_pagerank,
         "static_pagerank": q_static_pagerank,
+        "harmonic_centrality": q_harmonic_centrality,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangle_counts,
@@ -1016,6 +1061,7 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
     sqls["static_katz"] = _static_katz_sql()
     sqls["temporal_katz"] = _temporal_katz_sql()
     sqls["temporal_pagerank"] = _temporal_pagerank_sql()
+    sqls["harmonic_centrality"] = _harmonic_sql()
     sqls["static_pagerank"] = _pagerank_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
