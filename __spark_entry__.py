@@ -275,18 +275,27 @@ WHERE f.v[g.node_id + 1] > 0
 """
 
 
-def _harmonic_sql(rounds: int = 4) -> str:
-    """C7 oracle: all-pairs shortest paths by min-plus doubling —
-    ``rounds`` doublings cover any diameter up to ``2^rounds`` (the
-    actor graph's diameter is tiny); harmonic(v) = sum over reachable
-    u != v of 1/d(u -> v).  Self-loop edges never shorten a path and
-    d(v, v) = 0 is excluded, so they are dropped up front."""
-    ctes = [
-        EDGES_CTE.strip(),
-        GNODES_CTE.strip(),
-        "h0 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM "
-        "(SELECT DISTINCT src, dst FROM edges WHERE src <> dst))",
-    ]
+def _harmonic_sql(rounds: int = 4, weighted: bool = False) -> str:
+    """C7/C8 oracle: all-pairs shortest paths by min-plus doubling —
+    ``rounds`` doublings cover any path of up to ``2^rounds`` edges
+    (positive weights => simple shortest paths => n-1 edges suffice);
+    harmonic(v) = sum over reachable u != v of 1/d(u -> v).  Self-loop
+    edges never shorten a path and d(v, v) = 0 is excluded, so they are
+    dropped up front.  The weighted variant uses the same deterministic
+    id-derived integer weights as ``q_weighted_harmonic`` with
+    min-weight dedup of parallel edges (the engine's rule)."""
+    if weighted:
+        h0 = (
+            "h0 AS MATERIALIZED (SELECT src, dst, min(w) AS d FROM "
+            "(SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 5 AS DOUBLE) AS w "
+            "FROM edges WHERE src <> dst) u GROUP BY src, dst)"
+        )
+    else:
+        h0 = (
+            "h0 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM "
+            "(SELECT DISTINCT src, dst FROM edges WHERE src <> dst))"
+        )
+    ctes = [EDGES_CTE.strip(), GNODES_CTE.strip(), h0]
     for i in range(1, rounds + 1):
         p, c = f"h{i - 1}", f"h{i}"
         ctes.append(
@@ -586,6 +595,24 @@ def q_harmonic_centrality(spark, sf_dir):
 
     edges, _ = _event_edges(spark, sf_dir)
     hc = harmonic_centrality(edges.select("src", "dst"))
+    return hc.select("node_id", F.round("score", 6).alias("score"))
+
+
+def q_weighted_harmonic(spark, sf_dir):
+    """C8: weighted-distance harmonic centrality (nx ``distance=``
+    parity) — deterministic integer edge weights derived from the
+    endpoint ids so both engines see the identical weighted graph."""
+    from online_centrality_spark.operators.harmonic import harmonic_centrality
+
+    edges, _ = _event_edges(spark, sf_dir)
+    weighted = edges.select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 7 + F.col("dst") * 13) % 5)
+        .cast("double")
+        .alias("w"),
+    )
+    hc = harmonic_centrality(weighted, weight_col="w")
     return hc.select("node_id", F.round("score", 6).alias("score"))
 
 
@@ -969,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_pagerank": q_temporal_pagerank,
         "static_pagerank": q_static_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
+        "weighted_harmonic": q_weighted_harmonic,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "triangle_counts": q_triangle_counts,
@@ -1062,6 +1090,7 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
     sqls["temporal_katz"] = _temporal_katz_sql()
     sqls["temporal_pagerank"] = _temporal_pagerank_sql()
     sqls["harmonic_centrality"] = _harmonic_sql()
+    sqls["weighted_harmonic"] = _harmonic_sql(weighted=True)
     sqls["static_pagerank"] = _pagerank_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
