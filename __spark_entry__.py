@@ -658,6 +658,40 @@ def q_measure_correlation(spark, sf_dir):
     )
 
 
+def q_kendall_tau(spark, sf_dir):
+    """V5: Kendall tau-b (tie-corrected) between decayed indegree and
+    truncated Katz over the aligned actor score lists."""
+    from online_centrality_spark.evaluation.correlation import corr_kendall
+
+    a = q_decayed_indegree(spark, sf_dir)
+    b = q_truncated_katz_len1(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(float(corr_kendall(a, b)), 6),)], ["kendall"]
+    )
+
+
+def q_recall_precision(spark, sf_dir):
+    """V9: precision@3 / recall@3 of the decayed-indegree top list
+    against binary relevance from static indegree (> 0.999 rule,
+    binary_eval_computer.py:12,27)."""
+    from online_centrality_spark.evaluation.ranking import (
+        precision_at_k,
+        recall_at_k,
+    )
+
+    labels = q_indegree_total(spark, sf_dir)
+    pred = q_decayed_indegree(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                round(precision_at_k(labels, pred, 3), 6),
+                round(recall_at_k(labels, pred, 3), 6),
+            )
+        ],
+        ["precision", "recall"],
+    )
+
+
 def q_ndcg20(spark, sf_dir):
     from online_centrality_spark.evaluation.ranking import ndcg
     from online_centrality_spark.operators.static_degree import (
@@ -1002,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "topk_decayed_indegree": q_topk_decayed_indegree,
         "measure_correlation": q_measure_correlation,
+        "kendall_tau": q_kendall_tau,
+        "recall_precision": q_recall_precision,
         "ndcg20": q_ndcg20,
         "active_ratio": q_active_ratio,
         "epoch_to_date": q_epoch_to_date,
@@ -1125,6 +1161,46 @@ ranked AS (
 )
 SELECT round(corr(a, b), 6) AS pearson, round(corr(ra, rb), 6) AS spearman
 FROM ranked
+"""
+    sqls["kendall_tau"] = f"""
+WITH {EDGES_CTE}, {GNODES_CTE},
+le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),
+didsc AS (SELECT dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - le.last_t) / 86400000000.0)) AS s FROM le GROUP BY dst),
+r0 AS (SELECT e.dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - e.t) / 86400000000.0)) AS s FROM edges e GROUP BY e.dst),
+ab AS (
+  SELECT g.node_id,
+         round(coalesce(d.s, 0.0), 6) AS a,
+         round(coalesce(r0.s, 0.0), 6) AS b
+  FROM gnodes g LEFT JOIN didsc d ON g.node_id = d.node_id
+  LEFT JOIN r0 ON g.node_id = r0.node_id
+),
+k AS (
+  SELECT sum(sign(x.a - y.a) * sign(x.b - y.b)) AS num,
+         sum(abs(sign(x.a - y.a))) AS nx,
+         sum(abs(sign(x.b - y.b))) AS ny
+  FROM ab x JOIN ab y ON x.node_id < y.node_id
+)
+SELECT round(num / sqrt(nx * ny), 6) AS kendall FROM k
+"""
+    sqls["recall_precision"] = f"""
+WITH {EDGES_CTE}, {GNODES_CTE},
+dedup AS (SELECT DISTINCT src, dst FROM edges),
+ind AS (SELECT dst AS node_id, count(*) AS c FROM dedup GROUP BY dst),
+rel AS (
+  SELECT g.node_id FROM gnodes g LEFT JOIN ind ON g.node_id = ind.node_id
+  WHERE round(coalesce(ind.c, 0) + 0.001, 6) > 0.999
+),
+le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),
+didsc AS (SELECT dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - le.last_t) / 86400000000.0)) AS s FROM le GROUP BY dst),
+pred AS (
+  SELECT g.node_id, round(coalesce(d.s, 0.0), 6) AS score
+  FROM gnodes g LEFT JOIN didsc d ON g.node_id = d.node_id
+),
+topk AS (SELECT node_id FROM pred ORDER BY score DESC, node_id ASC LIMIT 3),
+h AS (SELECT count(*) AS hit FROM topk JOIN rel USING (node_id))
+SELECT round(hit / 3.0, 6) AS precision,
+       round(hit / (SELECT count(*)::DOUBLE FROM rel), 6) AS recall
+FROM h
 """
     sqls["ndcg20"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
