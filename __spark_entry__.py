@@ -692,6 +692,17 @@ def q_recall_precision(spark, sf_dir):
     )
 
 
+def q_normalize_scores(spark, sf_dir):
+    """V13: scores normalized by their sum (experiment_utils.py:112-118)
+    over the decayed-indegree list."""
+    from online_centrality_spark.evaluation.ranking import normalize_scores
+
+    scores = q_decayed_indegree(spark, sf_dir)
+    return normalize_scores(scores).select(
+        "node_id", F.round("score", 9).alias("score")
+    )
+
+
 def q_ndcg20(spark, sf_dir):
     from online_centrality_spark.evaluation.ranking import ndcg
     from online_centrality_spark.operators.static_degree import (
@@ -1038,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_correlation": q_measure_correlation,
         "kendall_tau": q_kendall_tau,
         "recall_precision": q_recall_precision,
+        "normalize_scores": q_normalize_scores,
         "ndcg20": q_ndcg20,
         "active_ratio": q_active_ratio,
         "epoch_to_date": q_epoch_to_date,
@@ -1181,6 +1193,16 @@ k AS (
   FROM ab x JOIN ab y ON x.node_id < y.node_id
 )
 SELECT round(num / sqrt(nx * ny), 6) AS kendall FROM k
+"""
+    sqls["normalize_scores"] = f"""
+WITH {EDGES_CTE}, {GNODES_CTE},
+le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),
+didsc AS (SELECT dst AS node_id, sum(pow(0.5, ((SELECT max(t) FROM edges) - le.last_t) / 86400000000.0)) AS s FROM le GROUP BY dst),
+sc AS (
+  SELECT g.node_id, round(coalesce(d.s, 0.0), 6) AS score
+  FROM gnodes g LEFT JOIN didsc d ON g.node_id = d.node_id
+)
+SELECT node_id, round(score / sum(score) OVER (), 9) AS score FROM sc
 """
     sqls["recall_precision"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
