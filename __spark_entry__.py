@@ -692,6 +692,64 @@ def q_recall_precision(spark, sf_dir):
     )
 
 
+def q_prediction_matrix(spark, sf_dir):
+    """L7/V11: the prediction-metric matrix as ONE grouped aggregation.
+
+    Two time-tercile snapshots over the event stream: at each boundary
+    the decayed-indegree scores (computed relationally per snapshot)
+    predict the NEXT tercile's active targets (binary labels); NDCG@20
+    per (measure, param_id, snapshot) via ``prediction_metrics``."""
+    from online_centrality_spark.labeling.labels import prediction_metrics
+
+    edges, _ = _event_edges(spark, sf_dir)
+    b = edges.agg(
+        F.min("t").alias("lo"), F.max("t").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    cuts = [(i, lo + (hi - lo) * i // 3, lo + (hi - lo) * (i + 1) // 3) for i in (1, 2)]
+    snaps = spark.createDataFrame(cuts, ["snapshot_id", "cut", "nxt"])
+
+    le = (
+        edges.join(F.broadcast(snaps), F.col("t") <= F.col("cut"))
+        .groupBy("snapshot_id", "cut", "src", "dst")
+        .agg(F.max("t").alias("last_t"))
+    )
+    scores = (
+        le.groupBy("snapshot_id", F.col("dst").alias("node_id"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.lit(0.5),
+                        (F.col("cut") - F.col("last_t")) / F.lit(NORM_US),
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+        .select(
+            F.lit("did").alias("measure"),
+            F.lit("did_exp").alias("param_id"),
+            "snapshot_id",
+            "node_id",
+            "score",
+        )
+    )
+    labels = (
+        edges.join(
+            F.broadcast(snaps),
+            (F.col("t") > F.col("cut")) & (F.col("t") <= F.col("nxt")),
+        )
+        .select("snapshot_id", F.col("dst").alias("node_id"))
+        .distinct()
+        .withColumn("label", F.lit(1.0))
+    )
+    out = prediction_metrics(scores, labels, k=20)
+    return out.select(
+        "measure", "param_id", "snapshot_id", F.round("ndcg", 6).alias("ndcg")
+    )
+
+
 def q_normalize_scores(spark, sf_dir):
     """V13: scores normalized by their sum (experiment_utils.py:112-118)
     over the decayed-indegree list."""
@@ -1050,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "recall_precision": q_recall_precision,
         "normalize_scores": q_normalize_scores,
+        "prediction_matrix": q_prediction_matrix,
         "ndcg20": q_ndcg20,
         "active_ratio": q_active_ratio,
         "epoch_to_date": q_epoch_to_date,
@@ -1193,6 +1252,52 @@ k AS (
   FROM ab x JOIN ab y ON x.node_id < y.node_id
 )
 SELECT round(num / sqrt(nx * ny), 6) AS kendall FROM k
+"""
+    sqls["prediction_matrix"] = f"""
+WITH {EDGES_CTE},
+b AS (SELECT min(t) AS lo, max(t) AS hi FROM edges),
+snaps AS (
+  SELECT 1 AS snapshot_id, lo + (hi - lo) * 1 // 3 AS cut,
+         lo + (hi - lo) * 2 // 3 AS nxt FROM b
+  UNION ALL
+  SELECT 2, lo + (hi - lo) * 2 // 3, lo + (hi - lo) * 3 // 3 FROM b
+),
+le AS (
+  SELECT s.snapshot_id, s.cut, e.src, e.dst, max(e.t) AS last_t
+  FROM edges e JOIN snaps s ON e.t <= s.cut GROUP BY 1, 2, 3, 4
+),
+sc AS (
+  SELECT snapshot_id, dst AS node_id,
+         round(sum(pow(0.5, (cut - last_t) / 86400000000.0)), 6) AS score
+  FROM le GROUP BY 1, 2
+),
+lb AS (
+  SELECT DISTINCT s.snapshot_id, e.dst AS node_id
+  FROM edges e JOIN snaps s ON e.t > s.cut AND e.t <= s.nxt
+),
+j AS (
+  SELECT sc.snapshot_id, sc.node_id, sc.score,
+         CASE WHEN lb.node_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS label
+  FROM sc LEFT JOIN lb
+    ON sc.snapshot_id = lb.snapshot_id AND sc.node_id = lb.node_id
+),
+r AS (
+  SELECT snapshot_id, label,
+         row_number() OVER (PARTITION BY snapshot_id
+                            ORDER BY score DESC, node_id ASC) AS pos,
+         row_number() OVER (PARTITION BY snapshot_id
+                            ORDER BY label DESC, node_id ASC) AS ideal_pos
+  FROM j
+),
+g AS (
+  SELECT snapshot_id,
+         sum(CASE WHEN pos <= 20 THEN label / ln(pos + 1) ELSE 0 END) AS dcg,
+         sum(CASE WHEN ideal_pos <= 20 THEN label / ln(ideal_pos + 1) ELSE 0 END) AS idcg
+  FROM r GROUP BY snapshot_id
+)
+SELECT 'did' AS measure, 'did_exp' AS param_id, snapshot_id,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM g
 """
     sqls["normalize_scores"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
