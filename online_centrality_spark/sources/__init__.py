@@ -1,4 +1,5 @@
 from .edges import add_global_seq, edges_from_events, edges_from_transcripts
+from .layout import write_edges_bucketed
 from .transcripts import (
     conversation_stats,
     generate_transcripts,
@@ -12,4 +13,5 @@ __all__ = [
     "edges_from_transcripts",
     "edges_from_events",
     "add_global_seq",
+    "write_edges_bucketed",
 ]

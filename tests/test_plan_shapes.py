@@ -34,3 +34,58 @@ def test_pack_sequences_no_global_corpus_window(spark):
     ), "corpus cumsum window lost its bucket partitioning"
     # exactly ONE single-partition exchange: the B-row offsets frame
     assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
+
+
+def test_bucketed_edge_table_removes_cogroup_exchange(spark, tmp_path):
+    """Closure-bucketed edge storage satisfies the cogroup clustering
+    requirement from the scan: no Exchange on the edge side of the
+    distributed replay, only the small state side shuffles."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.operators.temporal_katz_distributed import (
+        attach_closure_components,
+    )
+    from online_centrality_spark.operators.temporal_pagerank_distributed import (
+        run_tpr_batch_distributed,
+    )
+    from online_centrality_spark.sources import write_edges_bucketed
+
+    edges, _ = entry_mod._event_edges(spark, SF)
+    ec = attach_closure_components(
+        edges.withColumn("key", F.col("t").cast("double"))
+    )
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+    write_edges_bucketed(ec, "edges_bucketed_t", buckets=4)
+    eb = spark.table("edges_bucketed_t")
+    out, _ = run_tpr_batch_distributed(
+        eb,
+        np.array([0.85]),
+        np.array([0.5]),
+        [(0, float("inf"), float("inf"))],
+        closure_col="closure",
+    )
+    plan = _plan(out)
+    assert "Bucketed: true" in plan
+    # exactly one Exchange: the carried-state side (empty first batch)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # and the bucketed read computes the same scores as the plain frame
+    got = {
+        (r["node"], round(r["vals"][0], 6))
+        for r in out.filter(F.col("kind") == 0).select("node", "vals").collect()
+    }
+    out2, _ = run_tpr_batch_distributed(
+        ec,
+        np.array([0.85]),
+        np.array([0.5]),
+        [(0, float("inf"), float("inf"))],
+        closure_col="closure",
+    )
+    want = {
+        (r["node"], round(r["vals"][0], 6))
+        for r in out2.filter(F.col("kind") == 0).select("node", "vals").collect()
+    }
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
