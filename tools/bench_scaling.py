@@ -219,7 +219,15 @@ Raw JSON:
 {json.dumps(results[32])}
 ```
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve manually-appended sections (marked tail) across reruns
+    marker = "<!-- appended-results: kept across bench_scaling reruns -->"
+    target = bench_dir / "BASELINE.md"
+    tail = ""
+    if target.exists():
+        old = target.read_text()
+        if marker in old:
+            tail = old[old.index(marker):]
+    target.write_text(md + ("\n" + tail if tail else ""))
     print(md)
 
 
