@@ -21,8 +21,25 @@ def ndcg(
 
     Scalar helper (a handful of driver actions per call) — for many
     (snapshot, param) groups use the single grouped-aggregation batch
-    path in ``labeling.labels.prediction_metrics`` instead.
+    path in ``labeling.labels.prediction_metrics`` instead.  The two
+    inputs are persisted for the call's duration so the four actions
+    don't re-execute their (possibly expensive) upstream pipelines.
     """
+    relevance = relevance.persist()
+    prediction = prediction.persist()
+    try:
+        return _ndcg_cached(relevance, prediction, k, log_decay)
+    finally:
+        prediction.unpersist()
+        relevance.unpersist()
+
+
+def _ndcg_cached(
+    relevance: DataFrame,
+    prediction: DataFrame,
+    k: int | None,
+    log_decay: bool,
+) -> float:
     n_pred = prediction.count()
     n_rel = relevance.count()
     if k is None or k > n_pred or k > n_rel:
