@@ -48,23 +48,80 @@ def _nodes(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 200, algorithm: str = "star"
+    edges: DataFrame,
+    max_iter: int = 200,
+    algorithm: str = "star",
+    collect_threshold: int = 100_000,
 ) -> DataFrame:
     """(node_id, component) — component = min node id in the WCC."""
-    labels, _ = connected_components_detail(edges, max_iter, algorithm)
+    labels, _ = connected_components_detail(
+        edges, max_iter, algorithm, collect_threshold
+    )
     return labels
 
 
 def connected_components_detail(
-    edges: DataFrame, max_iter: int = 200, algorithm: str = "star"
+    edges: DataFrame,
+    max_iter: int = 200,
+    algorithm: str = "star",
+    collect_threshold: int = 100_000,
 ) -> tuple[DataFrame, int]:
     """Like :func:`connected_components` but also returns the number of
-    rounds taken (convergence lineage for tests / metrics)."""
+    rounds taken (convergence lineage for tests / metrics).
+
+    ``collect_threshold``: when the dedup'd canonical edge set fits a
+    single task (count <= threshold), a one-pass union-find kernel
+    replaces the round loop — identical output (component = min member
+    id) without per-round job latency, the same adaptive small-graph
+    fallback the harmonic operator uses. Pass 0 to force the
+    distributed algorithm (tests pinning round behavior do)."""
     if algorithm == "star":
-        return _cc_star(edges, max_iter)
+        return _cc_star(edges, max_iter, collect_threshold)
     if algorithm == "hashmin":
         return _cc_hashmin(edges, max_iter)
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _cc_local(cur: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Single-task union-find over the canonical pair set (small-graph
+    fast path; semantics identical to the round loop by construction)."""
+    import pandas as pd
+
+    rows = cur.unionAll(
+        nodes.select(F.col("node_id").alias("h"), F.col("node_id").alias("l"))
+    ).coalesce(1)
+
+    def kernel(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen: set = set()
+        for pdf in batches:
+            for h, l in zip(pdf["h"].tolist(), pdf["l"].tolist()):
+                seen.add(h)
+                seen.add(l)
+                ra, rb = find(h), find(l)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for n in seen:
+            members.setdefault(find(n), []).append(n)
+        out_n, out_c = [], []
+        for ms in members.values():
+            m = min(ms)
+            for n in ms:
+                out_n.append(n)
+                out_c.append(m)
+        yield pd.DataFrame({"node_id": out_n, "component": out_c})
+
+    return rows.mapInPandas(kernel, schema="node_id long, component long")
 
 
 def _cc_hashmin(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
@@ -98,7 +155,9 @@ def _cc_hashmin(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     return labels, rounds
 
 
-def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+def _cc_star(
+    edges: DataFrame, max_iter: int, collect_threshold: int = 0
+) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star contractions (the classic
     MapReduce CC algorithm): the edge set converges in O(log n) rounds
     to one star per component, rooted at the component minimum.
@@ -121,6 +180,10 @@ def _cc_star(edges: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # adaptive small-graph fallback: the pair set is already
+    # materialized, so this count is nearly free
+    if collect_threshold and cur.count() <= collect_threshold:
+        return _cc_local(cur, nodes), 0
     rounds = 0
     for _ in range(max_iter):
         # large-star: neighbors from both directions; for node u emit

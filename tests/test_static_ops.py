@@ -281,7 +281,10 @@ def test_cc_star_vs_hashmin_and_round_count(spark):
     clique = [(200 + a, 200 + b) for a in range(6) for b in range(a + 1, 6)]
     es = path + clique + [(300, 301)]
     df = to_df(spark, es)
-    star, r_star = connected_components_detail(df, algorithm="star")
+    # collect_threshold=0 pins the DISTRIBUTED star algorithm
+    star, r_star = connected_components_detail(
+        df, algorithm="star", collect_threshold=0
+    )
     hm, r_hm = connected_components_detail(df, algorithm="hashmin")
     want = oracle_wcc(es)
     got_star = {r["node_id"]: r["component"] for r in star.collect()}
@@ -290,7 +293,11 @@ def test_cc_star_vs_hashmin_and_round_count(spark):
     assert got_hm == want
     # hash-min propagates one hop per round (O(diameter)); star doubles
     assert r_hm >= 60
-    assert r_star <= 12, (r_star, r_hm)
+    assert 0 < r_star <= 12, (r_star, r_hm)
+    # the single-task union-find fast path (default threshold) agrees
+    fast, r_fast = connected_components_detail(df, algorithm="star")
+    assert r_fast == 0  # fast path taken
+    assert {r["node_id"]: r["component"] for r in fast.collect()} == want
 
 
 def test_weighted_harmonic_matches_dijkstra_oracle(spark):
