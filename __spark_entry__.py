@@ -901,6 +901,16 @@ def q_hash_sample(spark, sf_dir):
     return kept.select("doc_id", "lang_pred")
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub stage: emails / phone-ish runs / IPv4 literals replaced
+    by typed tokens — a pure JVM regexp chain codegen'd into the scan."""
+    from online_centrality_spark.text import redact_pii
+
+    return redact_pii(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_redacted", "n_redactions"
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from online_centrality_spark.dedup.ngram import ngram_jaccard_pairs
 
@@ -1118,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
+        "redact_pii": q_redact_pii,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1500,6 +1511,20 @@ WHERE ({id_hash}) % 1000000 <
         f"SELECT doc_id, {PORTABLE_HASH.format(s=norm_text)} AS fingerprint "
         "FROM documents"
     )
+    from online_centrality_spark.text.analysis import PII_PATTERNS
+
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        sql_pat = pat.replace("\\\\", "\\")  # runtime double -> single backslash
+        red = f"regexp_replace({red}, '{sql_pat}', '{token}', 'g')"
+    tokens_alt = "|".join(t for _, _, t in PII_PATTERNS)
+    sqls["redact_pii"] = f"""
+WITH r AS (SELECT doc_id, {red} AS text_redacted FROM documents)
+SELECT doc_id, text_redacted,
+       CAST(len(regexp_extract_all(text_redacted, '{tokens_alt}')) AS INT)
+         AS n_redactions
+FROM r
+"""
     grams2 = (
         f"list_distinct(list_transform(range(1, greatest(len({DOC_TOKENS}) - 0, 1)), "
         f"i -> array_to_string(list_slice({DOC_TOKENS}, i, i + 1), ' ')))"

@@ -1,5 +1,6 @@
 from .analysis import (
     document_fingerprint,
+    redact_pii,
     language_id,
     quality_score,
     token_count,
@@ -11,6 +12,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "document_fingerprint",
+    "redact_pii",
     "pack_sequences",
     "hash_sample",
 ]

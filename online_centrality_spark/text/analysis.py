@@ -110,3 +110,39 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "fingerprint",
         F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("long"),
     )
+
+
+#: PII patterns, applied in this order (each is a full-line regex free
+#: of lookarounds so Spark's and DuckDB's regex engines agree exactly)
+PII_PATTERNS = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    # ipv4 BEFORE phone: a dotted digit run also matches the phone shape
+    ("ipv4", "([0-9]{1,3}\\\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\\\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_redacted`` and ``n_redactions`` — emails, phone-ish
+    number runs, and IPv4 literals replaced by typed placeholder tokens.
+
+    The scrub stage of a training-data pipeline: pure JVM
+    ``regexp_replace`` chain (codegen'd into the scan — scrubbing
+    100 TB is a scan, not a shuffle), deterministic and
+    oracle-checkable because every pattern avoids engine-specific
+    regex features. ``n_redactions`` counts placeholder tokens in the
+    redacted text (cheap provenance signal for downstream quality
+    filters; assumes the literal placeholders don't pre-exist in the
+    corpus).
+    """
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat.replace("\\\\", "\\"), token)
+    tokens_alt = "|".join(t for _, _, t in PII_PATTERNS)
+    out = docs.withColumn("text_redacted", red)
+    return out.withColumn(
+        "n_redactions",
+        F.expr(
+            f"size(regexp_extract_all(text_redacted, '{tokens_alt}', 0))"
+        ).cast("int"),
+    )

@@ -376,3 +376,23 @@ def test_hash_sample(spark, docs_df):
         hash_sample(docs_df)
     with _pytest.raises(ValueError):
         hash_sample(docs_df, fractions={"a": 1.0})
+
+
+def test_redact_pii(spark):
+    from online_centrality_spark.text import redact_pii
+
+    rows = [
+        (0, "contact me at alice.smith+x@example.co.uk or bob@test.io today"),
+        (1, "call +1 (555) 123-4567 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["text_redacted"] == "contact me at <EMAIL> or <EMAIL> today"
+    assert got[0]["n_redactions"] == 2
+    assert got[1]["text_redacted"] == "call <PHONE> now"
+    assert got[1]["n_redactions"] == 1
+    assert got[2]["text_redacted"] == "server at <IP> and <IP> responded"
+    assert got[2]["n_redactions"] == 2
+    assert got[3]["text_redacted"] == rows[3][1] and got[3]["n_redactions"] == 0
