@@ -51,6 +51,7 @@ def build_pipeline(
         language_id,
         pack_sequences,
         quality_score,
+        redact_pii,
     )
     from online_centrality_spark.text.analysis import document_fingerprint
 
@@ -75,7 +76,14 @@ def build_pipeline(
         "left_semi",
     )
 
-    # 3. language + quality annotation (pure JVM expressions)
+    # 3. PII scrub (emails/phones/IPs -> typed tokens), then language +
+    #    quality annotation — all pure JVM expressions in the scan stage
+    docs2 = (
+        redact_pii(docs2)
+        .drop("text")
+        .withColumnRenamed("text_redacted", "text")
+        .drop("n_redactions")
+    )
     annotated = language_id(docs2).join(
         quality_score(docs2).select("doc_id", "quality"), "doc_id"
     )
