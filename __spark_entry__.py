@@ -901,6 +901,23 @@ def q_hash_sample(spark, sf_dir):
     return kept.select("doc_id", "lang_pred")
 
 
+def q_topk_per_language(spark, sf_dir):
+    """Grouped top-k report: the 3 highest-quality docs per predicted
+    language (window-ranked per stratum, deterministic id tiebreak)."""
+    from online_centrality_spark.evaluation.correlation import top_k_per_group
+    from online_centrality_spark.text import language_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = language_id(docs).join(
+        quality_score(docs).select(
+            "doc_id", F.round("quality", 6).alias("score")
+        ),
+        "doc_id",
+    )
+    top = top_k_per_group(scored, 3, by=["lang_pred"], id_col="doc_id")
+    return top.select("lang_pred", "rank", "doc_id", "score")
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrub stage: emails / phone-ish runs / IPv4 literals replaced
     by typed tokens — a pure JVM regexp chain codegen'd into the scan."""
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "redact_pii": q_redact_pii,
+        "topk_per_language": q_topk_per_language,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1502,6 +1520,50 @@ FROM lang
 WHERE ({id_hash}) % 1000000 <
       CASE lang_pred WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
                      ELSE 200000 END
+"""
+    sqls["topk_per_language"] = f"""
+WITH qbase AS (
+  SELECT doc_id,
+    CAST(len({DOC_TOKENS}) AS INT) AS n_words,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    len(regexp_extract_all(lower(text), '{en_sw}')) AS sw,
+    list_sum(list_transform({DOC_TOKENS}, w -> length(w))) AS word_chars
+  FROM documents
+),
+q AS (
+  SELECT doc_id, round(
+    least(n_words / 100.0, 1.0) * 0.25
+    + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.25
+    + least((CASE WHEN n_words > 0 THEN CAST(sw AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.25
+    + (CASE WHEN (CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END) >= 3.0
+             AND (CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END) <= 8.0
+            THEN 1.0 ELSE 0.5 END) * 0.25,
+  6) AS score
+  FROM qbase
+),
+h2 AS (SELECT doc_id,
+  {hit_cols}
+FROM documents),
+lng AS (
+  SELECT doc_id,
+    CASE
+      WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+      WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+      WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+      WHEN hits_es > 0 THEN 'es'
+      ELSE 'unknown'
+    END AS lang_pred
+  FROM h2
+),
+rk AS (
+  SELECT l.lang_pred, q.doc_id, q.score,
+         row_number() OVER (PARTITION BY l.lang_pred
+                            ORDER BY q.score DESC, q.doc_id ASC) AS rank
+  FROM lng l JOIN q ON l.doc_id = q.doc_id
+)
+SELECT lang_pred, CAST(rank AS INT) AS rank, doc_id, score
+FROM rk WHERE rank <= 3
 """
     norm_text = (
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"

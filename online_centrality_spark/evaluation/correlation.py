@@ -28,6 +28,22 @@ def top_k(scores: DataFrame, k: int) -> DataFrame:
     )
 
 
+def top_k_per_group(
+    scores: DataFrame, k: int, by: list[str], id_col: str = "node_id"
+) -> DataFrame:
+    """Top-k rows by score within each group (grouped V1): one
+    window-ranked pass, deterministic id tiebreak — the per-stratum
+    reporting shape (top docs per language, top actors per snapshot)."""
+    w = Window.partitionBy(*by).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rank")
+    )
+
+
 def align_scores(list_1: DataFrame, list_2: DataFrame) -> DataFrame:
     """Full-outer align on node_id with 0.0 fill (V2): (node_id, a, b)."""
     a = list_1.select("node_id", F.col("score").alias("a"))
