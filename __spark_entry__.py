@@ -1496,7 +1496,9 @@ c AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
   FROM tc
 )
-SELECT doc_id, n_tokens, prev // 256 AS bin, prev % 256 AS bin_offset
+SELECT doc_id, n_tokens,
+       CAST(prev // 256 AS BIGINT) AS bin,
+       CAST(prev % 256 AS BIGINT) AS bin_offset
 FROM c
 """
     id_hash = PORTABLE_HASH.format(s="CAST(doc_id AS VARCHAR)")

@@ -55,12 +55,13 @@ def build_pipeline(
     )
     from online_centrality_spark.text.analysis import document_fingerprint
 
-    # 1. exact dedup on the content fingerprint (min id per group kept)
+    # 1. exact dedup on the content fingerprint (min id per group kept).
+    # keep_exact is corpus-cardinality (one row per unique document), so
+    # NO broadcast hint: a plain shuffled left-semi on doc_id is the
+    # 100 TB plan, and AQE still picks broadcast when it's actually small.
     fp = document_fingerprint(docs).select("doc_id", "fingerprint")
     keep_exact = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    docs1 = docs.join(
-        F.broadcast(keep_exact.select("doc_id")), "doc_id", "left_semi"
-    )
+    docs1 = docs.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
 
     # 2. near-dup clustering -> canonical docs only
     if pair_method == "ngram":
@@ -69,9 +70,12 @@ def build_pipeline(
         pairs = minhash_lsh_candidates(docs1, k=16, num_bands=4)
     else:
         raise ValueError(f"unknown pair_method {pair_method!r}")
+    # kept-canonical ids are again corpus-cardinality — shuffled semi-join
+    # (contrast dedup_clusters' internal label join, where the broadcast
+    # side is pair-graph-sized and the hint is justified)
     clustered = dedup_clusters(docs1, pairs)
     docs2 = docs1.join(
-        F.broadcast(clustered.filter(F.col("keep") == 1).select("doc_id")),
+        clustered.filter(F.col("keep") == 1).select("doc_id"),
         "doc_id",
         "left_semi",
     )

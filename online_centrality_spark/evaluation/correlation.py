@@ -19,13 +19,15 @@ from . import kernels
 
 
 def top_k(scores: DataFrame, k: int) -> DataFrame:
-    """Top-k rows by score, deterministic node-id tiebreak (V1)."""
-    w = Window.orderBy(F.col("score").desc(), F.col("node_id").asc())
-    return (
-        scores.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    """Top-k rows by score, deterministic node-id tiebreak (V1).
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: every
+    partition keeps a local k-heap and only k rows per partition reach
+    the driver-side merge — no single-partition global sort (the
+    unpartitioned-window formulation would funnel the whole score table
+    through one task).
+    """
+    return scores.orderBy(F.col("score").desc(), F.col("node_id").asc()).limit(k)
 
 
 def top_k_per_group(

@@ -79,31 +79,43 @@ def evaluate_pairwise(
 ) -> DataFrame:
     """labels (snapshot_id, node_id, score) vs scores (measure, param_id,
     snapshot_id, node_id, score) -> (measure, param_id, snapshot_id,
-    metric, value)."""
-    spark = scores.sparkSession
-    label_rows = labels.select("snapshot_id", "node_id", "score").collect()
-    label_map: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    tmp: dict[int, list[tuple[int, float]]] = {}
-    for r in label_rows:
-        tmp.setdefault(int(r["snapshot_id"]), []).append(
-            (int(r["node_id"]), float(r["score"]))
+    metric, value).
+
+    The label table never visits the driver: it is replicated per score
+    series with a broadcast cross-join against the DISTINCT (measure,
+    param_id) frame — param-grid-sized (dozens of rows), the one
+    genuinely broadcast-safe side here — then unioned into the grouped
+    frame with a ``side`` tag, exactly the ``evaluate_sequential``
+    shape. At 100× label volume the labels shuffle with the scores on
+    the group key instead of bottlenecking a ``collect()``.
+    """
+    series = scores.select("measure", "param_id").distinct()
+    rel = (
+        labels.select("snapshot_id", "node_id", "score")
+        .crossJoin(F.broadcast(series))
+        .select(
+            "measure", "param_id", "snapshot_id", "node_id", "score",
+            F.lit("rel").alias("side"),
         )
-    for s, pairs in tmp.items():
-        ids = np.array([p[0] for p in pairs], dtype=np.int64)
-        vals = np.array([p[1] for p in pairs]) + LOAD_EPS
-        label_map[s] = (ids, vals)
-    b_labels = spark.sparkContext.broadcast(label_map)
+    )
+    pred = scores.select(
+        "measure", "param_id", "snapshot_id", "node_id", "score",
+        F.lit("pred").alias("side"),
+    )
+    both = pred.unionByName(rel)
 
     def kernel(key, pdf: pd.DataFrame):
         measure, param_id, snapshot_id = key
-        snap = int(snapshot_id)
-        if snap not in b_labels.value:
+        r = pdf[pdf["side"] == "rel"]
+        p = pdf[pdf["side"] == "pred"]
+        if len(r) == 0 or len(p) == 0:
             return pd.DataFrame(columns=[f.name for f in _OUT_SCHEMA.fields])
-        rel_ids, rel_s = b_labels.value[snap]
-        pred_ids = pdf["node_id"].to_numpy(np.int64)
-        pred_s = pdf["score"].to_numpy(float) + LOAD_EPS
+        rel_ids = r["node_id"].to_numpy(np.int64)
+        rel_s = r["score"].to_numpy(float) + LOAD_EPS
+        pred_ids = p["node_id"].to_numpy(np.int64)
+        pred_s = p["score"].to_numpy(float) + LOAD_EPS
         rows = [
-            (measure, param_id, snap, mid,
+            (measure, param_id, int(snapshot_id), mid,
              _compute(mid, rel_ids, rel_s, pred_ids, pred_s))
             for mid in metric_ids
         ]
@@ -112,7 +124,7 @@ def evaluate_pairwise(
         )
 
     return (
-        scores.groupBy("measure", "param_id", "snapshot_id")
+        both.groupBy("measure", "param_id", "snapshot_id")
         .applyInPandas(kernel, schema=_OUT_SCHEMA)
     )
 

@@ -220,8 +220,21 @@ def _cc_star(
         same_size = new.count() == cur.count()
         if same_size and new.join(cur, ["h", "l"], "left_anti").count() == 0:
             cur = new
+            converged = True
             break
         cur = new
+    else:
+        converged = False
+    if not converged:
+        # outside the star-forest fixpoint a node can carry several l
+        # labels, and the final left join would emit duplicate node_id
+        # rows — silently corrupting every downstream consumer (e.g.
+        # attach_closure_components would duplicate edges). Fail loudly,
+        # matching the divergence guards elsewhere in the engine.
+        raise RuntimeError(
+            f"star CC did not reach the star-forest fixpoint in {max_iter} "
+            "rounds; raise max_iter (convergence is O(log n) rounds)"
+        )
     labels = (
         nodes.join(
             cur.select(F.col("h").alias("node_id"), F.col("l").alias("component")),

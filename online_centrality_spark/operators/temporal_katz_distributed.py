@@ -51,16 +51,22 @@ def attach_closure_components(edges: DataFrame, partitions: int | None = None) -
     Temporal walks never leave a WCC, so this is an exact node-disjoint
     closure key for the distributed-state runner.  Compute it ONCE over
     the full edge table and reuse across the whole replay.
+
+    ``partitions`` repartitions the result by ``closure`` (the replay's
+    cogroup key) so the downstream state exchange starts co-located.
     """
     from .components import connected_components
 
     cc = connected_components(edges.select("src", "dst"))
-    return edges.join(
+    out = edges.join(
         cc.withColumnRenamed("node_id", "src").withColumnRenamed(
             "component", "closure"
         ),
         "src",
     )
+    if partitions is not None:
+        out = out.repartition(partitions, "closure")
+    return out
 
 
 class DistributedTemporalKatz:

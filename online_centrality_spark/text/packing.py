@@ -1,11 +1,15 @@
 """Training-batch construction operators: sequence packing + sampling.
 
 ``pack_sequences`` assigns every document to a training bin under a
-token budget with the standard greedy-sequential rule (fill bins in
-deterministic id order; a document whose tokens straddle a boundary
-starts the next bin's straddle — documents are never split). The global
-running token offset it needs is a classic distributed prefix sum, done
-in two phases so NO stage ever sees a single global-ordered partition:
+token budget with concatenate-and-chop semantics in deterministic id
+order: ``bin = floor(prev / budget)`` where ``prev`` is the running
+token count of all lower-id documents. A document whose tokens straddle
+a bin boundary is assigned to the bin its FIRST token lands in (so
+``bin_offset + n_tokens`` may exceed ``budget`` for that one straddling
+document per boundary — the contract the oracle SQL and the hypothesis
+property test pin). The global running token offset is a classic
+distributed prefix sum, done in two phases so NO stage ever sees a
+single global-ordered partition:
 
 1. range-bucket the ids (``width_bucket``-style affine map over the id
    span, order-preserving), aggregate one partial token sum per bucket,

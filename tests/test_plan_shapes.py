@@ -36,6 +36,56 @@ def test_pack_sequences_no_global_corpus_window(spark):
     assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
 
 
+def test_prep_job_no_corpus_broadcast(spark):
+    """The prep job's exact-dedup and kept-canonical semi-joins are
+    corpus-cardinality on BOTH sides — they must NOT carry a forced
+    broadcast hint (executor OOM at 100 TB). AQE may still promote a
+    genuinely small side at runtime; what we pin is the *static* plan
+    produced with AQE disabled, where only the pair-graph-sized
+    dedup-cluster label join is allowed to broadcast."""
+    from jobs.prepare_training_data import build_pipeline
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # threshold -1: the planner can no longer promote joins on its own
+    # size estimates, so every surviving BroadcastHashJoin comes from an
+    # explicit hint — exactly the set we want to audit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sampled, packed = build_pipeline(spark, docs)
+        for df in (sampled, packed):
+            plan = _plan(df)
+            assert not re.search(
+                r"BroadcastHashJoin .*LeftSemi", plan
+            ), "corpus-cardinality semi-join got a forced broadcast"
+            # the intentional hints that remain: the pair-graph-sized
+            # dedup-cluster label join and packing's B-row offsets frame
+            for m in re.finditer(r"BroadcastHashJoin \[(\w+)#", plan):
+                assert m.group(1) in ("doc_id", "_bucket"), plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+
+
+def test_global_topk_is_take_ordered(spark):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    k-heaps), not a single-partition Sort+Window."""
+    from online_centrality_spark.evaluation.correlation import top_k
+
+    scores = (
+        spark.range(10_000)
+        .selectExpr("id AS node_id", "CAST(id % 97 AS DOUBLE) AS score")
+    )
+    plan = _plan(top_k(scores, 50))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    rows = top_k(scores, 5).collect()
+    # deterministic: highest score, then smallest node_id
+    assert [r["node_id"] for r in rows] == [96, 193, 290, 387, 484]
+
+
 def test_bucketed_edge_table_removes_cogroup_exchange(spark, tmp_path):
     """Closure-bucketed edge storage satisfies the cogroup clustering
     requirement from the scan: no Exchange on the edge side of the
