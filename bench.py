@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "edges_per_sec_superstep": ...}
+     "queries": {...}, "query_stats": {...}, "sf": ...,
+     "edges_per_sec_superstep": ...}
 
 The headline superstep metric replays a deterministically replicated
 copy of the induced event edge stream (disjoint per-replica node
@@ -13,6 +14,14 @@ partitions, generation fused into the kernel), reporting edges/sec over
 dynamics. Replica count via $BENCH_REPLICAS (default 512 → ~50M edges
 at sf0.1); $BENCH_QUERIES restricts to a comma-separated subset (used
 by tools/bench_scaling.py); $BENCH_WALK_BLOCK tunes the cache block.
+
+Noise robustness: every row runs $BENCH_TRIALS times (default 3; the
+heavy full-replay rows $BENCH_HEAVY_TRIALS, default 2) with
+``spark.catalog.clearCache()`` between trials; ``queries`` reports the
+BEST trial (the number least contaminated by this VM's documented
+±20%-3x host noise) and ``query_stats`` reports per-row
+{best, spread, trials} so round-over-round deltas outside the spread
+are signal, inside it are noise.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 from online_centrality_spark.benchmark import (  # noqa: E402
+    bench_did_distributed,
     bench_tk_driver_distributed,
     bench_tk_superstep,
     bench_tpr_distributed,
@@ -39,6 +49,8 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
     replicas = int(os.environ.get("BENCH_REPLICAS", "512"))
+    trials_n = int(os.environ.get("BENCH_TRIALS", "3"))
+    heavy_n = int(os.environ.get("BENCH_HEAVY_TRIALS", "2"))
     only = os.environ.get("BENCH_QUERIES")
     only = set(only.split(",")) if only else None
 
@@ -61,22 +73,53 @@ def main():
     import __spark_entry__ as entry_mod
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     extras: dict[str, float] = {}
 
-    def run(name, fn):
+    def record(name, trial_times):
+        best = min(trial_times)
+        timings[name] = round(best, 3)
+        stats[name] = {
+            "best": round(best, 3),
+            "spread": round(max(trial_times) - best, 3),
+            "trials": [round(t, 3) for t in trial_times],
+        }
+
+    def run(name, fn, n=None):
         if only and name not in only:
             return
-        t = time.time()
-        fn()
-        timings[name] = round(time.time() - t, 3)
+        ts = []
+        for _ in range(n or trials_n):
+            spark.catalog.clearCache()
+            t = time.time()
+            fn()
+            ts.append(time.time() - t)
+        record(name, ts)
+
+    def run_replay(name, fn, rate_key, n):
+        """Heavy full-replay rows: fn() -> (elapsed, n_edges, info).
+        Best trial drives both the row time and the edges/sec extra."""
+        if only is not None and name not in only:
+            return
+        results = []
+        for _ in range(n):
+            spark.catalog.clearCache()
+            results.append(fn())
+        best = min(results, key=lambda r: r[0])
+        record(name, [r[0] for r in results])
+        extras[rate_key] = round(best[1] / best[0], 1)
+        extras.update(best[2])
+        return best
 
     # headline: distributed temporal-walk superstep throughput
     if only is None or "tk_superstep_walk" in only:
-        elapsed, n_edges, info = bench_tk_superstep(spark, sf_dir, replicas)
-        timings["tk_superstep_walk"] = round(elapsed, 3)
-        extras["edges_per_sec_superstep"] = round(n_edges / elapsed, 1)
-        extras["superstep_edges"] = n_edges
-        extras.update(info)
+        best = run_replay(
+            "tk_superstep_walk",
+            lambda: bench_tk_superstep(spark, sf_dir, replicas),
+            "edges_per_sec_superstep",
+            trials_n,
+        )
+        extras["superstep_edges"] = best[1]
 
     run("edge_induction", lambda: entry_mod.q_edge_induction(spark, sf_dir).count())
     run(
@@ -143,38 +186,41 @@ def main():
         ).count(),
     )
 
-    # drop caches left by the query suite before the heavy replays (two
-    # ~50M-row shuffles; stale cached blocks cost GC headroom)
-    if only is None or {"tk_driver_distributed", "tpr_distributed"} & only:
-        spark.catalog.clearCache()
-
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)
-    if only is None or "tk_driver_distributed" in only:
-        elapsed, n_edges, info = bench_tk_driver_distributed(
-            spark, sf_dir, replicas
-        )
-        timings["tk_driver_distributed"] = round(elapsed, 3)
-        extras["edges_per_sec_driver_dist"] = round(n_edges / elapsed, 1)
-        extras.update(info)
+    run_replay(
+        "tk_driver_distributed",
+        lambda: bench_tk_driver_distributed(spark, sf_dir, replicas),
+        "edges_per_sec_driver_dist",
+        heavy_n,
+    )
 
     # distributed-state Temporal PageRank (per-closure ordered fold)
-    if only is None or "tpr_distributed" in only:
-        elapsed, n_edges, info = bench_tpr_distributed(spark, sf_dir, replicas)
-        timings["tpr_distributed"] = round(elapsed, 3)
-        extras["edges_per_sec_tpr_dist"] = round(n_edges / elapsed, 1)
-        extras.update(info)
+    run_replay(
+        "tpr_distributed",
+        lambda: bench_tpr_distributed(spark, sf_dir, replicas),
+        "edges_per_sec_tpr_dist",
+        heavy_n,
+    )
+
+    # distributed-state decayed indegree (segment-explode batch read-out)
+    run_replay(
+        "did_distributed",
+        lambda: bench_did_distributed(spark, sf_dir, replicas),
+        "edges_per_sec_did_dist",
+        heavy_n,
+    )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
         "metric": "headline engine queries wallclock (tk temporal-walk superstep, "
         "edge induction, did, pagerank30, cc-star, triangles, minhash-LSH, ANN, "
         "embedding-dedup-LSH, ngram-jaccard, distributed-state driver replay, "
-        "distributed TPR fold)",
+        "distributed TPR fold, distributed DID replay); best-of-N per row",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         # apples-to-apples subtotal over the round-1 query set (the
-        # heavy replay rows were added in round 2; comparing totals
+        # heavy replay rows were added in rounds 2-3; comparing totals
         # across rounds must not read suite growth as regression)
         "value_r01_subset": round(
             sum(
@@ -189,8 +235,11 @@ def main():
             3,
         ),
         "queries": timings,
+        "query_stats": stats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
+        "trials": trials_n,
+        "heavy_trials": heavy_n,
         **extras,
     }
     print(json.dumps(result))

@@ -184,6 +184,59 @@ def bench_tpr_distributed(spark, sf_dir, replicas, windows=64):
     return elapsed, total, {"tpr_score_rows": n_rows}
 
 
+def bench_did_distributed(spark, sf_dir, replicas, windows=64):
+    """Distributed-state decayed indegree: full ``SuperstepDriver``
+    replay (one chunk = all 64 intervals), segment-explode batch
+    read-out, 8-Exp-weighter grid, scores via the partitioned
+    distributed sink — all JVM column expressions, no Python rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.functions.weights import ExponentialWeighter
+    from online_centrality_spark.operators.decayed_indegree import (
+        DistributedDecayedIndegree,
+    )
+    from online_centrality_spark.plans.superstep import SuperstepDriver
+
+    raw, etf, n_nodes, total, t0, t_max = build_replicated_edges(
+        spark, sf_dir, replicas
+    )
+    edges_dir = tempfile.mkdtemp(prefix="did_edges_")
+    out_dir = tempfile.mkdtemp(prefix="did_out_")
+    (
+        raw.mapInPandas(
+            lambda it: (etf(pdf) for pdf in it),
+            schema="key double, src long, dst long, seq long",
+        )
+        .select(F.col("key").cast("long").alias("t"), "src", "dst", "seq")
+        .write.mode("overwrite")
+        .parquet(edges_dir)
+    )
+    edges = spark.read.parquet(edges_dir)
+    params = [
+        ExponentialWeighter(norm=1800.0 * (i + 1) * 1e6, base=0.5)
+        for i in range(int(os.environ.get("BENCH_PARAMS", "8")))
+    ]
+    width = (t_max - t0) // windows + 1
+    boundaries = [int(t0 + (i + 1) * width) for i in range(windows)]
+    did = DistributedDecayedIndegree(params)
+    driver = SuperstepDriver(spark, out_dir)
+    t_start = time.time()
+    driver.run(
+        edges, boundaries, "epoch", online=[did], batch_size=windows,
+        persist_edges=False,
+    )
+    elapsed = time.time() - t_start
+    n_scores = driver.scores().count()
+    assert n_scores > 0
+    did.release()
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return elapsed, total, {"did_dist_score_rows": n_scores}
+
+
 def bench_tk_driver_distributed(spark, sf_dir, replicas, windows=64):
     """FULL replay through ``SuperstepDriver`` in distributed-state mode:
     parquet edge scan with a replica closure column, DataFrame state via

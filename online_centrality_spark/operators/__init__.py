@@ -1,5 +1,5 @@
 from .components import connected_components, label_propagation
-from .decayed_indegree import DecayedIndegree
+from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import static_pagerank
 from .harmonic import harmonic_centrality
@@ -22,6 +22,7 @@ __all__ = [
     "TemporalPageRank",
     "DistributedTemporalPageRank",
     "DecayedIndegree",
+    "DistributedDecayedIndegree",
     "static_indegree",
     "static_negative_beta",
     "static_pagerank",

@@ -347,6 +347,17 @@ class DistributedTemporalPageRank:
         bad = [m for m in self.walk_metrics if m["diverged"]]
         if bad:
             raise ValueError(f"temporal-pagerank state went non-finite: {bad[:3]}")
+        # surface closure skew: the per-closure ordered fold serializes
+        # each closure's edges into one task, so a giant WCC bounds the
+        # whole batch (semantics-forced — the m(u) *= beta recurrence
+        # neither factorizes nor stays sparse under scan composition).
+        # max/total edge share per closure lands in the convergence
+        # parquet so an operator sees the bound instead of guessing.
+        tot = sum(m["edges"] for m in self.walk_metrics)
+        mx = max((m["edges"] for m in self.walk_metrics), default=0)
+        skew = (mx / tot) if tot else 0.0
+        for m in self.walk_metrics:
+            m["closure_skew"] = skew
         self.state = (
             out.filter(F.col("kind") == 1)
             .select("node", "closure", "vals")

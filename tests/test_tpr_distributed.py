@@ -84,6 +84,18 @@ def test_tpr_distributed_parity(spark, big_stream, tmp_path):
         online=[DistributedTemporalPageRank(TPR_PARAMS)], batch_size=3,
     )
     assert_tpr_parity(scores_map(driver), captured, sched)
+    # the giant-WCC serialization bound is REPORTED, not hidden: every
+    # convergence row carries the batch's max-closure edge share
+    import pandas as pd
+
+    conv_files = sorted((tmp_path / "out" / "_metrics").glob("convergence_tpr_*.parquet"))
+    assert conv_files, "no TPR convergence files written"
+    conv = pd.concat([pd.read_parquet(p) for p in conv_files])
+    assert "closure_skew" in conv.columns
+    skews = conv["closure_skew"].dropna()
+    assert len(skews) > 0 and ((skews > 0) & (skews <= 1.0)).all()
+    # 6 same-sized random blocks: no closure should dominate the batch
+    assert skews.max() < 0.5
 
 
 def test_tpr_distributed_resume(spark, big_stream, tmp_path):
