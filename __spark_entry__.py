@@ -498,6 +498,40 @@ def q_decayed_indegree(spark, sf_dir):
     )
 
 
+def q_did_distributed(spark, sf_dir):
+    """Distributed-state decayed indegree over FOUR snapshot intervals in
+    one batch — exercises the segment-explode multi-boundary read-out
+    (validity segments, running last-activation, per-interval active
+    sets) against a per-boundary SQL recompute."""
+    from online_centrality_spark.functions.weights import ExponentialWeighter
+    from online_centrality_spark.operators.decayed_indegree import (
+        DistributedDecayedIndegree,
+    )
+    from online_centrality_spark.plans.superstep import _interval_id_expr
+
+    edges, _ = _event_edges(spark, sf_dir)
+    r = edges.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    tmin, tmax = int(r["lo"]), int(r["hi"])
+    width = (tmax - tmin) // 4 + 1
+    bounds = [tmin + (i + 1) * width for i in range(4)]
+    df = (
+        edges.withColumn("key", F.col("t").cast("double"))
+        .filter(F.col("key") <= F.lit(float(bounds[-1])))
+        .withColumn("interval_id", F.expr(_interval_id_expr(bounds, "t")))
+    )
+    did = DistributedDecayedIndegree(
+        [ExponentialWeighter(norm=NORM_US, base=0.5)]
+    )
+    ro = did.run_batch(
+        df, [(i, float(b), float(b)) for i, b in enumerate(bounds)]
+    )
+    return ro.select(
+        F.col("interval_id").alias("snapshot_id"),
+        "node_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _ttk_scores(spark, sf_dir, k=2) -> DataFrame:
     """Truncated temporal Katz read-outs as a DataFrame end-to-end (the
     distributed per-closure walk kernel — no driver pandas bounce)."""
@@ -1120,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indegree_total": q_indegree_total,
         "negative_beta_total": q_negative_beta_total,
         "decayed_indegree": q_decayed_indegree,
+        "did_distributed": q_did_distributed,
         "truncated_katz_len1": q_truncated_katz_len1,
         "truncated_katz_len2": q_truncated_katz_len2,
         "temporal_katz": q_temporal_katz,
@@ -1198,6 +1233,34 @@ le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),
 sc AS (SELECT dst AS node_id, sum({decay_last}) AS s FROM le GROUP BY dst)
 SELECT g.node_id, round(coalesce(sc.s, 0.0), 6) AS score
 FROM gnodes g LEFT JOIN sc ON g.node_id = sc.node_id
+"""
+    w_did = w.format(T="b.b", t="le.last_t")
+    sqls["did_distributed"] = f"""
+WITH {EDGES_CTE},
+mm AS (SELECT min(t) AS tmin, max(t) AS tmax FROM edges),
+bounds AS (
+  SELECT i.i, (SELECT tmin FROM mm)
+         + (i.i + 1) * (((SELECT tmax - tmin FROM mm) // 4) + 1) AS b
+  FROM (VALUES (0), (1), (2), (3)) AS i(i)
+),
+le AS (
+  SELECT b.i AS snapshot_id, b.b AS b, e.src, e.dst, max(e.t) AS last_t
+  FROM edges e JOIN bounds b ON e.t <= b.b
+  GROUP BY b.i, b.b, e.src, e.dst
+),
+sc AS (
+  SELECT le.snapshot_id, le.dst AS node_id, sum({w_did.replace("b.b", "le.b")}) AS s
+  FROM le GROUP BY le.snapshot_id, le.dst
+),
+act AS (
+  SELECT DISTINCT b.i AS snapshot_id, v.node_id
+  FROM bounds b
+  JOIN (SELECT src AS node_id, t FROM edges
+        UNION ALL SELECT dst, t FROM edges) v ON v.t <= b.b
+)
+SELECT a.snapshot_id, a.node_id, round(coalesce(sc.s, 0.0), 6) AS score
+FROM act a
+LEFT JOIN sc ON a.snapshot_id = sc.snapshot_id AND a.node_id = sc.node_id
 """
     w1 = w.format(T=t_max, t="e.t")
     sqls["truncated_katz_len1"] = f"""

@@ -263,11 +263,19 @@ class DistributedDecayedIndegree:
             .select("src", "dst", "last_key")
             .localCheckpoint(eager=True)
         )
+        # node first-appearance intervals come from the CACHED segment
+        # frame (edge-interval granularity, tiny), NOT from the raw event
+        # frame — re-aggregating the 2x-edges node list from the source
+        # would add two full input scans per chunk. Every chunk edge owns
+        # at least one surviving segment and min(seg_lo) per edge is its
+        # first interval, so min over a node's edge segments is exact;
+        # prior-state segments clamp to ``lo``, matching how carried
+        # active nodes are merged below.
         chunk_nodes = (
-            df.select("interval_id", F.col("src").alias("node_id"))
-            .unionAll(df.select("interval_id", F.col("dst").alias("node_id")))
+            segs.select(F.col("src").alias("node_id"), "seg_lo")
+            .unionAll(segs.select(F.col("dst").alias("node_id"), "seg_lo"))
             .groupBy("node_id")
-            .agg(F.min("interval_id").alias("first_iv"))
+            .agg(F.min("seg_lo").alias("first_iv"))
         )
         if self.active is not None:
             chunk_nodes = (
