@@ -962,6 +962,68 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    trigram with a held-out 'benchmark' subset (doc_id % 17 == 0) —
+    only (doc_id, shingle_hash) pairs shuffle; the benchmark shingle
+    set broadcasts via AQE (tiny by nature, no forced hint)."""
+    from online_centrality_spark.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, bench, n=3).select(
+        "doc_id", "n_contaminated", "contaminated"
+    )
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style structural quality rules — pure JVM regex/array
+    expressions codegen'd into the scan (a 100 TB filter = projection)."""
+    from online_centrality_spark.text import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_ratio", 6).alias("bullet_line_ratio"),
+        F.round("ellipsis_line_ratio", 6).alias("ellipsis_line_ratio"),
+        "stopword_hits",
+        "gopher_pass",
+    )
+
+
+def q_domain_mixture(spark, sf_dir):
+    """Domain-mixing weights: per-language token shares vs a uniform
+    target mixture -> capped sampling weights (one map-side-combinable
+    groupBy over the corpus; normalization over the dozen-row strata
+    frame only)."""
+    from online_centrality_spark.text import (
+        domain_mixture_weights,
+        language_id,
+        token_count,
+    )
+
+    docs = token_count(language_id(_t(spark, sf_dir, "documents")))
+    targets = {k: 0.2 for k in ["en", "de", "fr", "es", "unknown"]}
+    return domain_mixture_weights(docs, "lang_pred", targets).select(
+        F.col("stratum").alias("lang_pred"),
+        "stratum_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def q_actor_transitions(spark, sf_dir):
+    """Collapsed role/tool adjacency of the induced link graph: how
+    often each actor kind hands off to each other kind."""
+    from online_centrality_spark.sources import actor_transition_counts
+
+    edges, nodes = _event_edges(spark, sf_dir)
+    return actor_transition_counts(edges, nodes)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from online_centrality_spark.dedup.ngram import ngram_jaccard_pairs
 
@@ -1182,6 +1244,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "redact_pii": q_redact_pii,
         "topk_per_language": q_topk_per_language,
+        "decontaminate": q_decontaminate,
+        "gopher_rules": q_gopher_rules,
+        "domain_mixture": q_domain_mixture,
+        "actor_transitions": q_actor_transitions,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1537,6 +1603,97 @@ SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
     ELSE 'unknown'
   END AS lang_pred
 FROM h
+"""
+    lang_case = """CASE
+    WHEN hits_en >= greatest(hits_de, hits_fr, hits_es) AND hits_en > 0 THEN 'en'
+    WHEN hits_de >= greatest(hits_fr, hits_es) AND hits_de > 0 THEN 'de'
+    WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+    WHEN hits_es > 0 THEN 'es'
+    ELSE 'unknown'
+  END"""
+    sqls["domain_mixture"] = f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text),
+      '[a-z0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_tokens,
+  {hit_cols}
+  FROM documents
+),
+d AS (SELECT doc_id, n_tokens, {lang_case} AS lang_pred FROM h),
+s AS (
+  SELECT lang_pred, CAST(sum(n_tokens) AS BIGINT) AS stratum_tokens
+  FROM d GROUP BY lang_pred
+),
+t AS (
+  SELECT s.*, CAST(stratum_tokens AS DOUBLE)
+              / (SELECT sum(stratum_tokens) FROM s) AS share
+  FROM s
+)
+SELECT lang_pred, stratum_tokens, round(share, 6) AS share,
+       round(0.2, 6) AS target_share,
+       round(least(0.2 / share, 10.0), 6) AS weight
+FROM t
+"""
+    grams3 = (
+        f"list_distinct(list_transform(range(1, greatest(len({DOC_TOKENS}) - 1, 1)), "
+        f"i -> array_to_string(list_slice({DOC_TOKENS}, i, i + 2), ' ')))"
+    )
+    sqls["decontaminate"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({grams3}) AS gram FROM documents
+),
+hs AS (SELECT DISTINCT doc_id, {PORTABLE_HASH.format(s="gram")} AS sh FROM sh),
+bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_cont
+  FROM hs WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(h.n_cont, 0) >= 1 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+    en_sw_g = "\\b(the|and|of|to|in|is|a)\\b"
+    sqls["gopher_rules"] = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({DOC_TOKENS}) AS INT) AS n_words,
+    list_sum(list_transform({DOC_TOKENS}, w -> length(w))) AS word_chars,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell,
+    string_split(text, chr(10)) AS lines,
+    len(regexp_extract_all(lower(text), '{en_sw_g}')) AS sw
+  FROM documents
+),
+d2 AS (
+  SELECT doc_id, n_words, sw,
+    CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words ELSE 0.0 END AS mwl,
+    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n_words ELSE 0.0 END AS swr,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*•]'))) AS DOUBLE)
+      / len(lines) AS blr,
+    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)
+      / len(lines) AS elr
+  FROM base
+)
+SELECT doc_id, n_words,
+  round(mwl, 6) AS mean_word_len,
+  round(swr, 6) AS symbol_word_ratio,
+  round(blr, 6) AS bullet_line_ratio,
+  round(elr, 6) AS ellipsis_line_ratio,
+  CAST(sw AS INT) AS stopword_hits,
+  CAST(n_words BETWEEN 10 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+       AND swr <= 0.1 AND blr <= 0.9 AND elr <= 0.3 AND sw >= 2 AS INT)
+    AS gopher_pass
+FROM d2
+"""
+    sqls["actor_transitions"] = f"""
+WITH {EDGES_CTE}
+SELECT ns.actor AS src_actor, nd.actor AS dst_actor,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges e
+JOIN _nodes ns ON e.src = ns.node_id
+JOIN _nodes nd ON e.dst = nd.node_id
+GROUP BY ns.actor, nd.actor
 """
     sqls["conversation_stats"] = """
 SELECT user_id AS conv_id,

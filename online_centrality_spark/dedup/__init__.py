@@ -1,6 +1,6 @@
 from .exact import exact_dedup, exact_duplicate_groups
 from .minhash import minhash_lsh_candidates, minhash_signatures
-from .ngram import ngram_jaccard_pairs, shingles
+from .ngram import decontaminate, ngram_jaccard_pairs, shingles
 from .simhash import simhash_fingerprints, simhash_near_dups
 from .embedding import embedding_near_dups, embedding_near_dups_lsh
 from .clusters import dedup_clusters
@@ -11,6 +11,7 @@ __all__ = [
     "exact_duplicate_groups",
     "shingles",
     "ngram_jaccard_pairs",
+    "decontaminate",
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_fingerprints",

@@ -1,4 +1,9 @@
-from .edges import add_global_seq, edges_from_events, edges_from_transcripts
+from .edges import (
+    actor_transition_counts,
+    add_global_seq,
+    edges_from_events,
+    edges_from_transcripts,
+)
 from .layout import write_edges_bucketed
 from .transcripts import (
     conversation_stats,
@@ -13,5 +18,6 @@ __all__ = [
     "edges_from_transcripts",
     "edges_from_events",
     "add_global_seq",
+    "actor_transition_counts",
     "write_edges_bucketed",
 ]

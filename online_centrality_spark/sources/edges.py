@@ -170,3 +170,27 @@ def edges_from_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
         # a pure type change and matches DuckDB's epoch_us on the raw value
         t_expr=F.unix_micros(F.col("ts").cast("timestamp")),
     )
+
+
+def actor_transition_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src_actor, dst_actor, n_edges) — the collapsed role/tool
+    adjacency summary of the induced link graph (how often each actor
+    kind hands off to each other kind across the whole stream).
+
+    One map-side-combinable ``groupBy`` over the edge table; the actor
+    dictionary is tiny by construction (roles x tools), so both joins
+    broadcast — a justified hint, unlike corpus-cardinality sides.
+    """
+    n1 = nodes.select(
+        F.col("node_id").alias("src"), F.col("actor").alias("src_actor")
+    )
+    n2 = nodes.select(
+        F.col("node_id").alias("dst"), F.col("actor").alias("dst_actor")
+    )
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").alias("n_edges"))
+        .join(F.broadcast(n1), "src")
+        .join(F.broadcast(n2), "dst")
+        .select("src_actor", "dst_actor", "n_edges")
+    )

@@ -1,11 +1,12 @@
 from .analysis import (
     document_fingerprint,
+    gopher_rules,
     redact_pii,
     language_id,
     quality_score,
     token_count,
 )
-from .packing import hash_sample, pack_sequences
+from .packing import domain_mixture_weights, hash_sample, pack_sequences
 
 __all__ = [
     "token_count",
@@ -15,4 +16,6 @@ __all__ = [
     "redact_pii",
     "pack_sequences",
     "hash_sample",
+    "gopher_rules",
+    "domain_mixture_weights",
 ]

@@ -112,6 +112,76 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1
+    shape): per-document structural metrics + a single pass/fail bit.
+
+    Adds ``n_words``, ``mean_word_len``, ``symbol_word_ratio`` ('#'
+    chars + non-overlapping '...' runs per word), ``bullet_line_ratio``
+    (lines opening with -, * or a bullet), ``ellipsis_line_ratio``
+    (lines ending in '...'), ``stopword_hits`` and ``gopher_pass``
+    (1 iff 10 <= n_words <= 100000, 3 <= mean_word_len <= 10,
+    symbol_word_ratio <= 0.1, bullet_line_ratio <= 0.9,
+    ellipsis_line_ratio <= 0.3, stopword_hits >= 2).
+
+    Pure JVM column expressions (regex + higher-order array functions)
+    codegen'd into the scan — at 100 TB this filter is a projection, not
+    a shuffle — and every regex avoids engine-specific features so a
+    plain-SQL oracle evaluates it identically.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    n_words = F.expr(f"size({words})")
+    word_chars = F.expr(f"aggregate({words}, 0, (a, w) -> a + length(w))")
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.expr(
+        f"size(regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.', 0))"
+    )
+    lines = f"split({text_col}, '\\n')"
+    n_lines = F.expr(f"size({lines})")
+    n_bullet = F.expr(f"size(filter({lines}, l -> l rlike '^ *[-*•]'))")
+    n_ell_lines = F.expr(
+        f"size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$'))"
+    )
+    sw = _count_words(text_col, STOPWORDS["en"])
+    out = (
+        docs.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.when(F.col("n_words") > 0, word_chars / F.col("n_words")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.when(
+                F.col("n_words") > 0, (n_hash + n_ellipsis) / F.col("n_words")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "bullet_line_ratio",
+            F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "ellipsis_line_ratio",
+            F.when(n_lines > 0, n_ell_lines / n_lines).otherwise(F.lit(0.0)),
+        )
+        .withColumn("stopword_hits", sw)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (
+            F.col("n_words").between(10, 100_000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("bullet_line_ratio") <= 0.9)
+            & (F.col("ellipsis_line_ratio") <= 0.3)
+            & (F.col("stopword_hits") >= 2)
+        ).cast("int"),
+    )
+
+
 #: PII patterns, applied in this order (each is a full-line regex free
 #: of lookarounds so Spark's and DuckDB's regex engines agree exactly)
 PII_PATTERNS = [

@@ -154,3 +154,52 @@ def hash_sample(
     else:
         raise ValueError("need fraction or fractions")
     return docs.filter(h < cut)
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    stratum_col: str,
+    targets: dict[str, float],
+    token_col: str = "n_tokens",
+    cap: float = 10.0,
+) -> DataFrame:
+    """Per-stratum sampling weights that steer the corpus toward a
+    target token mixture (the "domain mixing" stage of training-data
+    assembly): weight = target_share / actual_share, capped.
+
+    Returns one row per stratum: ``(stratum, stratum_tokens, share,
+    target_share, weight)``. Strata missing from ``targets`` get target
+    0 (weight 0 — explicit mixtures only); ``targets`` is normalized to
+    sum to 1. Feed ``weight`` into :func:`hash_sample` ``fractions`` (or
+    an up-sampling repeat factor when > 1).
+
+    One map-side-combinable ``groupBy`` over the corpus; the share
+    normalization runs on the STRATA frame (one row per domain — an
+    unpartitioned window over dozens of rows, not corpus data).
+    """
+    from pyspark.sql import Window
+
+    tot = sum(targets.values())
+    norm = {k: v / tot for k, v in targets.items()}
+    tmap = F.create_map(
+        *[lit for k, v in sorted(norm.items()) for lit in (F.lit(k), F.lit(float(v)))]
+    )
+    strata = (
+        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(token_col).cast("long").alias("stratum_tokens"))
+        .withColumn(
+            "share",
+            F.col("stratum_tokens")
+            / F.sum("stratum_tokens").over(Window.partitionBy()),
+        )
+        .withColumn(
+            "target_share", F.coalesce(tmap[F.col("stratum")], F.lit(0.0))
+        )
+    )
+    return strata.withColumn(
+        "weight",
+        F.when(
+            F.col("share") > 0,
+            F.least(F.col("target_share") / F.col("share"), F.lit(float(cap))),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -396,3 +396,97 @@ def test_redact_pii(spark):
     assert got[2]["text_redacted"] == "server at <IP> and <IP> responded"
     assert got[2]["n_redactions"] == 2
     assert got[3]["text_redacted"] == rows[3][1] and got[3]["n_redactions"] == 0
+
+
+def test_decontaminate(spark):
+    from online_centrality_spark.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content with different words entirely"),
+            (3, "a quick brown fox appeared in the garden yesterday"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "someone saw the quick brown fox near here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 1 shares 'the quick brown' + 'quick brown fox'; doc 3 shares
+    # 'quick brown fox'; doc 2 shares nothing
+    assert out[1] == (2, 1)
+    assert out[3] == (1, 1)
+    assert out[2] == (0, 0)
+
+
+def test_gopher_rules(spark):
+    from online_centrality_spark.text import gopher_rules
+
+    good = (
+        "the sun rose over the valley and the town woke to a clear morning "
+        "in which every street market is open and the people of the town "
+        "walk to work in the mild air of early autumn"
+    )
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "# " * 30 + "word"
+    rows = [(1, good), (2, bullets), (3, symbols), (4, "short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[2]["bullet_line_ratio"] == 1.0 and out[2]["gopher_pass"] == 0
+    assert out[3]["symbol_word_ratio"] > 0.1 and out[3]["gopher_pass"] == 0
+    assert out[4]["n_words"] < 10 and out[4]["gopher_pass"] == 0
+
+
+def test_domain_mixture_weights(spark):
+    from online_centrality_spark.text import domain_mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", 300), ("en", 300), ("de", 200), ("fr", 200)],
+        "lang string, n_tokens long",
+    )
+    out = {
+        r["stratum"]: r.asDict()
+        for r in domain_mixture_weights(
+            df, "lang", {"en": 0.5, "de": 0.5}
+        ).collect()
+    }
+    assert out["en"]["stratum_tokens"] == 600
+    assert out["en"]["share"] == pytest.approx(0.6)
+    assert out["en"]["weight"] == pytest.approx(0.5 / 0.6)
+    assert out["de"]["weight"] == pytest.approx(0.5 / 0.2)
+    # stratum missing from the target mixture gets weight 0
+    assert out["fr"]["target_share"] == 0.0 and out["fr"]["weight"] == 0.0
+    # cap applies
+    capped = {
+        r["stratum"]: r["weight"]
+        for r in domain_mixture_weights(
+            df, "lang", {"de": 1.0}, cap=3.0
+        ).collect()
+    }
+    assert capped["de"] == 3.0
+
+
+def test_actor_transition_counts(spark):
+    from online_centrality_spark.sources import actor_transition_counts
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(0, "user"), (1, "assistant"), (2, "tool:web")],
+        "node_id long, actor string",
+    )
+    out = {
+        (r["src_actor"], r["dst_actor"]): r["n_edges"]
+        for r in actor_transition_counts(edges, nodes).collect()
+    }
+    assert out[("user", "assistant")] == 2
+    assert out[("assistant", "tool:web")] == 1
+    assert out[("tool:web", "user")] == 1
+    assert len(out) == 3
