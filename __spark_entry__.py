@@ -993,6 +993,24 @@ def q_gopher_rules(spark, sf_dir):
     )
 
 
+def q_repetition_rules(spark, sf_dir):
+    """Gopher-style repetition filters — duplicate-line + repeated
+    word-n-gram metrics via one union-of-explodes and a two-level
+    map-side-combinable aggregation (only (doc_id, unit) pairs
+    shuffle; no within-row O(len^2) mode scan)."""
+    from online_centrality_spark.text import repetition_rules
+
+    return repetition_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("dup_5gram_char_frac", 6).alias("dup_5gram_char_frac"),
+        "rep_pass",
+    )
+
+
 def q_domain_mixture(spark, sf_dir):
     """Domain-mixing weights: per-language token shares vs a uniform
     target mixture -> capped sampling weights (one map-side-combinable
@@ -1022,6 +1040,24 @@ def q_actor_transitions(spark, sf_dir):
 
     edges, nodes = _event_edges(spark, sf_dir)
     return actor_transition_counts(edges, nodes)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (2 h inactivity gap) via the native
+    session_window aggregate: one shuffle on the user key, gap-merge
+    inside the aggregation operator — no self-join, no corpus-wide
+    window sort; the same call streams with a watermark."""
+    from online_centrality_spark.streaming import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"), gap_minutes=120.0
+    ).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1246,8 +1282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_language": q_topk_per_language,
         "decontaminate": q_decontaminate,
         "gopher_rules": q_gopher_rules,
+        "repetition_rules": q_repetition_rules,
         "domain_mixture": q_domain_mixture,
         "actor_transitions": q_actor_transitions,
+        "sessionize": q_sessionize,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1686,6 +1724,61 @@ SELECT doc_id, n_words,
     AS gopher_pass
 FROM d2
 """
+    sqls["repetition_rules"] = f"""
+WITH w AS (
+  SELECT doc_id, {DOC_TOKENS} AS ws, text FROM documents
+),
+un AS (
+  SELECT doc_id, 'g2' AS kind,
+    unnest(list_transform(range(1, len(ws) - 2 + 2),
+      i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS u
+  FROM w
+  UNION ALL
+  SELECT doc_id, 'g3',
+    unnest(list_transform(range(1, len(ws) - 3 + 2),
+      i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, 'g5',
+    unnest(list_transform(range(1, len(ws) - 5 + 2),
+      i -> array_to_string(list_slice(ws, i, i + 4), ' ')))
+  FROM w
+  UNION ALL
+  SELECT doc_id, 'ln',
+    unnest(list_filter(list_transform(string_split(text, chr(10)),
+      l -> trim(l)), l -> l <> ''))
+  FROM w
+),
+pu AS (
+  SELECT doc_id, kind, u, count(*) AS c, length(u) AS len
+  FROM un GROUP BY doc_id, kind, u
+),
+pd AS (
+  SELECT doc_id,
+    coalesce(CAST(sum(c) FILTER (kind = 'ln')
+                  - count(*) FILTER (kind = 'ln') AS DOUBLE)
+             / sum(c) FILTER (kind = 'ln'), 0.0) AS dlf,
+    coalesce(CAST(sum(c * len) FILTER (kind = 'ln' AND c > 1) AS DOUBLE)
+             / sum(c * len) FILTER (kind = 'ln'), 0.0) AS dlcf,
+    coalesce(CAST(max(c * len) FILTER (kind = 'g2') AS DOUBLE)
+             / sum(c * len) FILTER (kind = 'g2'), 0.0) AS t2,
+    coalesce(CAST(max(c * len) FILTER (kind = 'g3') AS DOUBLE)
+             / sum(c * len) FILTER (kind = 'g3'), 0.0) AS t3,
+    coalesce(CAST(sum(c * len) FILTER (kind = 'g5' AND c > 1) AS DOUBLE)
+             / sum(c * len) FILTER (kind = 'g5'), 0.0) AS d5
+  FROM pu GROUP BY doc_id
+)
+SELECT d.doc_id,
+  round(coalesce(dlf, 0.0), 6) AS dup_line_frac,
+  round(coalesce(dlcf, 0.0), 6) AS dup_line_char_frac,
+  round(coalesce(t2, 0.0), 6) AS top_2gram_char_frac,
+  round(coalesce(t3, 0.0), 6) AS top_3gram_char_frac,
+  round(coalesce(d5, 0.0), 6) AS dup_5gram_char_frac,
+  CAST(coalesce(dlf, 0.0) <= 0.30 AND coalesce(dlcf, 0.0) <= 0.20
+       AND coalesce(t2, 0.0) <= 0.20 AND coalesce(t3, 0.0) <= 0.18
+       AND coalesce(d5, 0.0) <= 0.15 AS INT) AS rep_pass
+FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+"""
     sqls["actor_transitions"] = f"""
 WITH {EDGES_CTE}
 SELECT ns.actor AS src_actor, nd.actor AS dst_actor,
@@ -1694,6 +1787,26 @@ FROM edges e
 JOIN _nodes ns ON e.src = ns.node_id
 JOIN _nodes nd ON e.dst = nd.node_id
 GROUP BY ns.actor, nd.actor
+"""
+    sqls["sessionize"] = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts) > 7200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER
+    (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id,
+  min(t) AS session_start_us,
+  max(t) AS session_end_us,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sess
 """
     sqls["conversation_stats"] = """
 SELECT user_id AS conv_id,

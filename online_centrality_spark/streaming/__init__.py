@@ -1,4 +1,5 @@
 from .replay import StreamingDistributedReplay
+from .sessions import session_stats, sessionize
 from .stream import (
     stream_edge_induction,
     streaming_exact_dedup,
@@ -8,6 +9,8 @@ from .stream import (
 
 __all__ = [
     "StreamingDistributedReplay",
+    "sessionize",
+    "session_stats",
     "stream_edge_induction",
     "streaming_exact_dedup",
     "windowed_decayed_indegree",

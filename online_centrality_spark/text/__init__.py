@@ -2,6 +2,7 @@ from .analysis import (
     document_fingerprint,
     gopher_rules,
     redact_pii,
+    repetition_rules,
     language_id,
     quality_score,
     token_count,
@@ -17,5 +18,6 @@ __all__ = [
     "pack_sequences",
     "hash_sample",
     "gopher_rules",
+    "repetition_rules",
     "domain_mixture_weights",
 ]

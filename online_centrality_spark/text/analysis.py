@@ -182,6 +182,126 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ngram_expr(words_expr: str, n: int) -> str:
+    """SQL expr: array of word ``n``-grams (space-joined), empty when the
+    doc has fewer than ``n`` words (guards Spark's descending
+    ``sequence(1, 0)``)."""
+    return (
+        f"CASE WHEN size({words_expr}) >= {n} THEN "
+        f"transform(sequence(1, size({words_expr}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({words_expr}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+#: (kind tag, n) for the word-n-gram repetition metrics
+REP_GRAM_KINDS = [("g2", 2), ("g3", 3), ("g5", 5)]
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 table A1 shape)
+REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def repetition_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: within-document duplicate-line
+    and repeated-word-n-gram metrics plus a single ``rep_pass`` bit.
+
+    Adds per document:
+
+    - ``dup_line_frac``: 1 − distinct/total over trimmed non-empty lines
+    - ``dup_line_char_frac``: chars in lines occurring more than once
+      (all occurrences) / total line chars
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: chars covered
+      by the most frequent word n-gram (count × len) / total n-gram
+      chars (count-weighted)
+    - ``dup_5gram_char_frac``: chars in 5-grams occurring more than
+      once / total 5-gram chars
+    - ``rep_pass``: 1 iff every metric is within ``REP_THRESHOLDS``
+
+    Documents too short for a given n-gram (or with no non-empty lines)
+    score 0.0 on that metric — absence of evidence passes.
+
+    Scale plan: one union of per-kind explodes → a single two-level
+    aggregation keyed by ``(doc_id, kind, unit)`` then ``doc_id`` —
+    both map-side-combinable, so only (doc_id, unit) pairs ever
+    shuffle and no per-document O(len²) array scan runs row-side
+    (long documents explode linearly, unlike a within-row
+    ``filter(units, ...)`` mode count).
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    lines = (
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), "
+        f"l -> l <> '')"
+    )
+    id_col = "doc_id"
+    parts = [
+        docs.select(
+            id_col,
+            F.lit(kind).alias("kind"),
+            F.explode(F.expr(_ngram_expr(words, n))).alias("u"),
+        )
+        for kind, n in REP_GRAM_KINDS
+    ]
+    parts.append(
+        docs.select(
+            id_col, F.lit("ln").alias("kind"), F.explode(F.expr(lines)).alias("u")
+        )
+    )
+    units = parts[0]
+    for p in parts[1:]:
+        units = units.unionByName(p)
+    per_unit = units.groupBy(id_col, "kind", "u").agg(
+        F.count("*").alias("c"), F.first(F.length("u")).alias("len")
+    )
+    w = F.col("c") * F.col("len")
+
+    def _kind(k):
+        return F.col("kind") == k
+
+    def _frac(num, den):
+        return F.coalesce(num / den, F.lit(0.0))
+
+    per_doc = per_unit.groupBy(id_col).agg(
+        _frac(
+            (
+                F.sum(F.when(_kind("ln"), F.col("c")))
+                - F.count(F.when(_kind("ln"), F.lit(1)))
+            ).cast("double"),
+            F.sum(F.when(_kind("ln"), F.col("c"))),
+        ).alias("dup_line_frac"),
+        _frac(
+            F.sum(F.when(_kind("ln") & (F.col("c") > 1), w).otherwise(0))
+            .cast("double"),
+            F.sum(F.when(_kind("ln"), w)),
+        ).alias("dup_line_char_frac"),
+        _frac(
+            F.max(F.when(_kind("g2"), w)).cast("double"),
+            F.sum(F.when(_kind("g2"), w)),
+        ).alias("top_2gram_char_frac"),
+        _frac(
+            F.max(F.when(_kind("g3"), w)).cast("double"),
+            F.sum(F.when(_kind("g3"), w)),
+        ).alias("top_3gram_char_frac"),
+        _frac(
+            F.sum(F.when(_kind("g5") & (F.col("c") > 1), w).otherwise(0))
+            .cast("double"),
+            F.sum(F.when(_kind("g5"), w)),
+        ).alias("dup_5gram_char_frac"),
+    )
+    out = docs.join(per_doc, id_col, "left").fillna(
+        0.0, list(REP_THRESHOLDS.keys())
+    )
+    cond = F.lit(True)
+    for col, thr in REP_THRESHOLDS.items():
+        cond = cond & (F.col(col) <= thr)
+    return out.withColumn("rep_pass", cond.cast("int"))
+
+
 #: PII patterns, applied in this order (each is a full-line regex free
 #: of lookarounds so Spark's and DuckDB's regex engines agree exactly)
 PII_PATTERNS = [

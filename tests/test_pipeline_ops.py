@@ -490,3 +490,60 @@ def test_actor_transition_counts(spark):
     assert out[("assistant", "tool:web")] == 1
     assert out[("tool:web", "user")] == 1
     assert len(out) == 3
+
+
+def test_repetition_rules(spark):
+    from online_centrality_spark.text import repetition_rules
+
+    varied = " ".join(f"w{i:02d}" for i in range(40))
+    rows = [
+        (1, "aaa bbb\naaa bbb\nccc"),
+        (2, varied),
+        (3, "spam spam spam spam spam spam"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_rules(df).collect()}
+    # doc 1: line 'aaa bbb' repeats (3 lines, 2 distinct); 2-gram
+    # 'aaa bbb' covers 14 of 28 count-weighted gram chars
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(14 / 17)
+    assert out[1]["top_2gram_char_frac"] == pytest.approx(0.5)
+    assert out[1]["rep_pass"] == 0
+    # doc 2: 40 distinct equal-length words -> uniform gram mass
+    assert out[2]["top_2gram_char_frac"] == pytest.approx(1 / 39)
+    assert out[2]["dup_5gram_char_frac"] == 0.0
+    assert out[2]["rep_pass"] == 1
+    # doc 3: one word repeated -> total gram concentration
+    assert out[3]["top_2gram_char_frac"] == 1.0
+    assert out[3]["dup_5gram_char_frac"] == 1.0
+    assert out[3]["rep_pass"] == 0
+    # doc 4: empty -> zero metrics, passes vacuously
+    assert out[4]["dup_line_frac"] == 0.0 and out[4]["rep_pass"] == 1
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    from online_centrality_spark.streaming import session_stats, sessionize
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, ts(0), 1.0),
+        (1, ts(5), 2.0),   # merges (< 10 min gap)
+        (1, ts(15), 3.0),  # exactly 10 min -> still merges (inclusive)
+        (2, ts(0), 4.0),
+        (2, ts(30), 5.0),  # > gap -> new session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sess = sessionize(ev, gap_minutes=10.0)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in sess.collect()
+    )
+    assert got == [(1, 3, 6.0), (2, 1, 4.0), (2, 1, 5.0)]
+    stats = {r["user_id"]: r.asDict() for r in session_stats(sess).collect()}
+    assert stats[1]["n_sessions"] == 1 and stats[1]["total_events"] == 3
+    assert stats[2]["mean_session_events"] == 1.0
