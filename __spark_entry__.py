@@ -229,6 +229,46 @@ FROM gnodes g LEFT JOIN tot t ON g.node_id = t.node"""
     )
 
 
+HITS_ITERS = 12
+
+
+def _hits_sql(k: int = HITS_ITERS) -> str:
+    """HITS oracle: k unrolled power iterations over the distinct pair
+    graph, UNNORMALIZED, with one L1 normalization at the end — exactly
+    equal to the engine's per-half-step normalization because the
+    update is bilinear (scalars commute through it)."""
+    # AS MATERIALIZED is load-bearing: DuckDB otherwise INLINES each CTE
+    # into its consumers, and this chain is recursive (h_i uses a_i uses
+    # h_{i-1} ...) so inlining blows up 2^k copies of the edge scan.
+    ctes = [
+        EDGES_CTE.strip(),
+        GNODES_CTE.strip(),
+        "p AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "h0 AS MATERIALIZED "
+        "(SELECT node_id, CAST(1.0 AS DOUBLE) AS v FROM gnodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT p.dst AS node_id, sum(h.v) AS v "
+            f"FROM p JOIN h{i - 1} h ON h.node_id = p.src GROUP BY p.dst)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT p.src AS node_id, sum(a.v) AS v "
+            f"FROM p JOIN a{i} a ON a.node_id = p.dst GROUP BY p.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT g.node_id,
+  round(coalesce(h.v, 0.0) / (SELECT sum(v) FROM h{k}), 6) AS hub,
+  round(coalesce(a.v, 0.0) / (SELECT sum(v) FROM a{k}), 6) AS authority
+FROM gnodes g
+LEFT JOIN h{k} h ON g.node_id = h.node_id
+LEFT JOIN a{k} a ON g.node_id = a.node_id"""
+    )
+
+
 def _temporal_pagerank_sql() -> str:
     """C3 oracle: the Rozenshtein–Gionis per-edge recurrence
     (reference ``temporal_pagerank.py:39-52``) folded over the full
@@ -1042,6 +1082,20 @@ def q_actor_transitions(spark, sf_dir):
     return actor_transition_counts(edges, nodes)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hub/authority on the induced actor digraph — exactly 12
+    normalized power iterations (tol=0 pins the iteration count the
+    unrolled SQL oracle replays)."""
+    from online_centrality_spark.operators import hits
+
+    edges, _ = _event_edges(spark, sf_dir)
+    return hits(edges, max_iter=12, tol=0.0).select(
+        "node_id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (2 h inactivity gap) via the native
     session_window aggregate: one shuffle on the user key, gap-merge
@@ -1286,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "actor_transitions": q_actor_transitions,
         "sessionize": q_sessionize,
+        "hits": q_hits,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1788,6 +1843,7 @@ JOIN _nodes ns ON e.src = ns.node_id
 JOIN _nodes nd ON e.dst = nd.node_id
 GROUP BY ns.actor, nd.actor
 """
+    sqls["hits"] = _hits_sql()
     sqls["sessionize"] = """
 WITH o AS (
   SELECT user_id, epoch_us(ts) AS t, value,

@@ -3,6 +3,7 @@ from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import static_pagerank
 from .harmonic import harmonic_centrality
+from .hits import hits
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
     DistributedTemporalKatz,
@@ -27,6 +28,7 @@ __all__ = [
     "static_negative_beta",
     "static_pagerank",
     "harmonic_centrality",
+    "hits",
     "connected_components",
     "label_propagation",
     "triangle_count",
