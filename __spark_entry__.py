@@ -269,6 +269,217 @@ LEFT JOIN a{k} a ON g.node_id = a.node_id"""
     )
 
 
+KCORE_K = 2  # cosine graph kmax is 2-3 at sf 0.001/0.01/0.1
+KCORE_ROUNDS = 16  # max observed peel rounds is 9 (sf0.001)
+CORE_KMAX = 6  # covers observed kmax 3 with margin
+BFS_DEPTH_CAP = 40  # cosine-graph eccentricity is <= 10 at all sfs
+
+
+def _peel_ctes(prev: str, k: int, rounds: int, tag: str) -> tuple[list[str], str]:
+    """Unrolled k-core peel: ``rounds`` alternating degree/filter CTEs
+    starting from edge CTE ``prev`` (cols a, b). Peeling is
+    order-insensitive, so a fixed round count >= the true peel depth
+    lands exactly on the fixpoint the engine iterates to."""
+    ctes = []
+    for r in range(1, rounds + 1):
+        d, u = f"d{tag}_{r}", f"u{tag}_{r}"
+        ctes.append(
+            f"{d} AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM {prev} "
+            f"UNION ALL SELECT b FROM {prev}) t GROUP BY n "
+            f"HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"{u} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"WHERE a IN (SELECT n FROM {d}) AND b IN (SELECT n FROM {d}))"
+        )
+        prev = u
+    return ctes, prev
+
+
+def _kcore_sql() -> str:
+    """k-core membership + in-core degree on the cosine similarity
+    graph, peel unrolled to a fixed round count."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        "u0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges)",
+    ]
+    peel, last = _peel_ctes("u0", KCORE_K, KCORE_ROUNDS, "k")
+    ctes += peel
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS n FROM {last} UNION ALL SELECT b FROM {last}) t
+GROUP BY n"""
+    )
+
+
+def _core_number_sql() -> str:
+    """Degeneracy core numbers: union of k-core memberships for
+    k = 1..CORE_KMAX (each peel starts from the previous k's fixpoint —
+    the (k+1)-core is a subgraph of the k-core), max k per node."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        "c1 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges)",
+    ]
+    prev = "c1"
+    members = ["SELECT a AS n, 1 AS k FROM c1 UNION ALL SELECT b, 1 FROM c1"]
+    for k in range(2, CORE_KMAX + 1):
+        peel, last = _peel_ctes(prev, k, KCORE_ROUNDS, f"c{k}")
+        ctes += peel
+        members.append(
+            f"SELECT a AS n, {k} AS k FROM {last} "
+            f"UNION ALL SELECT b, {k} FROM {last}"
+        )
+        prev = last
+    union = "\nUNION ALL ".join(members)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n AS node_id, CAST(max(k) AS BIGINT) AS core
+FROM ({union}) m GROUP BY n"""
+    )
+
+
+def _lcc_sql() -> str:
+    """Local clustering coefficient: the triangle oracle joined with
+    simple-graph degree."""
+    return f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS (SELECT src AS a, dst AS b FROM cedges),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) t GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n
+),
+tris AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT x AS node_id FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
+),
+tc AS (SELECT node_id, count(*) AS t FROM corners GROUP BY node_id)
+SELECT d.n AS node_id, CAST(d.d AS BIGINT) AS degree,
+       round(CASE WHEN d.d >= 2
+                  THEN 2.0 * coalesce(tc.t, 0) / (d.d * (d.d - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN tc ON d.n = tc.node_id"""
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS (SELECT src AS a, dst AS b FROM cedges),
+deg AS (
+  SELECT n, CAST(count(*) AS DOUBLE) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) t GROUP BY n
+),
+es AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und)
+SELECT round(corr(da.d, db.d), 6) AS assortativity,
+       CAST(count(*) / 2 AS BIGINT) AS n_edges
+FROM es JOIN deg da ON es.a = da.n JOIN deg db ON es.b = db.n"""
+
+
+def _linkpred_sql() -> str:
+    return f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges),
+adj AS MATERIALIZED (
+  SELECT a AS w, b AS n FROM und UNION ALL SELECT b AS w, a AS n FROM und
+),
+deg AS MATERIALIZED (SELECT w, count(*) AS d FROM adj GROUP BY w),
+wedges AS (
+  SELECT l.n AS a, r.n AS b, l.w
+  FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+),
+scored AS MATERIALIZED (
+  SELECT wg.a, wg.b, count(*) AS cn, sum(1.0 / ln(dg.d)) AS aa
+  FROM wedges wg JOIN deg dg ON wg.w = dg.w
+  GROUP BY wg.a, wg.b
+),
+cand AS (
+  SELECT s.* FROM scored s LEFT JOIN und e ON s.a = e.a AND s.b = e.b
+  WHERE e.a IS NULL
+)
+SELECT c.a, c.b, CAST(c.cn AS BIGINT) AS cn,
+       round(c.cn / (da.d + db.d - c.cn), 6) AS jaccard,
+       round(c.aa, 6) AS adamic_adar
+FROM cand c JOIN deg da ON c.a = da.w JOIN deg db ON c.b = db.w"""
+
+
+def _bfs_sql() -> str:
+    """Hop distances from the min cosine-graph node via a bounded
+    recursive expansion (UNION dedups (node, dist) pairs; min(dist) per
+    node afterwards = BFS distance; the depth cap only has to exceed
+    the true eccentricity)."""
+    return f"""
+WITH RECURSIVE {COS_EDGES_CTE.strip()},
+{SYM_CTE.strip()},
+walk AS (
+  SELECT (SELECT min(node_id) FROM cnodes) AS node_id, 0 AS dist
+  UNION
+  SELECT s.b, w.dist + 1
+  FROM walk w JOIN sym s ON s.a = w.node_id
+  WHERE w.dist < {BFS_DEPTH_CAP}
+)
+SELECT n.node_id, CAST(coalesce(m.d, -1) AS BIGINT) AS dist
+FROM cnodes n LEFT JOIN (
+  SELECT node_id, min(dist) AS d FROM walk GROUP BY node_id
+) m ON n.node_id = m.node_id"""
+
+
+def _ppr_sql() -> str:
+    """Personalized PageRank unrolled PR_ITERS iterations on the
+    supplier -> customer bipartite graph; restart (and dangling) mass
+    goes to the uniform distribution over seed suppliers
+    (suppkey % 7 = 0)."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "seeds AS MATERIALIZED (SELECT DISTINCT src AS node FROM e WHERE src % 7 = 0)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds)",
+        "od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src)",
+        """base AS MATERIALIZED (
+  SELECT n.node, coalesce(od.outdeg, 0) AS outdeg,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN od ON n.node = od.node
+  LEFT JOIN seeds s ON n.node = s.node
+)""",
+        "r0 AS (SELECT node, outdeg, p, p AS rank FROM base)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT b.node, b.outdeg, b.p,
+         0.85 * coalesce(push.contrib, 0.0)
+         + (0.85 * coalesce((SELECT sum(rank) FROM {p} WHERE outdeg = 0), 0.0)
+            + 0.15) * b.p AS rank
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / r.outdeg) AS contrib
+    FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst
+  ) push ON b.node = push.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, round(rank, 9) AS score FROM r{PR_ITERS}"
+    )
+
+
 def _temporal_pagerank_sql() -> str:
     """C3 oracle: the Rozenshtein–Gionis per-edge recurrence
     (reference ``temporal_pagerank.py:39-52``) folded over the full
@@ -1096,6 +1307,89 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_local_clustering(spark, sf_dir):
+    """Local clustering coefficient on the cosine similarity graph."""
+    from online_centrality_spark.operators import local_clustering
+
+    out = local_clustering(_cos_edges(spark, sf_dir))
+    return out.select("node_id", "degree", F.round("lcc", 6).alias("lcc"))
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity (1-row) on the cosine graph."""
+    from online_centrality_spark.operators import degree_assortativity
+
+    out = degree_assortativity(_cos_edges(spark, sf_dir))
+    return out.select(
+        F.round("assortativity", 6).alias("assortativity"), "n_edges"
+    )
+
+
+def q_link_prediction(spark, sf_dir):
+    """Common-neighbor / Jaccard / Adamic-Adar link-prediction scores
+    for non-adjacent cosine-graph pairs."""
+    from online_centrality_spark.operators import link_prediction_scores
+
+    out = link_prediction_scores(_cos_edges(spark, sf_dir))
+    return out.select(
+        "a",
+        "b",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+def q_k_core(spark, sf_dir):
+    """2-core membership + in-core degree of the cosine graph (the
+    iterative peel fixpoint the unrolled SQL oracle replays)."""
+    from online_centrality_spark.operators import k_core
+
+    return k_core(_cos_edges(spark, sf_dir), KCORE_K)
+
+
+def q_core_number(spark, sf_dir):
+    """Degeneracy core number per cosine-graph node."""
+    from online_centrality_spark.operators import core_number
+
+    return core_number(_cos_edges(spark, sf_dir))
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Hop distances from the min cosine-graph node (-1 = unreachable)."""
+    from online_centrality_spark.operators import bfs_distances
+
+    edges = _cos_edges(spark, sf_dir)
+    source = edges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    out = bfs_distances(edges, source)
+    return out.select(
+        "node_id", F.coalesce(F.col("dist"), F.lit(-1)).cast("long").alias("dist")
+    )
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """PPR on the supplier -> customer bipartite graph, restarting at
+    seed suppliers (suppkey % 7 = 0); fixed PR_ITERS iterations so the
+    unrolled oracle lands on the identical vector."""
+    from online_centrality_spark.operators import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("o_custkey")).alias("dst"),
+    )
+    seeds = e.select(F.col("src").alias("node_id")).filter(
+        F.col("node_id") % 7 == 0
+    ).distinct()
+    pr = personalized_pagerank(
+        e, seeds, alpha=0.85, max_iter=PR_ITERS, tol=0.0, strict=False
+    )
+    return pr.select("node_id", F.round("score", 9).alias("score"))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (2 h inactivity gap) via the native
     session_window aggregate: one shuffle on the user key, gap-merge
@@ -1341,6 +1635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_transitions": q_actor_transitions,
         "sessionize": q_sessionize,
         "hits": q_hits,
+        "local_clustering": q_local_clustering,
+        "degree_assortativity": q_degree_assortativity,
+        "link_prediction": q_link_prediction,
+        "k_core": q_k_core,
+        "core_number": q_core_number,
+        "bfs_distances": q_bfs_distances,
+        "personalized_pagerank": q_personalized_pagerank,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
@@ -1844,6 +2145,13 @@ JOIN _nodes nd ON e.dst = nd.node_id
 GROUP BY ns.actor, nd.actor
 """
     sqls["hits"] = _hits_sql()
+    sqls["local_clustering"] = _lcc_sql()
+    sqls["degree_assortativity"] = _assortativity_sql()
+    sqls["link_prediction"] = _linkpred_sql()
+    sqls["k_core"] = _kcore_sql()
+    sqls["core_number"] = _core_number_sql()
+    sqls["bfs_distances"] = _bfs_sql()
+    sqls["personalized_pagerank"] = _ppr_sql()
     sqls["sessionize"] = """
 WITH o AS (
   SELECT user_id, epoch_us(ts) AS t, value,

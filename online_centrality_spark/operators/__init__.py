@@ -1,9 +1,12 @@
 from .components import connected_components, label_propagation
 from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
-from .static_pagerank import static_pagerank
+from .static_pagerank import personalized_pagerank, static_pagerank
 from .harmonic import harmonic_centrality
 from .hits import hits
+from .bfs import bfs_distances
+from .kcore import core_number, k_core
+from .link_prediction import link_prediction_scores
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
     DistributedTemporalKatz,
@@ -12,7 +15,7 @@ from .temporal_katz_distributed import (
 )
 from .temporal_pagerank import TemporalPageRank
 from .temporal_pagerank_distributed import DistributedTemporalPageRank
-from .triangles import triangle_count
+from .triangles import degree_assortativity, local_clustering, triangle_count
 
 __all__ = [
     "TemporalKatz",
@@ -32,4 +35,11 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "personalized_pagerank",
+    "bfs_distances",
+    "core_number",
+    "k_core",
+    "link_prediction_scores",
+    "degree_assortativity",
+    "local_clustering",
 ]

@@ -199,3 +199,191 @@ def _pagerank_distributed(
             f"pagerank failed to converge in {max_iter} iterations"
         )
     return ranks.select("node_id", F.col("rank").alias("score"))
+
+
+def ppr_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seeds: np.ndarray,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    strict: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Personalized PageRank kernel: teleport AND dangling mass go to the
+    uniform distribution over ``seeds`` (networkx's documented default —
+    dangling defaults to the personalization vector)."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.array([])
+    idx = {v: i for i, v in enumerate(nodes)}
+    s = np.array([idx[v] for v in src])
+    d = np.array([idx[v] for v in dst])
+    seed_idx = np.array(sorted({idx[v] for v in seeds if v in idx}), dtype=np.int64)
+    if len(seed_idx) == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    p = np.zeros(n)
+    p[seed_idx] = 1.0 / len(seed_idx)
+    outdeg = np.bincount(s, minlength=n)
+    dangling = outdeg == 0
+    safe_out = np.where(outdeg > 0, outdeg, 1)
+    x = p.copy()
+    for _ in range(max_iter):
+        xlast = x
+        share = alpha * xlast / safe_out
+        x = np.bincount(d, weights=share[s], minlength=n)
+        danglesum = alpha * xlast[dangling].sum()
+        x += (danglesum + (1.0 - alpha)) * p
+        if np.abs(x - xlast).sum() < n * tol:
+            return nodes, x
+    if strict:
+        raise PageRankDiverged(
+            f"personalized pagerank failed to converge in {max_iter} iterations"
+        )
+    return nodes, x
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    collect_threshold: int = 100_000,
+    strict: bool = True,
+    salt: int = 1,
+) -> DataFrame:
+    """(node_id, score) PPR on the dedup digraph, restarting at ``seeds``
+    (a 1-column DataFrame of node ids; rows not in the graph are
+    ignored; uniform restart over the rest).
+
+    Same two physical strategies as :func:`static_pagerank`; the
+    distributed path differs from plain PageRank only in the teleport
+    term, which scatters onto the (usually tiny, broadcastable) seed
+    frame instead of uniformly — the per-iteration shuffle shape is
+    identical, so every skew/lineage note there applies here.
+    """
+    dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    n_nodes = (
+        dedup.select(F.col("src").alias("n"))
+        .unionAll(dedup.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame([], _PR_SCHEMA)
+    seed_col = seeds.columns[0]
+    seed_df = seeds.select(F.col(seed_col).alias("node_id")).distinct()
+    if n_nodes <= collect_threshold:
+        seed_vals = np.array(
+            [r["node_id"] for r in seed_df.collect()], dtype=np.int64
+        )
+
+        def kernel(batches):
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            nodes, ranks = ppr_numpy(
+                pdf["src"].to_numpy(np.int64),
+                pdf["dst"].to_numpy(np.int64),
+                seed_vals,
+                alpha,
+                max_iter,
+                tol,
+                strict,
+            )
+            yield pd.DataFrame({"node_id": nodes.astype(np.int64), "score": ranks})
+
+        return dedup.coalesce(1).mapInPandas(kernel, schema=_PR_SCHEMA)
+    return _ppr_distributed(
+        dedup, seed_df, alpha, max_iter, tol, strict, salt=salt
+    )
+
+
+def _ppr_distributed(
+    dedup: DataFrame, seed_df: DataFrame, alpha, max_iter, tol, strict,
+    salt: int = 1,
+) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    dedup = dedup.persist()
+    nodes = (
+        dedup.select(F.col("src").alias("node_id"))
+        .unionAll(dedup.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    # restart distribution: uniform over seeds ∩ nodes. The seed frame is
+    # user-supplied and typically tiny — but NO broadcast hint: AQE
+    # broadcasts small sides on its own, and a corpus-sized seed set
+    # must be allowed to shuffle (the prepare_training_data lesson).
+    seeds_in = seed_df.join(nodes, "node_id", "left_semi")
+    n_seeds = seeds_in.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    p = (
+        nodes.join(seeds_in.withColumn("_s", F.lit(1)), "node_id", "left")
+        .select(
+            "node_id",
+            F.when(F.col("_s").isNotNull(), 1.0 / n_seeds)
+            .otherwise(0.0)
+            .alias("p"),
+        )
+        .persist()
+    )
+    outdeg = dedup.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = (
+        p.join(outdeg, "node_id", "left").fillna(0, subset=["outdeg"]).persist()
+    )
+    ranks = base.select("node_id", "outdeg", F.col("p").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    for _ in range(max_iter):
+        joined = salted_join(
+            dedup, ranks.select("node_id", "outdeg", "rank"),
+            key="src", salt=salt, dim_key="node_id",
+        ) if salt > 1 else dedup.join(
+            ranks, dedup["src"] == ranks["node_id"]
+        )
+        push = (
+            joined.groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        danglesum = (
+            ranks.filter(F.col("outdeg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        scale = alpha * danglesum + (1.0 - alpha)
+        new_ranks = (
+            base.join(push, "node_id", "left")
+            .select(
+                "node_id",
+                "outdeg",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(scale) * F.col("p")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        err = (
+            new_ranks.select("node_id", "rank")
+            .join(
+                ranks.select("node_id", F.col("rank").alias("old")),
+                "node_id",
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if err < n_nodes * tol:
+            return ranks.select("node_id", F.col("rank").alias("score"))
+    if strict:
+        raise PageRankDiverged(
+            f"personalized pagerank failed to converge in {max_iter} iterations"
+        )
+    return ranks.select("node_id", F.col("rank").alias("score"))

@@ -71,3 +71,68 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     return nodes.join(counts, "node_id", "left").select(
         "node_id", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(node_id, degree, lcc) — local clustering coefficient.
+
+    ``lcc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))`` over the undirected
+    simple graph (0.0 when deg < 2). Degree is the simple-graph degree
+    (dedup'd, self-loops dropped) so the ratio is well-defined. Reuses
+    the degree-oriented triangle counter, so the heavy self-join keeps
+    its O(sqrt(m)) fan-out bound; the degree frame is a map-side
+    combinable groupBy joined back on node_id.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .unionAll(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_count_per_vertex(edges)
+    return tri.join(deg, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row (assortativity, n_edges) — degree assortativity coefficient.
+
+    Pearson correlation of (deg(a), deg(b)) over the undirected edge
+    list with BOTH orientations of every edge (the standard Newman
+    definition). Everything is a single pass of map-side-combinable
+    aggregates over the symmetrized edge frame — no window, no collect.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("double").alias("d"))
+    )
+    sym = und.select("a", "b").unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("dy"))
+    j = sym.join(da, "a").join(db, "b")
+    return j.agg(
+        F.corr("dx", "dy").alias("assortativity"),
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+    )
