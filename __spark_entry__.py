@@ -1227,6 +1227,19 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_duplicated_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021) at
+    word-5-gram granularity: corpus-wide repeated n-grams mark covered
+    token positions; covered tokens are cut and the survivors re-joined
+    in order. Only (doc_id, start, gram_hash) triples shuffle; the
+    reassembly is one join + a JVM higher-order filter."""
+    from online_centrality_spark.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_count=2
+    )
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style structural quality rules — pure JVM regex/array
     expressions codegen'd into the scan (a 100 TB filter = projection)."""
@@ -1629,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "topk_per_language": q_topk_per_language,
         "decontaminate": q_decontaminate,
+        "duplicated_spans": q_duplicated_spans,
         "gopher_rules": q_gopher_rules,
         "repetition_rules": q_repetition_rules,
         "domain_mixture": q_domain_mixture,
@@ -2046,6 +2060,45 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
        CAST(coalesce(h.n_cont, 0) >= 1 AS INT) AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+    spans_n = 5
+    sqls["duplicated_spans"] = f"""
+WITH tok AS (
+  SELECT doc_id, {DOC_TOKENS} AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, CAST(u.i AS INT) AS start,
+         {PORTABLE_HASH.format(s=f"array_to_string(t[u.i+1:u.i+{spans_n}], ' ')")} AS gh
+  FROM tok, unnest(range(0, greatest(len(t) - {spans_n - 1}, 0))) AS u(i)
+),
+dup AS (SELECT gh FROM starts GROUP BY gh HAVING count(*) >= 2),
+covered AS (
+  SELECT DISTINCT s.doc_id, s.start + CAST(r.d AS INT) AS pos
+  FROM starts s JOIN dup USING (gh), unnest(range(0, {spans_n})) AS r(d)
+),
+words AS (
+  SELECT doc_id, CAST(u.p AS INT) AS pos, t[u.p + 1] AS w
+  FROM tok, unnest(range(0, len(t))) AS u(p)
+),
+keep AS (
+  SELECT w.doc_id, w.pos, w.w
+  FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+),
+stats AS (
+  SELECT t.doc_id, len(t.t) AS n_tokens, coalesce(cv.n_cov, 0) AS n_dup_tokens
+  FROM tok t LEFT JOIN (
+    SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id
+  ) cv USING (doc_id)
+)
+SELECT s.doc_id, CAST(s.n_tokens AS INT) AS n_tokens,
+       CAST(s.n_dup_tokens AS INT) AS n_dup_tokens,
+       round(CASE WHEN s.n_tokens > 0
+             THEN CAST(s.n_dup_tokens AS DOUBLE) / s.n_tokens ELSE 0.0 END, 6)
+         AS dup_frac,
+       coalesce(k.ct, '') AS clean_text
+FROM stats s LEFT JOIN (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS ct FROM keep GROUP BY doc_id
+) k USING (doc_id)
 """
     en_sw_g = "\\b(the|and|of|to|in|is|a)\\b"
     sqls["gopher_rules"] = f"""

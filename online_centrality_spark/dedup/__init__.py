@@ -4,9 +4,12 @@ from .ngram import decontaminate, ngram_jaccard_pairs, shingles
 from .simhash import simhash_fingerprints, simhash_near_dups
 from .embedding import embedding_near_dups, embedding_near_dups_lsh
 from .clusters import dedup_clusters
+from .spans import positional_ngrams, remove_duplicated_spans
 
 __all__ = [
     "dedup_clusters",
+    "positional_ngrams",
+    "remove_duplicated_spans",
     "exact_dedup",
     "exact_duplicate_groups",
     "shingles",

@@ -547,3 +547,45 @@ def test_sessionize(spark):
     stats = {r["user_id"]: r.asDict() for r in session_stats(sess).collect()}
     assert stats[1]["n_sessions"] == 1 and stats[1]["total_events"] == 3
     assert stats[2]["mean_session_events"] == 1.0
+
+
+def test_duplicated_spans_handmade(spark):
+    """Hand-checkable ExactSubstr removal: docs 0/1 share 'a b c d e';
+    doc 2 shares nothing 5-gram-long; short doc produces no grams."""
+    from online_centrality_spark.dedup import remove_duplicated_spans
+
+    rows = [
+        (0, "a b c d e x y z w v"),
+        (1, "q r a b c d e s t u"),
+        (2, "one two three four five six seven"),
+        (3, "tiny doc"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, n=5, min_count=2).collect()
+    }
+    assert out[0]["n_dup_tokens"] == 5
+    assert out[0]["clean_text"] == "x y z w v"
+    assert out[1]["n_dup_tokens"] == 5
+    assert out[1]["clean_text"] == "q r s t u"
+    assert out[2]["n_dup_tokens"] == 0
+    assert out[2]["clean_text"] == "one two three four five six seven"
+    assert out[3]["n_tokens"] == 2 and out[3]["n_dup_tokens"] == 0
+    assert abs(out[0]["dup_frac"] - 0.5) < 1e-9
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    """min_count counts total occurrences: a 5-gram repeated twice
+    INSIDE one doc is duplicated even with no cross-doc twin."""
+    from online_centrality_spark.dedup import remove_duplicated_spans
+
+    rows = [(0, "a b c d e f a b c d e f"), (1, "unrelated words only here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicated_spans(df, n=5, min_count=2).collect()
+    }
+    # every position of doc 0 is covered by some repeated 5-gram
+    assert out[0]["n_dup_tokens"] == 12 and out[0]["clean_text"] == ""
+    assert out[1]["n_dup_tokens"] == 0
