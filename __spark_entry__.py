@@ -1483,6 +1483,18 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     )
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (MLlib-shaped): zero-shuffle literal-
+    centroid assignment projection + one map-side-combinable
+    (cluster, dim) groupBy per iteration; only the k x dim model visits
+    the driver. Deterministic seeds/tie-breaks/rounding make the
+    unrolled DuckDB CTE chain an exact twin."""
+    from online_centrality_spark.similarity import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=10, iters=4)
+
+
 def q_weighted_kendall(spark, sf_dir):
     """V6/V7: the reference WKendall statistic (O(n log n) kernel)
     between decayed indegree and truncated Katz, oracle-checked against
@@ -1665,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "kmeans": q_kmeans,
         "weighted_kendall": q_weighted_kendall,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2404,6 +2417,9 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     # LSH path returns exactly the all-pairs result (recall 1.0 at the
     # chosen table/plane count on these fixtures) -> same oracle
     sqls["embedding_dedup_lsh"] = sqls["embedding_dedup"]
+    from online_centrality_spark.similarity import kmeans_sql
+
+    sqls["kmeans"] = kmeans_sql(k=10, iters=4, dim=64)
     sqls["weighted_kendall"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
 le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),

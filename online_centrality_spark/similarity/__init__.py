@@ -1,3 +1,4 @@
 from .ann import brute_force_topk, ivf_topk, lsh_topk
+from .kmeans import kmeans, kmeans_sql
 
-__all__ = ["brute_force_topk", "ivf_topk", "lsh_topk"]
+__all__ = ["brute_force_topk", "ivf_topk", "lsh_topk", "kmeans", "kmeans_sql"]

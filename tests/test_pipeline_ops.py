@@ -589,3 +589,64 @@ def test_duplicated_spans_within_doc_repeat(spark):
     # every position of doc 0 is covered by some repeated 5-gram
     assert out[0]["n_dup_tokens"] == 12 and out[0]["clean_text"] == ""
     assert out[1]["n_dup_tokens"] == 0
+
+
+def _planted_vectors():
+    """3 planted clusters at distance ~10, tiny deterministic jitter."""
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    rows = []
+    for i in range(30):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.1, size=3)
+        rows.append((i, [float(x) for x in v], c))
+    return rows
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from online_centrality_spark.similarity import kmeans
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = kmeans(df, k=3, iters=5).toPandas().sort_values("vec_id")
+    truth = np.array([r[2] for r in rows])
+    got = out.cluster.to_numpy()
+    # permutation-invariant: every planted cluster maps to exactly one
+    # found cluster and the partition is identical
+    mapping = {}
+    for t, g in zip(truth, got):
+        mapping.setdefault(t, g)
+        assert mapping[t] == g
+    assert len(set(mapping.values())) == 3
+    assert (out.sq_dist < 1.0).all()
+
+
+def test_kmeans_arrow_assignment_matches_expr(spark):
+    from online_centrality_spark.similarity import kmeans
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = kmeans(df, k=3, iters=4, arrow=False).toPandas().sort_values("vec_id")
+    b = kmeans(df, k=3, iters=4, arrow=True).toPandas().sort_values("vec_id")
+    assert (a.cluster.values == b.cluster.values).all()
+    assert np.allclose(a.sq_dist.values, b.sq_dist.values, atol=1e-6)
+
+
+def test_kmeans_matches_duckdb_oracle_fixture(spark):
+    """Exact cross-engine parity on the real embeddings table shape."""
+    import duckdb
+
+    from online_centrality_spark.similarity import kmeans, kmeans_sql
+
+    items = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(items.select("embedding").first()[0])
+    out = kmeans(items, k=5, iters=3).orderBy("vec_id").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    odf = con.sql(kmeans_sql(k=5, iters=3, dim=dim) + " ORDER BY vec_id").df()
+    assert (out.vec_id.values == odf.vec_id.values).all()
+    assert (out.cluster.values == odf.cluster.values).all()
+    assert (out.sq_dist.values == odf.sq_dist.values).all()
