@@ -343,6 +343,39 @@ FROM ({union}) m GROUP BY n"""
     )
 
 
+def _ecc_sql(rounds: int = 6) -> str:
+    """Eccentricity oracle: min-plus doubling over the symmetric cosine
+    edges (covers any shortest path of up to 2^rounds hops — far beyond
+    the similarity graph's diameter); ecc(v) = max d over reached pairs,
+    0 for isolated-within-graph nodes (none exist: nodes come from
+    edges)."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        "h0 AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS d FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        p, c = f"h{i - 1}", f"h{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {p}
+    UNION ALL
+    SELECT a.src, b.dst, a.d + b.d
+    FROM {p} a JOIN {p} b ON a.dst = b.src WHERE a.src <> b.dst
+  ) u GROUP BY src, dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+e AS (SELECT src AS node_id, max(d) AS ecc FROM h{rounds} GROUP BY src)
+SELECT n.node_id, CAST(coalesce(e.ecc, 0) AS BIGINT) AS ecc
+FROM cnodes n LEFT JOIN e ON n.node_id = e.node_id"""
+    )
+
+
 def _lcc_sql() -> str:
     """Local clustering coefficient: the triangle oracle joined with
     simple-graph degree."""
@@ -1403,6 +1436,58 @@ def q_personalized_pagerank(spark, sf_dir):
     return pr.select("node_id", F.round("score", 9).alias("score"))
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components of the user-interaction digraph
+    (consecutive same-event-type events within 60 s emit prev_user ->
+    user). Distributed FW-BW coloring; the oracle computes the same
+    unique partition from the recursive-CTE transitive closure."""
+    from online_centrality_spark.operators import strongly_connected_components
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return strongly_connected_components(dg)
+
+
+def q_reciprocity(spark, sf_dir):
+    """Edge reciprocity of the user-interaction digraph (1 row): the
+    fraction of directed edges whose reverse edge also exists. One
+    self-join on the distinct edge list + a scalar agg."""
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    rev = dg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = dg.join(rev, ["src", "dst"], "left_semi")
+    return dg.agg(F.count("*").alias("n_edges")).crossJoin(
+        mutual.agg(F.count("*").alias("n_mutual"))
+    ).select(
+        "n_edges",
+        "n_mutual",
+        F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """δ-temporal wedge / triangle counts per initiating user over the
+    timestamped interaction pairs (gap 900 s, δ = 1 h); every join is
+    keyed on (node, δ-bucket) so hub fan-out stays bounded."""
+    from online_centrality_spark.operators import temporal_motifs
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(
+        _t(spark, sf_dir, "events"), gap_seconds=900.0
+    )
+    return temporal_motifs(pairs, delta_us=3_600_000_000)
+
+
+def q_eccentricity(spark, sf_dir):
+    """Per-node eccentricity (max hop distance within the node's
+    component) of the cosine similarity graph, via one all-sources
+    level-synchronous BFS; diameter/radius are its max/min."""
+    from online_centrality_spark.operators import eccentricity
+
+    return eccentricity(_cos_edges(spark, sf_dir))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (2 h inactivity gap) via the native
     session_window aggregate: one shuffle on the user key, gap-merge
@@ -1665,6 +1750,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "link_prediction": q_link_prediction,
         "k_core": q_k_core,
+        "scc": q_scc,
+        "reciprocity": q_reciprocity,
+        "eccentricity": q_eccentricity,
+        "temporal_motifs": q_temporal_motifs,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2210,8 +2299,83 @@ JOIN _nodes ns ON e.src = ns.node_id
 JOIN _nodes nd ON e.dst = nd.node_id
 GROUP BY ns.actor, nd.actor
 """
+    digraph_cte = """
+_seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+dedges AS MATERIALIZED (
+  SELECT DISTINCT prev_user AS src, user_id AS dst
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+)"""
+    sqls["scc"] = f"""
+WITH RECURSIVE {digraph_cte},
+dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
+reach(s, d) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN dedges e ON r.d = e.src
+),
+mutual AS (
+  SELECT a.s AS v, a.d AS u FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+)
+SELECT n.node_id,
+       least(n.node_id, coalesce(min(m.u), n.node_id)) AS component
+FROM dnodes n LEFT JOIN mutual m ON n.node_id = m.v
+GROUP BY n.node_id
+"""
+    sqls["reciprocity"] = f"""
+WITH {digraph_cte}
+SELECT (SELECT count(*) FROM dedges) AS n_edges,
+       (SELECT count(*) FROM dedges a
+        WHERE EXISTS (SELECT 1 FROM dedges b
+                      WHERE b.src = a.dst AND b.dst = a.src)) AS n_mutual,
+       round((SELECT count(*) FROM dedges a
+              WHERE EXISTS (SELECT 1 FROM dedges b
+                            WHERE b.src = a.dst AND b.dst = a.src))
+             / (SELECT count(*) FROM dedges), 6) AS reciprocity
+"""
+    tedges_cte = """
+_tseq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+tedges AS MATERIALIZED (
+  SELECT prev_user AS src, user_id AS dst, t
+  FROM _tseq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 900000000
+)"""
+    sqls["temporal_motifs"] = f"""
+WITH {tedges_cte},
+wedges AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w, e1.t AS t1, e2.t AS t2
+  FROM tedges e1
+  JOIN tedges e2 ON e1.dst = e2.src
+   AND e2.t > e1.t AND e2.t <= e1.t + 3600000000
+  WHERE e2.dst <> e1.src
+),
+nw AS (SELECT u AS node_id, count(*) AS n_wedges FROM wedges GROUP BY u),
+nt AS (
+  SELECT w.u AS node_id, count(*) AS n_triangles
+  FROM wedges w
+  JOIN tedges e3 ON e3.src = w.w AND e3.dst = w.u
+   AND e3.t > w.t2 AND e3.t <= w.t1 + 3600000000
+  GROUP BY w.u
+)
+SELECT nw.node_id, nw.n_wedges,
+       CAST(coalesce(nt.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
+"""
     sqls["hits"] = _hits_sql()
     sqls["local_clustering"] = _lcc_sql()
+    sqls["eccentricity"] = _ecc_sql()
     sqls["degree_assortativity"] = _assortativity_sql()
     sqls["link_prediction"] = _linkpred_sql()
     sqls["k_core"] = _kcore_sql()

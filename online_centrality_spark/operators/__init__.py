@@ -4,9 +4,11 @@ from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import personalized_pagerank, static_pagerank
 from .harmonic import harmonic_centrality
 from .hits import hits
-from .bfs import bfs_distances
+from .bfs import bfs_distances, eccentricity
 from .kcore import core_number, k_core
 from .link_prediction import link_prediction_scores
+from .motifs import temporal_motifs
+from .scc import strongly_connected_components
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
     DistributedTemporalKatz,
@@ -37,9 +39,12 @@ __all__ = [
     "triangle_count",
     "personalized_pagerank",
     "bfs_distances",
+    "eccentricity",
     "core_number",
     "k_core",
     "link_prediction_scores",
+    "strongly_connected_components",
+    "temporal_motifs",
     "degree_assortativity",
     "local_clustering",
 ]

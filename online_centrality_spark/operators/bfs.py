@@ -57,3 +57,71 @@ def bfs_distances(
     else:
         raise RuntimeError(f"bfs did not exhaust the frontier in {max_rounds} rounds")
     return nodes.join(visited, "node_id", "left").select("node_id", "dist")
+
+
+def eccentricity(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(node_id, ecc) — max hop distance from each node to any node it
+    can reach (its connected component in the undirected default).
+
+    All-sources level-synchronous BFS run as ONE loop: the state is the
+    (target, node) visited relation; each round expands every target's
+    frontier through the adjacency in a single shuffle join, and the
+    targets that still gained nodes this round bump their eccentricity
+    to the current depth. Frontiers shrink monotonically as components
+    saturate, so late rounds are cheap. The (target, node) state is
+    quadratic in component size — the same envelope as the distributed
+    harmonic operator, the price of exact all-pairs hop radii; for
+    approximate radii at 10^12 edges, sample targets (the loop is
+    unchanged, seeded by a frontier filter).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    adj = e.dropDuplicates(["src", "dst"])
+    if not directed:
+        adj = adj.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    adj = adj.persist()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    visited = nodes.select(
+        F.col("node_id").alias("target"), F.col("node_id").alias("node")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    ecc = nodes.select("node_id", F.lit(0).cast("long").alias("ecc"))
+    ecc = ecc.localCheckpoint(eager=True)
+    for depth in range(1, max_rounds + 1):
+        expanded = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select("target", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = expanded.join(
+            visited, ["target", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        grew = frontier.select(F.col("target").alias("node_id")).distinct()
+        ecc = (
+            ecc.join(grew.withColumn("_g", F.lit(1)), "node_id", "left")
+            .select(
+                "node_id",
+                F.when(F.col("_g").isNotNull(), F.lit(depth).cast("long"))
+                .otherwise(F.col("ecc"))
+                .alias("ecc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"eccentricity did not saturate in {max_rounds} rounds"
+        )
+    return ecc

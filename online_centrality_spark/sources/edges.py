@@ -194,3 +194,100 @@ def actor_transition_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .join(F.broadcast(n2), "dst")
         .select("src_actor", "dst_actor", "n_edges")
     )
+
+
+def user_interaction_pairs(
+    events: "DataFrame",
+    gap_seconds: float = 60.0,
+    time_buckets: int = 64,
+) -> DataFrame:
+    """Timestamped user-interaction pairs ``(src, dst, t)``: within each
+    ``event_type`` stream ordered by ``(ts, event_id)``, consecutive
+    events closer than ``gap_seconds`` emit ``prev_user -> user`` stamped
+    with the LATER event's time. Keeps multiplicity (one row per
+    qualifying consecutive pair) — the temporal-motif input;
+    :func:`user_interaction_digraph` is its distinct projection.
+
+    Scale shape: the naive plan is ``lag() OVER (PARTITION BY
+    event_type)``, which collapses each type's WHOLE stream into one
+    sorted task — with a handful of event types that is a few giant
+    tasks at 100 TB. Instead the stream is cut into ``time_buckets``
+    fixed-width time slices, the lag runs per ``(event_type, bucket)``
+    (parallel, bounded tasks), and the bucket boundaries are stitched
+    with a window over the per-bucket first/last summary — a table with
+    one row per non-empty ``(event_type, bucket)``, tiny by
+    construction. Both halves are pure JVM window/join work.
+    """
+    ev = events.select(
+        F.col("event_type").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("o"),
+        "user_id",
+    )
+    lo, hi = ev.agg(F.min("t"), F.max("t")).first()
+    if lo is None:
+        return ev.select(
+            F.col("user_id").alias("src"),
+            F.col("user_id").alias("dst"),
+            F.col("t"),
+        ).limit(0)
+    width = max((hi - lo) // time_buckets + 1, 1)
+    ev = ev.withColumn("b", ((F.col("t") - F.lit(lo)) / F.lit(width)).cast("long"))
+    w = Window.partitionBy("k", "b").orderBy("t", "o")
+    inner = ev.select(
+        "k", "t", "o", "user_id", "b",
+        F.lag("user_id").over(w).alias("prev_user"),
+        F.lag("t").over(w).alias("prev_t"),
+    )
+    # per-(k, b) first/last rows: one row per non-empty bucket each
+    asc = Window.partitionBy("k", "b").orderBy("t", "o")
+    desc = Window.partitionBy("k", "b").orderBy(F.desc("t"), F.desc("o"))
+    firsts = (
+        ev.withColumn("_rn", F.row_number().over(asc))
+        .filter(F.col("_rn") == 1)
+        .select("k", "b", F.col("user_id").alias("first_user"), F.col("t").alias("first_t"))
+    )
+    lasts = (
+        ev.withColumn("_rn", F.row_number().over(desc))
+        .filter(F.col("_rn") == 1)
+        .select("k", "b", F.col("user_id").alias("last_user"), F.col("t").alias("last_t"))
+    )
+    bw = Window.partitionBy("k").orderBy("b")
+    stitched = (
+        firsts.join(lasts, ["k", "b"])
+        .select(
+            "k", "b", "first_user", "first_t",
+            F.lag("last_user").over(bw).alias("prev_user"),
+            F.lag("last_t").over(bw).alias("prev_t"),
+        )
+        .filter(F.col("prev_user").isNotNull())
+        .select(
+            "prev_user", F.col("first_user").alias("user_id"),
+            "prev_t", F.col("first_t").alias("t"),
+        )
+    )
+    pairs = inner.filter(F.col("prev_user").isNotNull()).select(
+        "prev_user", "user_id", "prev_t", "t"
+    ).unionAll(stitched)
+    gap_us = int(gap_seconds * 1_000_000)
+    return pairs.filter(
+        (F.col("t") - F.col("prev_t") <= gap_us)
+        & (F.col("prev_user") != F.col("user_id"))
+    ).select(
+        F.col("prev_user").alias("src"), F.col("user_id").alias("dst"), "t"
+    )
+
+
+def user_interaction_digraph(
+    events: DataFrame,
+    gap_seconds: float = 60.0,
+    time_buckets: int = 64,
+) -> DataFrame:
+    """Distinct self-loop-free edge list ``(src, dst)`` of
+    :func:`user_interaction_pairs` — the digraph the SCC / condensation
+    queries run on."""
+    return (
+        user_interaction_pairs(events, gap_seconds, time_buckets)
+        .select("src", "dst")
+        .distinct()
+    )
