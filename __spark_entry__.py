@@ -678,7 +678,9 @@ def _cc_sql() -> str:
     )
 
 
-def _lpa_sql() -> str:
+def _lpa_ctes() -> list[str]:
+    """Shared CTE chain for the unrolled LPA fixpoint; the final CTE is
+    ``p{LPA_ROUNDS}(node_id, label)``."""
     ctes = [COS_EDGES_CTE.strip(), SYM_CTE.strip()]
     ctes.append("p0 AS (SELECT node_id, node_id AS label FROM cnodes)")
     for i in range(1, LPA_ROUNDS + 1):
@@ -697,8 +699,52 @@ def _lpa_sql() -> str:
   ) best ON n.node_id = best.node_id
 )"""
         )
+    return ctes
+
+
+def _lpa_sql() -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT node_id, label FROM p{LPA_ROUNDS}"
+        "WITH " + ",\n".join(_lpa_ctes()) + f"\nSELECT node_id, label FROM p{LPA_ROUNDS}"
+    )
+
+
+def _modularity_sql() -> str:
+    """Newman modularity of the LPA partition on the cosine graph:
+    Q = e_in/m - sum_c (deg_c / 2m)^2 over the undirected simple graph."""
+    ctes = _lpa_ctes()
+    ctes.append(f"lab AS (SELECT node_id, label FROM p{LPA_ROUNDS})")
+    ctes.append("und AS (SELECT src AS a, dst AS b FROM cedges)")
+    ctes.append(
+        """deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) t GROUP BY n
+)"""
+    )
+    ctes.append("mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und)")
+    ctes.append(
+        """ein AS (
+  SELECT CAST(count(*) AS DOUBLE) AS e FROM und u
+  JOIN lab la ON u.a = la.node_id
+  JOIN lab lb ON u.b = lb.node_id
+  WHERE la.label = lb.label
+)"""
+    )
+    ctes.append(
+        """dc AS (
+  SELECT la.label, CAST(sum(deg.d) AS DOUBLE) AS dsum
+  FROM deg JOIN lab la ON deg.n = la.node_id GROUP BY la.label
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_communities,
+       round((SELECT e FROM ein) / (SELECT m FROM mm)
+             - (SELECT sum(dsum * dsum) FROM dc)
+               / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)),
+             6) AS modularity"""
     )
 
 
@@ -1488,6 +1534,29 @@ def q_eccentricity(spark, sf_dir):
     return eccentricity(_cos_edges(spark, sf_dir))
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the user-interaction digraph:
+    one length-8 walk per node, neighbor picked by a portable md5 hash
+    of (walk_id, step, seed) mod out-degree — the exact corpus the
+    oracle replays step by step."""
+    from online_centrality_spark.operators import random_walks
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return random_walks(dg, walk_length=8, seed=0)
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity (1 row) of the label-propagation partition on
+    the cosine similarity graph — partition-quality metric computed
+    entirely as grouped aggregation + 1-row cross joins."""
+    from online_centrality_spark.operators import label_propagation, modularity
+
+    edges = _cos_edges(spark, sf_dir).persist()
+    labels = label_propagation(edges, max_iter=LPA_ROUNDS)
+    return modularity(edges, labels, label_col="label")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (2 h inactivity gap) via the native
     session_window aggregate: one shuffle on the user key, gap-merge
@@ -1754,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "eccentricity": q_eccentricity,
         "temporal_motifs": q_temporal_motifs,
+        "modularity": q_modularity,
+        "random_walks": q_random_walks,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2328,6 +2399,34 @@ SELECT n.node_id,
 FROM dnodes n LEFT JOIN mutual m ON n.node_id = m.v
 GROUP BY n.node_id
 """
+    walk_ctes = [
+        digraph_cte.strip(),
+        "dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges)",
+        """adj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM dedges
+)""",
+        "od AS (SELECT src, count(*) AS od FROM adj GROUP BY src)",
+        "w0 AS (SELECT node_id AS walk_id, CAST(0 AS BIGINT) AS step, node_id FROM dnodes)",
+    ]
+    for s in range(1, 9):
+        h = PORTABLE_HASH.format(s=f"c.walk_id || ':{s}:0'")
+        walk_ctes.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT c.walk_id, CAST({s} AS BIGINT) AS step, a.dst AS node_id
+  FROM w{s - 1} c
+  JOIN od ON c.node_id = od.src
+  JOIN adj a ON a.src = c.node_id AND a.idx = {h} % od.od
+)"""
+        )
+    sqls["random_walks"] = (
+        "WITH "
+        + ",\n".join(walk_ctes)
+        + "\nSELECT walk_id, step, node_id FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(9))
+        + ") u"
+    )
     sqls["reciprocity"] = f"""
 WITH {digraph_cte}
 SELECT (SELECT count(*) FROM dedges) AS n_edges,
@@ -2376,6 +2475,7 @@ FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
     sqls["hits"] = _hits_sql()
     sqls["local_clustering"] = _lcc_sql()
     sqls["eccentricity"] = _ecc_sql()
+    sqls["modularity"] = _modularity_sql()
     sqls["degree_assortativity"] = _assortativity_sql()
     sqls["link_prediction"] = _linkpred_sql()
     sqls["k_core"] = _kcore_sql()

@@ -7,8 +7,10 @@ from .hits import hits
 from .bfs import bfs_distances, eccentricity
 from .kcore import core_number, k_core
 from .link_prediction import link_prediction_scores
+from .community import modularity
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
+from .walk_corpus import random_walks
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
     DistributedTemporalKatz,
@@ -45,6 +47,8 @@ __all__ = [
     "link_prediction_scores",
     "strongly_connected_components",
     "temporal_motifs",
+    "modularity",
+    "random_walks",
     "degree_assortativity",
     "local_clustering",
 ]

@@ -1,0 +1,87 @@
+"""Deterministic random-walk corpus generation (node2vec/DeepWalk input).
+
+Training-data-pipeline extension: materializes fixed-length random
+walks over the link graph as the (walk_id, step, node_id) long table a
+skip-gram embedding trainer consumes. Walk choices are DETERMINISTIC —
+neighbor picked by an engine-portable md5 hash of (walk id, step,
+seed) mod out-degree — so reruns, resumed jobs, and the DuckDB oracle
+all see the identical corpus (same philosophy as ``hash_sample``:
+reproducibility beats true randomness in a data pipeline).
+
+Scale shape: the adjacency gets a per-source neighbor index once (one
+window partitioned by the source node — bounded by max out-degree);
+each step is then ONE equi-join of the walk frontier against that
+indexed adjacency on ``(node, pick)``, so 10^9 concurrent walks are
+just a partitioned join per step, no per-row Python anywhere. Dead-end
+nodes terminate their walk (the standard DeepWalk rule). Hub skew: the
+frontier key is the CURRENT node, and each walk contributes exactly
+one row per step, so fan-out per key is walk-count-bounded, not
+degree-bounded; AQE's skew-join split handles hot hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..dedup.common import portable_hash
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    seed: int = 0,
+    directed: bool = True,
+) -> DataFrame:
+    """(walk_id, step, node_id) — one walk per graph node, ``step`` in
+    ``[0, walk_length]``, ``walk_id`` = the start node's id.
+
+    Step rule: from node ``v`` at step ``s`` the walk moves to the
+    neighbor with index ``md5(walk_id:s:seed) mod outdeg(v)`` in the
+    dst-sorted adjacency of ``v``; if ``v`` has no out-neighbors the
+    walk ends there.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = e.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
+    ).persist()
+    outdeg = adj.groupBy("src").agg(F.count("*").alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("node_id").alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("node_id"),
+    ).localCheckpoint(eager=True)
+    out = cur
+    for s in range(1, walk_length + 1):
+        pick = F.pmod(
+            portable_hash(
+                F.concat_ws(":", F.col("walk_id"), F.lit(s), F.lit(seed))
+            ),
+            F.col("od"),
+        )
+        nxt = (
+            cur.join(outdeg, cur["node_id"] == outdeg["src"])
+            .select("walk_id", F.col("node_id").alias("v"), pick.alias("pick"))
+            .join(adj, (F.col("v") == adj["src"]) & (F.col("pick") == adj["idx"]))
+            .select(
+                "walk_id",
+                F.lit(s).cast("long").alias("step"),
+                F.col("dst").alias("node_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionAll(nxt)
+        cur = nxt
+    return out
