@@ -1546,6 +1546,15 @@ def q_random_walks(spark, sf_dir):
     return random_walks(dg, walk_length=8, seed=0)
 
 
+def q_response_latency(spark, sf_dir):
+    """Per-event-type turn-latency profile (count, mean, exact p50/p90
+    of the within-user inter-event gap); exact `percentile` matches
+    DuckDB's quantile_cont interpolation."""
+    from online_centrality_spark.streaming import response_latency
+
+    return response_latency(_t(spark, sf_dir, "events"))
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity (1 row) of the label-propagation partition on
     the cosine similarity graph — partition-quality metric computed
@@ -1825,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_motifs": q_temporal_motifs,
         "modularity": q_modularity,
         "random_walks": q_random_walks,
+        "response_latency": q_response_latency,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2476,6 +2486,21 @@ FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
     sqls["local_clustering"] = _lcc_sql()
     sqls["eccentricity"] = _ecc_sql()
     sqls["modularity"] = _modularity_sql()
+    sqls["response_latency"] = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 6) AS mean_gap_secs,
+       round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS p50_gap_secs,
+       round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_gap_secs
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
     sqls["degree_assortativity"] = _assortativity_sql()
     sqls["link_prediction"] = _linkpred_sql()
     sqls["k_core"] = _kcore_sql()

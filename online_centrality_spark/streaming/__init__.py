@@ -1,5 +1,5 @@
 from .replay import StreamingDistributedReplay
-from .sessions import session_stats, sessionize
+from .sessions import response_latency, session_stats, sessionize
 from .stream import (
     stream_edge_induction,
     streaming_exact_dedup,
@@ -10,6 +10,7 @@ from .stream import (
 __all__ = [
     "StreamingDistributedReplay",
     "sessionize",
+    "response_latency",
     "session_stats",
     "stream_edge_induction",
     "streaming_exact_dedup",

@@ -18,7 +18,7 @@ Streaming with a watermark for live ingestion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,4 +70,48 @@ def session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
                 (F.col("session_end_us") - F.col("session_start_us")) / 1e6
             )
         ).alias("mean_session_secs"),
+    )
+
+
+def response_latency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-event-type response-time profile: ``(event_type, n_gaps,
+    mean_gap_secs, p50_gap_secs, p90_gap_secs)`` where a gap is the time
+    from a user's previous event to the current one (the "turn latency"
+    of transcript streams), grouped by the CURRENT event's type.
+
+    The lag window partitions on the user key (high-cardinality, unlike
+    event_type) and the percentile aggregation is Spark's exact
+    ``percentile`` — linear interpolation, matching DuckDB's
+    ``quantile_cont`` so the oracle is exact after rounding. Stats are
+    reported in SECONDS: round(x, 6) at microsecond magnitudes (1e10+)
+    needs more mantissa than a double has, so engines would disagree in
+    the last ULP; at seconds scale the rounding is exactly
+    representable in both.
+    """
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            t.alias("t"),
+            F.lag(t).over(w).alias("prev_t"),
+        )
+        .filter(F.col("prev_t").isNotNull())
+        .select("event_type", (F.col("t") - F.col("prev_t")).alias("gap_us"))
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        # exact integer sum, ONE final division: summation-order float
+        # noise can move round(.,6) otherwise
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("*") / 1e6, 6
+        ).alias("mean_gap_secs"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_secs"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_secs"),
     )

@@ -112,3 +112,31 @@ def test_motifs_random_matches_bruteforce(spark):
     wedges, tris = _brute_motifs(rows, delta)
     want = {u: (wedges[u], tris.get(u, 0)) for u in wedges}
     assert got == want
+
+
+def test_response_latency_hand_built(spark):
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.streaming import response_latency
+
+    rows = [
+        # user 1: gaps 10us then 30us; user 2: gap 100us
+        (1, 1_000_000, 1, "a"),
+        (2, 1_000_010, 1, "b"),
+        (3, 1_000_040, 1, "b"),
+        (4, 2_000_000, 2, "b"),
+        (5, 2_000_100, 2, "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, t_us long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("t_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    out = {r["event_type"]: r for r in response_latency(events).collect()}
+    assert out["b"]["n_gaps"] == 2 and out["b"]["p50_gap_secs"] == pytest.approx(20e-6)
+    assert out["a"]["n_gaps"] == 1 and out["a"]["mean_gap_secs"] == pytest.approx(100e-6)
+    # p90 of [10, 30] us by linear interpolation = 10 + 0.9 * 20 = 28 us
+    assert out["b"]["p90_gap_secs"] == pytest.approx(28e-6)
