@@ -376,6 +376,65 @@ FROM cnodes n LEFT JOIN e ON n.node_id = e.node_id"""
     )
 
 
+def _betweenness_sql(levels: int = 20, k: int = 8) -> str:
+    """Pivot-restricted Brandes betweenness on the cosine graph, fully
+    unrolled: ``levels`` forward BFS CTEs (sigma path counts, visited
+    sets) then the backward dependency sweep from the deepest level.
+    ``levels`` exceeds the graph's measured diameter (18 at sf0.01 via
+    the eccentricity oracle), so the restriction is vacuous and the
+    value is exact."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        f"piv AS (SELECT node_id FROM cnodes ORDER BY node_id LIMIT {k})",
+        "f0 AS (SELECT node_id AS s, node_id AS v, 1.0 AS sigma FROM piv)",
+        "vis0 AS (SELECT s, v FROM f0)",
+    ]
+    for d in range(1, levels + 1):
+        ctes.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT f.s, a.b AS v, sum(f.sigma) AS sigma
+  FROM f{d - 1} f JOIN sym a ON f.v = a.a
+  WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x WHERE x.s = f.s AND x.v = a.b)
+  GROUP BY f.s, a.b
+)"""
+        )
+        ctes.append(
+            f"""vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
+)"""
+        )
+    ctes.append(
+        f"b{levels} AS (SELECT s, v, sigma, 0.0 AS delta FROM f{levels})"
+    )
+    for d in range(levels - 1, -1, -1):
+        ctes.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma,
+         coalesce(sum(f.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta
+  FROM f{d} f
+  LEFT JOIN sym a ON f.v = a.a
+  LEFT JOIN b{d + 1} w ON w.s = f.s AND w.v = a.b
+  GROUP BY f.s, f.v, f.sigma
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM b{d}" for d in range(levels + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+alldel AS ({union}),
+bcv AS (
+  SELECT v AS node_id, sum(delta) / 2.0 AS bc
+  FROM alldel WHERE v <> s GROUP BY v
+)
+SELECT n.node_id, round(coalesce(b.bc, 0.0), 6) AS bc
+FROM cnodes n LEFT JOIN bcv b ON n.node_id = b.node_id"""
+    )
+
+
 def _lcc_sql() -> str:
     """Local clustering coefficient: the triangle oracle joined with
     simple-graph degree."""
@@ -1555,6 +1614,17 @@ def q_response_latency(spark, sf_dir):
     return response_latency(_t(spark, sf_dir, "events"))
 
 
+def q_betweenness(spark, sf_dir):
+    """Pivot-restricted Brandes betweenness on the cosine graph (the 8
+    smallest node ids as sources — the deterministic sampled-source
+    estimator scaled by n/k at full size); forward sigma BFS + backward
+    dependency sweep, all level-synchronous joins."""
+    from online_centrality_spark.operators import betweenness_from_pivots
+
+    out = betweenness_from_pivots(_cos_edges(spark, sf_dir), k=8)
+    return out.select("node_id", F.round("bc", 6).alias("bc"))
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity (1 row) of the label-propagation partition on
     the cosine similarity graph — partition-quality metric computed
@@ -1835,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "response_latency": q_response_latency,
+        "betweenness": q_betweenness,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2485,6 +2556,7 @@ FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
     sqls["hits"] = _hits_sql()
     sqls["local_clustering"] = _lcc_sql()
     sqls["eccentricity"] = _ecc_sql()
+    sqls["betweenness"] = _betweenness_sql()
     sqls["modularity"] = _modularity_sql()
     sqls["response_latency"] = """
 WITH g AS (

@@ -186,6 +186,19 @@ def main():
         ).count(),
     )
 
+    # round-3 link-graph extensions over the user-interaction digraph /
+    # cosine graph: distributed SCC coloring, δ-bucketed temporal
+    # motifs, deterministic DeepWalk corpus
+    run("scc", lambda: entry_mod.q_scc(spark, sf_dir).count())
+    run(
+        "temporal_motifs",
+        lambda: entry_mod.q_temporal_motifs(spark, sf_dir).count(),
+    )
+    run(
+        "random_walks",
+        lambda: entry_mod.q_random_walks(spark, sf_dir).count(),
+    )
+
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)
     run_replay(
@@ -215,8 +228,9 @@ def main():
     result = {
         "metric": "headline engine queries wallclock (tk temporal-walk superstep, "
         "edge induction, did, pagerank30, cc-star, triangles, minhash-LSH, ANN, "
-        "embedding-dedup-LSH, ngram-jaccard, distributed-state driver replay, "
-        "distributed TPR fold, distributed DID replay); best-of-N per row",
+        "embedding-dedup-LSH, ngram-jaccard, SCC, temporal motifs, random-walk "
+        "corpus, distributed-state driver replay, distributed TPR fold, "
+        "distributed DID replay); best-of-N per row",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         # apples-to-apples subtotal over the round-1 query set (the

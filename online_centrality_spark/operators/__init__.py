@@ -4,6 +4,7 @@ from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import personalized_pagerank, static_pagerank
 from .harmonic import harmonic_centrality
 from .hits import hits
+from .betweenness import betweenness_from_pivots
 from .bfs import bfs_distances, eccentricity
 from .kcore import core_number, k_core
 from .link_prediction import link_prediction_scores
@@ -42,6 +43,7 @@ __all__ = [
     "personalized_pagerank",
     "bfs_distances",
     "eccentricity",
+    "betweenness_from_pivots",
     "core_number",
     "k_core",
     "link_prediction_scores",
