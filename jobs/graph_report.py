@@ -1,0 +1,113 @@
+"""spark-submit entry point: one-pass link-graph analytics report.
+
+Composes the round-3 graph surface over the event stream into a single
+job writing one partitioned parquet report per metric family (launch
+with --py-files exactly like jobs/replay_job.py):
+
+    events
+      -> user-interaction digraph (bucket-stitched lag induction)
+           -> SCC labels                (FW-BW coloring)
+           -> reciprocity              (1 row)
+           -> δ-temporal motifs        (bucketed 3-way join)
+           -> random-walk corpus       (deterministic DeepWalk input)
+      -> actor edge table (conv adjacency induction)
+           -> HITS hubs/authorities
+      -> turn-latency profile          (exact percentiles)
+
+Each family lands under ``<out>/metric=<name>/`` so a downstream
+consumer reads exactly the partitions it needs; a JSON metrics line
+with row counts and wall-clock per stage goes to stdout.
+
+    spark-submit --master local[8] \
+        --py-files dist/online_centrality_spark.zip \
+        jobs/graph_report.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/graph_report
+"""
+
+import argparse
+import json
+import time
+
+
+def run_report(spark, events, out: str, gap_seconds: float = 60.0,
+               motif_gap_seconds: float = 900.0,
+               motif_delta_us: int = 3_600_000_000,
+               walk_length: int = 8) -> dict:
+    from online_centrality_spark.operators import (
+        hits,
+        random_walks,
+        strongly_connected_components,
+        temporal_motifs,
+    )
+    from online_centrality_spark.sources.edges import (
+        edges_from_events,
+        user_interaction_digraph,
+        user_interaction_pairs,
+    )
+    from online_centrality_spark.streaming import response_latency
+    from pyspark.sql import functions as F
+
+    metrics = {}
+
+    def sink(name, df):
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(f"{out}/metric={name}")
+        n = spark.read.parquet(f"{out}/metric={name}").count()
+        metrics[name] = {"rows": n, "secs": round(time.time() - t0, 2)}
+
+    dg = user_interaction_digraph(events, gap_seconds=gap_seconds).persist()
+    sink("scc", strongly_connected_components(dg))
+    rev = dg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sink(
+        "reciprocity",
+        dg.agg(F.count("*").alias("n_edges")).crossJoin(
+            dg.join(rev, ["src", "dst"], "left_semi")
+            .agg(F.count("*").alias("n_mutual"))
+        ),
+    )
+    sink(
+        "temporal_motifs",
+        temporal_motifs(
+            user_interaction_pairs(events, gap_seconds=motif_gap_seconds),
+            delta_us=motif_delta_us,
+        ),
+    )
+    sink("random_walks", random_walks(dg, walk_length=walk_length))
+    edges, nodes = edges_from_events(events)
+    sink(
+        "hits",
+        hits(edges, max_iter=12, tol=0.0).join(
+            F.broadcast(nodes), "node_id"
+        ),
+    )
+    sink("response_latency", response_latency(events))
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/graph_report")
+    ap.add_argument("--gap-seconds", type=float, default=60.0)
+    ap.add_argument("--walk-length", type=int, default=8)
+    args = ap.parse_args()
+
+    from online_centrality_spark.session import get_spark
+
+    spark = get_spark(app_name="graph_report")
+    events = spark.read.parquet(f"{args.sf_dir}/events.parquet")
+    t0 = time.time()
+    metrics = run_report(
+        spark, events, args.out,
+        gap_seconds=args.gap_seconds, walk_length=args.walk_length,
+    )
+    print(json.dumps({
+        "job": "graph_report",
+        "out": args.out,
+        "total_secs": round(time.time() - t0, 2),
+        "stages": metrics,
+    }))
+
+
+if __name__ == "__main__":
+    main()
