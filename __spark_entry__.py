@@ -1559,7 +1559,9 @@ def q_reciprocity(spark, sf_dir):
     self-join on the distinct edge list + a scalar agg."""
     from online_centrality_spark.sources.edges import user_interaction_digraph
 
-    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    dg = user_interaction_digraph(
+        _t(spark, sf_dir, "events"), gap_seconds=60.0
+    ).persist()
     rev = dg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = dg.join(rev, ["src", "dst"], "left_semi")
     return dg.agg(F.count("*").alias("n_edges")).crossJoin(

@@ -36,8 +36,12 @@ def temporal_motifs(tedges: DataFrame, delta_us: int) -> DataFrame:
     ``(e3: w->u)``, ``t2 < t3 <= t1 + delta``. Counts attach to the
     initiator ``u``; nodes that start no motif are omitted (join the
     node dictionary for a dense frame).
+
+    ``tedges`` is consumed by three join branches and the wedge set by
+    two, so both are persisted — without this the upstream induction
+    would be re-executed per branch (verified via ``.explain``).
     """
-    e = tedges.select("src", "dst", "t")
+    e = tedges.select("src", "dst", "t").persist()
     e2 = _with_bucket(
         e.select(
             F.col("src").alias("v2"), F.col("dst").alias("w2"), F.col("t").alias("t2")
@@ -63,6 +67,7 @@ def temporal_motifs(tedges: DataFrame, delta_us: int) -> DataFrame:
             & (F.col("w2") != F.col("u"))
         )
         .select("u", "v", F.col("w2").alias("w"), "t1", "t2", "b1")
+        .persist()
     )
     n_wedges = wedges.groupBy(F.col("u").alias("node_id")).agg(
         F.count("*").alias("n_wedges")
