@@ -32,7 +32,8 @@ import time
 def run_report(spark, events, out: str, gap_seconds: float = 60.0,
                motif_gap_seconds: float = 900.0,
                motif_delta_us: int = 3_600_000_000,
-               walk_length: int = 8) -> dict:
+               walk_length: int = 8,
+               resume: bool = False) -> dict:
     from online_centrality_spark.operators import (
         hits,
         random_walks,
@@ -50,9 +51,28 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
     metrics = {}
 
     def sink(name, df):
+        """Write one metric family; with ``resume`` a family whose sink
+        already committed (parquet _SUCCESS marker) is skipped, so a
+        killed report re-run only recomputes the unfinished tail —
+        every family is deterministic, so skip-vs-recompute is
+        value-identical (pinned by the resume test)."""
+        path = f"{out}/metric={name}"
         t0 = time.time()
-        df.write.mode("overwrite").parquet(f"{out}/metric={name}")
-        n = spark.read.parquet(f"{out}/metric={name}").count()
+        if resume:
+            try:
+                n = spark.read.parquet(path).count()
+                jvm = spark.sparkContext._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+                fs = hpath.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                if fs.exists(hpath):
+                    metrics[name] = {"rows": n, "secs": 0.0, "resumed": True}
+                    return
+            except Exception:
+                pass  # unreadable/missing -> recompute below
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
         metrics[name] = {"rows": n, "secs": round(time.time() - t0, 2)}
 
     dg = user_interaction_digraph(events, gap_seconds=gap_seconds).persist()
@@ -90,6 +110,10 @@ def main():
     ap.add_argument("--out", default="/tmp/graph_report")
     ap.add_argument("--gap-seconds", type=float, default=60.0)
     ap.add_argument("--walk-length", type=int, default=8)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip metric families whose sink already committed",
+    )
     args = ap.parse_args()
 
     from online_centrality_spark.session import get_spark
@@ -100,6 +124,7 @@ def main():
     metrics = run_report(
         spark, events, args.out,
         gap_seconds=args.gap_seconds, walk_length=args.walk_length,
+        resume=args.resume,
     )
     print(json.dumps({
         "job": "graph_report",

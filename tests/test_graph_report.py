@@ -20,3 +20,21 @@ def test_graph_report_all_stages(spark, tmp_path):
     # walks start at step 0 for every walk id
     starts = walks.filter("step = 0").count()
     assert starts == walks.select("walk_id").distinct().count()
+
+
+def test_graph_report_resume_skips_committed(spark, tmp_path):
+    import shutil
+
+    from jobs.graph_report import run_report
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "report2")
+    first = run_report(spark, events, out, walk_length=3)
+    # simulate a crash after some families: wipe two sinks
+    shutil.rmtree(f"{out}/metric=hits")
+    shutil.rmtree(f"{out}/metric=response_latency")
+    second = run_report(spark, events, out, walk_length=3, resume=True)
+    for name, m in second.items():
+        assert m["rows"] == first[name]["rows"], name
+    resumed = {n for n, m in second.items() if m.get("resumed")}
+    assert resumed == {"scc", "reciprocity", "temporal_motifs", "random_walks"}
