@@ -1553,6 +1553,34 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(dg)
 
 
+def q_scc_condensation(spark, sf_dir):
+    """Condensation DAG of the user-interaction digraph: distinct
+    (src_component, dst_component) edges between different SCCs — the
+    acyclic quotient graph downstream schedulers consume. Two label
+    joins over the edge list; the SCC label table is component-count
+    sized, so AQE broadcasts it when small."""
+    from online_centrality_spark.operators import strongly_connected_components
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(
+        _t(spark, sf_dir, "events"), gap_seconds=60.0
+    ).persist()
+    labels = strongly_connected_components(dg)
+    ls = labels.select(
+        F.col("node_id").alias("src"), F.col("component").alias("src_comp")
+    )
+    ld = labels.select(
+        F.col("node_id").alias("dst"), F.col("component").alias("dst_comp")
+    )
+    return (
+        dg.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("src_comp") != F.col("dst_comp"))
+        .select("src_comp", "dst_comp")
+        .distinct()
+    )
+
+
 def q_reciprocity(spark, sf_dir):
     """Edge reciprocity of the user-interaction digraph (1 row): the
     fraction of directed edges whose reverse edge also exists. One
@@ -1902,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "scc": q_scc,
         "reciprocity": q_reciprocity,
+        "scc_condensation": q_scc_condensation,
         "eccentricity": q_eccentricity,
         "temporal_motifs": q_temporal_motifs,
         "modularity": q_modularity,
@@ -2510,6 +2539,28 @@ GROUP BY n.node_id
         + " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(9))
         + ") u"
     )
+    sqls["scc_condensation"] = f"""
+WITH RECURSIVE {digraph_cte},
+dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
+reach(s, d) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN dedges e ON r.d = e.src
+),
+mutual AS (
+  SELECT a.s AS v, a.d AS u FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+),
+scc AS MATERIALIZED (
+  SELECT n.node_id, least(n.node_id, coalesce(min(m.u), n.node_id)) AS component
+  FROM dnodes n LEFT JOIN mutual m ON n.node_id = m.v
+  GROUP BY n.node_id
+)
+SELECT DISTINCT ls.component AS src_comp, ld.component AS dst_comp
+FROM dedges e
+JOIN scc ls ON e.src = ls.node_id
+JOIN scc ld ON e.dst = ld.node_id
+WHERE ls.component <> ld.component
+"""
     sqls["reciprocity"] = f"""
 WITH {digraph_cte}
 SELECT (SELECT count(*) FROM dedges) AS n_edges,

@@ -127,3 +127,30 @@ def test_digraph_empty_events(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string"
     )
     assert user_interaction_digraph(events).count() == 0
+
+
+def test_scc_condensation_matches_networkx(spark):
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.operators import strongly_connected_components
+
+    rng = random.Random(31)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    dg = _edges(spark, pairs).persist()
+    labels = strongly_connected_components(dg)
+    ls = labels.select(F.col("node_id").alias("src"), F.col("component").alias("sc"))
+    ld = labels.select(F.col("node_id").alias("dst"), F.col("component").alias("dc"))
+    got = {
+        (r["sc"], r["dc"])
+        for r in dg.join(ls, "src").join(ld, "dst")
+        .filter(F.col("sc") != F.col("dc")).select("sc", "dc").distinct().collect()
+    }
+    comp = _nx_scc(pairs)
+    want = {
+        (comp[a], comp[b]) for a, b in pairs if comp[a] != comp[b]
+    }
+    assert got == want
+    # the condensation must be a DAG
+    C = nx.DiGraph(got)
+    assert nx.is_directed_acyclic_graph(C)
