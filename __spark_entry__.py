@@ -435,6 +435,44 @@ FROM cnodes n LEFT JOIN bcv b ON n.node_id = b.node_id"""
     )
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
+    """k-truss peel unrolled: each round recounts per-edge triangle
+    support within the current edge set and drops edges below k-2;
+    ``rounds`` exceeds the observed fixpoint depth, and extra rounds
+    are no-ops once stable."""
+    need = k - 2
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        "t0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges)",
+    ]
+    for r in range(1, rounds + 1):
+        p, c = f"t{r - 1}", f"t{r}"
+        ctes.append(
+            f"""tri{r} AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM {p} e1
+  JOIN {p} e2 ON e1.b = e2.a
+  JOIN {p} e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+        )
+        ctes.append(
+            f"""sup{r} AS (
+  SELECT x AS a, y AS b, count(*) AS s FROM (
+    SELECT a AS x, b AS y FROM tri{r}
+    UNION ALL SELECT a, c FROM tri{r}
+    UNION ALL SELECT b, c FROM tri{r}
+  ) u GROUP BY x, y
+)"""
+        )
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {p} e LEFT JOIN sup{r} s ON e.a = s.a AND e.b = s.b
+  WHERE coalesce(s.s, 0) >= {need}
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM t{rounds}"
+
+
 def _lcc_sql() -> str:
     """Local clustering coefficient: the triangle oracle joined with
     simple-graph degree."""
@@ -1644,6 +1682,15 @@ def q_response_latency(spark, sf_dir):
     return response_latency(_t(spark, sf_dir, "events"))
 
 
+def q_k_truss(spark, sf_dir):
+    """3-truss of the cosine similarity graph (edges supported by at
+    least one triangle inside the surviving subgraph) via the iterative
+    recount-and-drop peel."""
+    from online_centrality_spark.operators import k_truss
+
+    return k_truss(_cos_edges(spark, sf_dir), k=3)
+
+
 def q_betweenness(spark, sf_dir):
     """Pivot-restricted Brandes betweenness on the cosine graph (the 8
     smallest node ids as sources — the deterministic sampled-source
@@ -1937,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "response_latency": q_response_latency,
         "betweenness": q_betweenness,
+        "k_truss": q_k_truss,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2610,6 +2658,7 @@ FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
     sqls["local_clustering"] = _lcc_sql()
     sqls["eccentricity"] = _ecc_sql()
     sqls["betweenness"] = _betweenness_sql()
+    sqls["k_truss"] = _ktruss_sql()
     sqls["modularity"] = _modularity_sql()
     sqls["response_latency"] = """
 WITH g AS (

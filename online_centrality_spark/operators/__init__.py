@@ -6,7 +6,7 @@ from .harmonic import harmonic_centrality
 from .hits import hits
 from .betweenness import betweenness_from_pivots
 from .bfs import bfs_distances, eccentricity
-from .kcore import core_number, k_core
+from .kcore import core_number, k_core, k_truss
 from .link_prediction import link_prediction_scores
 from .community import modularity
 from .motifs import temporal_motifs
@@ -46,6 +46,7 @@ __all__ = [
     "betweenness_from_pivots",
     "core_number",
     "k_core",
+    "k_truss",
     "link_prediction_scores",
     "strongly_connected_components",
     "temporal_motifs",

@@ -114,3 +114,50 @@ def core_number(edges: DataFrame, max_rounds: int = 1000) -> DataFrame:
                             StructField("core", LongType())])
         )
     return out
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """(a, b) — the k-truss of the undirected simple graph: the maximal
+    subgraph where every edge closes at least ``k - 2`` triangles
+    *within the subgraph*. Standard peel: count per-edge support via
+    the a<b<c triangle join over the CURRENT edge set, drop edges below
+    threshold, repeat to fixpoint (the edge set shrinks monotonically,
+    so each round's joins get cheaper). Like the engine's other
+    fixpoints: per-round ``localCheckpoint``, loud guard on ``max_iter``.
+
+    North-rule link-graph extension; no reference counterpart.
+    """
+    sup_needed = k - 2
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        e1 = cur
+        e2 = cur.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = cur.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+        tris = (
+            e1.join(e2, "b")
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c")
+        )
+        sup = (
+            tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionAll(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .unionAll(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            .groupBy(F.col("x").alias("a"), F.col("y").alias("b"))
+            .agg(F.count("*").alias("support"))
+        )
+        nxt = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= sup_needed)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == cur.count():
+            return nxt
+        cur = nxt
+    raise RuntimeError(f"k-truss peel did not converge in {max_iter} rounds")

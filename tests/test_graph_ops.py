@@ -183,3 +183,37 @@ def test_ppr_no_valid_seed_raises(spark):
         _ppr(spark, [(0, 1)], [99])
     with pytest.raises(Exception, match="no seed"):
         _ppr(spark, [(0, 1)], [99], collect_threshold=0)
+
+
+# --- k-truss ---------------------------------------------------------------
+
+def test_k_truss_matches_networkx(spark):
+    import networkx as nx
+
+    rng = random.Range = random.Random(41)
+    pairs = list({(rng.randrange(18), rng.randrange(18)) for _ in range(70)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    from online_centrality_spark.operators import k_truss
+
+    for k in (3, 4):
+        got = {
+            tuple(sorted((r["a"], r["b"])))
+            for r in k_truss(_edges(spark, pairs), k).collect()
+        }
+        G = nx.Graph(pairs)
+        want = {tuple(sorted(e)) for e in nx.k_truss(G, k).edges}
+        assert got == want, k
+
+
+def test_k_truss_two_cliques_bridge(spark):
+    from online_centrality_spark.operators import k_truss
+
+    # two 4-cliques joined by a bridge: 4-truss = the cliques, no bridge
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = cl1 + cl2 + [(3, 10)]
+    got = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in k_truss(_edges(spark, pairs), 4).collect()
+    }
+    assert got == {tuple(sorted(e)) for e in cl1 + cl2}
