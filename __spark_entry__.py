@@ -1682,6 +1682,20 @@ def q_response_latency(spark, sf_dir):
     return response_latency(_t(spark, sf_dir, "events"))
 
 
+def q_degree_distribution(spark, sf_dir):
+    """Degree histogram of the cosine graph: (degree, n_nodes) — the
+    first thing anyone plots about a link graph; two map-side-combinable
+    aggregations, no joins."""
+    edges = _cos_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionAll(edges.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def q_k_truss(spark, sf_dir):
     """3-truss of the cosine similarity graph (edges supported by at
     least one triangle inside the surviving subgraph) via the iterative
@@ -1985,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": q_response_latency,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
+        "degree_distribution": q_degree_distribution,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -2659,6 +2674,15 @@ FROM nw LEFT JOIN nt ON nw.node_id = nt.node_id
     sqls["eccentricity"] = _ecc_sql()
     sqls["betweenness"] = _betweenness_sql()
     sqls["k_truss"] = _ktruss_sql()
+    sqls["degree_distribution"] = f"""
+WITH {COS_EDGES_CTE.strip()},
+deg AS (
+  SELECT n AS node_id, count(*) AS degree FROM (
+    SELECT src AS n FROM cedges UNION ALL SELECT dst FROM cedges
+  ) u GROUP BY n
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree
+"""
     sqls["modularity"] = _modularity_sql()
     sqls["response_latency"] = """
 WITH g AS (
