@@ -47,13 +47,18 @@ def _event_edges(spark: SparkSession, sf_dir: str):
 
 
 def _cos_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings similarity graph: undirected edges (src < dst)."""
-    from online_centrality_spark.dedup.embedding import embedding_near_dups
+    """Embeddings similarity graph: undirected edges (src < dst).
+
+    Built on the blocked distributed exact pair source — no driver
+    collect, no full-matrix broadcast — so the 14 graph queries that
+    consume this edge list keep a 100 TB-shaped input stage
+    (tests/test_plan_shapes.py pins the no-toPandas property)."""
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
     # prefilter slightly below the threshold, then apply it on the rounded
     # value so both engines make the identical boundary decision
-    pairs = embedding_near_dups(emb, threshold=COS_TH - 1e-6)
+    pairs = embedding_near_dups_blocked(emb, threshold=COS_TH - 1e-6)
     return pairs.select(
         F.col("doc_a").alias("src"),
         F.col("doc_b").alias("dst"),
@@ -1780,10 +1785,13 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
-    from online_centrality_spark.dedup.embedding import embedding_near_dups
+    """Exact near-dup pairs via the blocked distributed matmul (one
+    Arrow task per block pair, no driver hop) — bit-identical to the
+    all-pairs twin, same DuckDB oracle."""
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups(emb, threshold=0.4 - 1e-6)
+    pairs = embedding_near_dups_blocked(emb, threshold=0.4 - 1e-6)
     return (
         pairs.select("doc_a", "doc_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.4)

@@ -2,7 +2,11 @@ from .exact import exact_dedup, exact_duplicate_groups
 from .minhash import minhash_lsh_candidates, minhash_signatures
 from .ngram import decontaminate, ngram_jaccard_pairs, shingles
 from .simhash import simhash_fingerprints, simhash_near_dups
-from .embedding import embedding_near_dups, embedding_near_dups_lsh
+from .embedding import (
+    embedding_near_dups,
+    embedding_near_dups_blocked,
+    embedding_near_dups_lsh,
+)
 from .clusters import dedup_clusters
 from .spans import positional_ngrams, remove_duplicated_spans
 
@@ -20,5 +24,6 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_dups",
     "embedding_near_dups",
+    "embedding_near_dups_blocked",
     "embedding_near_dups_lsh",
 ]

@@ -1,15 +1,25 @@
 """Embedding-cosine near-duplicate detection.
 
-Two physical strategies:
+Three physical strategies:
 
-- ``embedding_near_dups`` (all-pairs): Arrow-batched **block matmul** —
-  the item matrix is normalized once and broadcast; each Arrow batch of
-  query rows computes its similarity block with one numpy matmul and
-  emits only pairs above threshold. This keeps the O(n^2 d) work in
-  BLAS instead of per-pair JVM expression evaluation (measured ~50x on
-  5k x 64-dim inputs) and shuffles only surviving pairs. At scales where
-  the broadcast side no longer fits an executor, candidates come from
-  LSH bucketing (``similarity.ann``) and only candidates are scored.
+- ``embedding_near_dups_blocked`` (exact, distributed — the default for
+  the query surface): rows hash into ``num_blocks`` blocks; each of the
+  B(B+1)/2 block pairs is scored by ONE Arrow task with a numpy matmul.
+  No driver collect, no full-matrix broadcast — shuffle volume is B x
+  input (each row replicated to the B block pairs containing its
+  block), task memory is two blocks (2·(n/B)·dim doubles). At 100 TB
+  pick B ≈ n·dim·8B / (task budget); work stays O(n²d) in BLAS but
+  spread over B(B+1)/2 independent tasks.
+
+- ``embedding_near_dups`` (all-pairs, driver-staged): the item matrix is
+  normalized once and broadcast; each Arrow batch of query rows computes
+  its similarity block with one numpy matmul. Kept as the small-input
+  library twin (its ``toPandas`` + broadcast caps it at what one
+  executor holds) — the query surface uses the blocked path.
+
+- ``embedding_near_dups_lsh``: hyperplane-LSH candidates + exact-cosine
+  verify — the sub-quadratic path when the threshold is high enough
+  that bucket recall holds.
 
 - ``cosine_expr``: JVM ``zip_with``/``aggregate`` column expression for
   scoring small candidate-pair sets inline without Python.
@@ -91,6 +101,82 @@ def embedding_near_dups(
                 )
 
     return embeddings.select(id_col).mapInPandas(kernel, schema=_PAIR_SCHEMA)
+
+
+def embedding_near_dups_blocked(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine) pairs with cosine >= threshold, a < b —
+    exact all-pairs semantics with a fully distributed physical plan.
+
+    Rows are hashed into ``num_blocks`` blocks (xxhash64 of the id, so
+    skew-free regardless of id distribution); every block pair
+    (bi <= bj) becomes one ``applyInPandas`` group that scores the cross
+    block with a single float64 numpy matmul and emits only surviving
+    pairs.  Unlike :func:`embedding_near_dups` nothing is collected to
+    the driver and no full matrix is broadcast: the embeddings frame is
+    exploded B ways (each row joins the B pairs containing its block),
+    shuffled once on (bi, bj), and reduced task-side.  Dot products are
+    the same float64 BLAS matmul over the same full-length vectors as
+    the all-pairs twin; the pair SET is identical and values agree to
+    1 ulp (BLAS kernel choice varies with block shape), which is exact
+    after the query surface's round(·, 6) (pinned by
+    ``tests/test_pipeline_ops.py``).
+    """
+    B = int(num_blocks)
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(B)).cast("int"))
+    rep = v.withColumn(
+        "_other", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
+    ).select(
+        F.least("_blk", "_other").alias("_bi"),
+        F.greatest("_blk", "_other").alias("_bj"),
+        "_id",
+        "_blk",
+        "_v",
+    )
+
+    def score_block_pair(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        if bi == bj:
+            a_idx = np.arange(len(pdf))
+            b_idx = a_idx
+        else:
+            blk = pdf["_blk"].to_numpy()
+            a_idx = np.nonzero(blk == bi)[0]
+            b_idx = np.nonzero(blk == bj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        a = mat[a_idx]
+        b = mat[b_idx]
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        sims = (a @ b.T) / (na[:, None] * nb[None, :])
+        ida = ids[a_idx]
+        idb = ids[b_idx]
+        if bi == bj:
+            # triangular: each unordered pair appears once
+            mask = (sims >= threshold) & (ida[:, None] < idb[None, :])
+        else:
+            # cross block: every (row-in-bi, row-in-bj) pair appears
+            # exactly once here; orient by id below
+            mask = sims >= threshold
+        ia, jb = np.nonzero(mask)
+        lo = np.minimum(ida[ia], idb[jb])
+        hi = np.maximum(ida[ia], idb[jb])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cosine": sims[ia, jb]})
+
+    return rep.groupBy("_bi", "_bj").applyInPandas(
+        score_block_pair, schema=_PAIR_SCHEMA
+    )
 
 
 def embedding_near_dups_lsh(

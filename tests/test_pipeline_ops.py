@@ -251,6 +251,65 @@ def test_embedding_near_dups_lsh_matches_all_pairs(spark):
         assert got[k] == pytest.approx(v, abs=1e-12)
 
 
+def test_embedding_near_dups_blocked_matches_all_pairs(spark):
+    """The blocked distributed exact path (one Arrow task per block
+    pair, no driver collect) returns the SAME pair set as the all-pairs
+    twin, values equal to 1 ulp — i.e. identical after the query
+    surface's round(·, 6). Checked at two block counts, including one
+    larger than the row-hash spread, to exercise empty block pairs."""
+    from online_centrality_spark.dedup import embedding_near_dups_blocked
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    for nb in (4, 13):
+        got = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in embedding_near_dups_blocked(
+                emb, threshold=0.4, num_blocks=nb
+            ).collect()
+        }
+        assert got.keys() == exact.keys(), nb
+        for k, v in exact.items():
+            assert got[k] == pytest.approx(v, abs=1e-14), (nb, k)
+
+
+def test_cos_edges_never_collects_embeddings(spark, monkeypatch):
+    """The similarity graph feeding the 14 contract graph queries must be
+    built without a driver hop: building AND executing _cos_edges may
+    not call toPandas (the old all-pairs source collected + broadcast
+    the full matrix — the 100 TB scale-killer, VERDICT r03 #1)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import DataFrame
+
+    def _forbidden(self, *a, **kw):
+        raise AssertionError("toPandas called while building _cos_edges")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _forbidden)
+    edges = entry_mod._cos_edges(spark, "/root/testdata/sf0.001")
+    n = edges.count()
+    assert n > 0
+    monkeypatch.undo()
+    # and the result matches the all-pairs construction of the same graph
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_dups(emb, threshold=entry_mod.COS_TH - 1e-6)
+        .select("doc_a", "doc_b", F.round("cosine", 6).alias("c"))
+        .filter(F.col("c") >= entry_mod.COS_TH)
+        .collect()
+    }
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == want
+
+
 def test_ivf_topk(spark):
     """IVF coarse-quantizer ANN: probing ALL cells reproduces the exact
     brute-force top-k; probing a fraction keeps high recall on the
