@@ -40,6 +40,7 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
         strongly_connected_components,
         temporal_motifs,
     )
+    from online_centrality_spark.operators.triangles import edge_reciprocity
     from online_centrality_spark.sources.edges import (
         edges_from_events,
         user_interaction_digraph,
@@ -49,42 +50,74 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
     from pyspark.sql import functions as F
 
     metrics = {}
+    # the knobs a committed family's values depend on: resume only skips
+    # a family whose manifest matches the CURRENT invocation, so
+    # re-running with different parameters plus --resume can never mix
+    # stale and fresh families in one report
+    params = {
+        "gap_seconds": gap_seconds,
+        "motif_gap_seconds": motif_gap_seconds,
+        "motif_delta_us": motif_delta_us,
+        "walk_length": walk_length,
+    }
+
+    def _fs_and_path(p):
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return jvm, fs, hpath
 
     def sink(name, df):
         """Write one metric family; with ``resume`` a family whose sink
-        already committed (parquet _SUCCESS marker) is skipped, so a
-        killed report re-run only recomputes the unfinished tail —
-        every family is deterministic, so skip-vs-recompute is
+        already committed (parquet _SUCCESS marker present AND params
+        manifest equal to this invocation's) is skipped, so a killed
+        report re-run only recomputes the unfinished tail — every
+        family is deterministic, so skip-vs-recompute is
         value-identical (pinned by the resume test)."""
         path = f"{out}/metric={name}"
         t0 = time.time()
         if resume:
             try:
-                n = spark.read.parquet(path).count()
-                jvm = spark.sparkContext._jvm
-                hpath = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-                fs = hpath.getFileSystem(
-                    spark.sparkContext._jsc.hadoopConfiguration()
-                )
-                if fs.exists(hpath):
-                    metrics[name] = {"rows": n, "secs": 0.0, "resumed": True}
-                    return
+                # _SUCCESS existence FIRST — never scan a possibly
+                # partial sink just to decide whether to skip it
+                jvm, fs, success = _fs_and_path(path + "/_SUCCESS")
+                if fs.exists(success):
+                    mpath = jvm.org.apache.hadoop.fs.Path(
+                        path + "/_params.json"
+                    )
+                    committed = None
+                    if fs.exists(mpath):
+                        stream = fs.open(mpath)
+                        committed = json.loads(
+                            jvm.org.apache.commons.io.IOUtils.toString(
+                                stream, "UTF-8"
+                            )
+                        )
+                        stream.close()
+                    if committed == params:
+                        n = spark.read.parquet(path).count()
+                        metrics[name] = {
+                            "rows": n, "secs": 0.0, "resumed": True,
+                        }
+                        return
             except Exception:
-                pass  # unreadable/missing -> recompute below
+                pass  # unreadable marker/manifest -> recompute below
         df.write.mode("overwrite").parquet(path)
+        # manifest written AFTER the parquet commit: its presence+match
+        # implies the data beside it was produced with these params
+        # (underscore prefix -> invisible to parquet readers)
+        jvm, fs, mpath = _fs_and_path(path + "/_params.json")
+        ostream = fs.create(mpath, True)
+        ostream.write(bytearray(json.dumps(params), "utf-8"))
+        ostream.close()
         n = spark.read.parquet(path).count()
         metrics[name] = {"rows": n, "secs": round(time.time() - t0, 2)}
 
     dg = user_interaction_digraph(events, gap_seconds=gap_seconds).persist()
     sink("scc", strongly_connected_components(dg))
-    rev = dg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    sink(
-        "reciprocity",
-        dg.agg(F.count("*").alias("n_edges")).crossJoin(
-            dg.join(rev, ["src", "dst"], "left_semi")
-            .agg(F.count("*").alias("n_mutual"))
-        ),
-    )
+    # shared select with the q_reciprocity driver query — one schema
+    # (n_edges, n_mutual, reciprocity) across both surfaces
+    sink("reciprocity", edge_reciprocity(dg))
     sink(
         "temporal_motifs",
         temporal_motifs(

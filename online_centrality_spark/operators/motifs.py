@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 
 def _with_bucket(df: DataFrame, t_col: str, delta_us: int, out: str) -> DataFrame:
-    return df.withColumn(out, (F.col(t_col) / F.lit(delta_us)).cast("long"))
+    # integer division: double-divide-then-cast is exact only below 2^53;
+    # a misbucketed generic int64 timestamp would silently DROP motifs
+    # (the exact time filter runs after the bucket join)
+    return df.withColumn(out, F.expr(f"{t_col} div {delta_us}"))
 
 
 def temporal_motifs(tedges: DataFrame, delta_us: int) -> DataFrame:

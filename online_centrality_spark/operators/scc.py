@@ -144,10 +144,19 @@ def strongly_connected_components(
             .join(drop_dst, "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
-    else:
+    # raise only on genuinely unfinished work: the last SCC may retire
+    # exactly on iteration max_iter, in which case the for/else top-of-
+    # loop isEmpty() break was never reached but nothing remains
+    if not remaining.isEmpty():
         raise RuntimeError(
             f"SCC did not retire every node in {max_iter} outer rounds; "
             "raise max_iter (rounds scale with the SCC condensation depth)"
+        )
+    if not finished:
+        # empty edge list (e.g. a quiet events slice induces no digraph):
+        # no SCCs, return an empty typed frame rather than crashing
+        return edges.sparkSession.createDataFrame(
+            [], "node_id long, component long"
         )
     out = finished[0]
     for part in finished[1:]:

@@ -136,3 +136,26 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.corr("dx", "dy").alias("assortativity"),
         (F.count("*") / 2).cast("long").alias("n_edges"),
     )
+
+
+def edge_reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row (n_edges, n_mutual, reciprocity) — fraction of directed
+    edges whose reverse edge also exists. One left-semi self-join +
+    a scalar agg; the shared select for BOTH the driver query and
+    jobs/graph_report.py, so the two surfaces cannot drift schema.
+    ``edges`` must already be a DISTINCT directed edge list (e.g.
+    ``user_interaction_digraph``) — no re-dedup shuffle here."""
+    dg = edges.select("src", "dst")
+    rev = dg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = dg.join(rev, ["src", "dst"], "left_semi")
+    return (
+        dg.agg(F.count("*").alias("n_edges"))
+        .crossJoin(mutual.agg(F.count("*").alias("n_mutual")))
+        .select(
+            "n_edges",
+            "n_mutual",
+            F.round(F.col("n_mutual") / F.col("n_edges"), 6).alias(
+                "reciprocity"
+            ),
+        )
+    )

@@ -8,8 +8,10 @@ seed) mod out-degree — so reruns, resumed jobs, and the DuckDB oracle
 all see the identical corpus (same philosophy as ``hash_sample``:
 reproducibility beats true randomness in a data pipeline).
 
-Scale shape: the adjacency gets a per-source neighbor index once (one
-window partitioned by the source node — bounded by max out-degree);
+Scale shape: the adjacency gets a per-source neighbor index once via
+``per_key_rank`` (range-partitioned two-phase rank — a hub's adjacency
+spreads across partitions and only boundary-straddling sources are
+stitched, so NO single task ever sorts a whole hub's neighbor list);
 each step is then ONE equi-join of the walk frontier against that
 indexed adjacency on ``(node, pick)``, so 10^9 concurrent walks are
 just a partitioned join per step, no per-row Python anywhere. Dead-end
@@ -21,10 +23,11 @@ degree-bounded; AQE's skew-join split handles hot hubs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..dedup.common import portable_hash
+from ..sources.edges import per_key_rank
 
 
 def random_walks(
@@ -46,10 +49,7 @@ def random_walks(
         e = e.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    w = Window.partitionBy("src").orderBy("dst")
-    adj = e.select(
-        "src", "dst", (F.row_number().over(w) - 1).alias("idx")
-    ).persist()
+    adj = per_key_rank(e, ["src"], ["dst"], rank_col="idx").persist()
     outdeg = adj.groupBy("src").agg(F.count("*").alias("od"))
     nodes = (
         e.select(F.col("src").alias("node_id"))

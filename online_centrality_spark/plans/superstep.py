@@ -195,10 +195,17 @@ class SuperstepDriver:
                 for m in batched:
                     batch_outs[id(m)] = m.run_batch(cdf, intervals)
                     self._write_convergence(m, chunk[-1].interval_id)
+                # a measure's NEXT run_batch unpersists the cached frame
+                # its pending read-out write still reads from — join all
+                # in-flight writes before advancing any dist measure
+                self._join_writes()
                 for m in dist:
                     # read-outs stay a DataFrame: one distributed
-                    # partitioned write for the whole chunk, no pandas
-                    self._write_dist_scores(m, m.run_batch(cdf, intervals))
+                    # partitioned write for the whole chunk, no pandas.
+                    # The write commit runs on a side thread, overlapped
+                    # with this chunk's driver-side metric/score tail
+                    ro = m.run_batch(cdf, intervals)
+                    self._submit_write(self._write_dist_scores, m, ro)
                     self._write_convergence(m, chunk[-1].interval_id)
             if static_distributed and static:
                 for sm in static:
@@ -237,7 +244,29 @@ class SuperstepDriver:
             if self.ckpt_dir is not None:
                 self._checkpoint(online, chunk[-1].interval_id)
             del t_chunk
+        self._join_writes()
         return schedule
+
+    # -- async score-write commit ----------------------------------------
+    def _submit_write(self, fn, *args) -> None:
+        """Run a distributed sink write on a side thread so its commit
+        overlaps the chunk's driver-side tail (metric extraction,
+        snapshot score files, checkpointing). At most one write is in
+        flight per driver; exceptions re-raise at the next join."""
+        import concurrent.futures as _cf
+
+        if getattr(self, "_writer", None) is None:
+            self._writer = _cf.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="dist-score-write"
+            )
+            self._pending_writes: list = []
+        self._pending_writes.append(self._writer.submit(fn, *args))
+
+    def _join_writes(self) -> None:
+        for fut in getattr(self, "_pending_writes", []):
+            fut.result()  # propagate write failures loudly
+        if getattr(self, "_pending_writes", None):
+            self._pending_writes = []
 
     # ------------------------------------------------------------------
     def _bucket(
@@ -265,25 +294,12 @@ class SuperstepDriver:
 
     def _interval_stats(self, bucketed: DataFrame, time_type: str) -> dict:
         """Cumulative graph stats per interval (take_snapshot parity:
-        graph_simulator.py:19-30 reports total/window node+edge counts)."""
-        edge_counts = {
-            r["interval_id"]: r["cnt"]
-            for r in bucketed.groupBy("interval_id").agg(F.count("*").alias("cnt")).collect()
-        }
-        # first interval each distinct edge appears in: only consumed by
-        # index-mode total_edges (DiGraph dedup) — skip the (src, dst)
-        # shuffle entirely in epoch mode
-        if time_type == "index":
-            first_edge = {
-                r["interval_id"]: r["cnt"]
-                for r in bucketed.groupBy("src", "dst")
-                .agg(F.min("interval_id").alias("interval_id"))
-                .groupBy("interval_id")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
-        else:
-            first_edge = {}
+        graph_simulator.py:19-30 reports total/window node+edge counts).
+
+        All stat families collect in ONE tagged-union job: the aggregate
+        branches become sibling stages of a single job and schedule
+        concurrently, instead of three driver-serialized jobs — this was
+        the biggest fixed (Amdahl) stage of a distributed replay."""
         # one distinct pass over (interval, node) feeds BOTH per-interval
         # distinct node counts and first-appearance counts (the naive
         # form shuffled the 2x-edges node list twice)
@@ -293,28 +309,44 @@ class SuperstepDriver:
             .distinct()
             .persist()
         )
-        win_nodes = {
-            r["interval_id"]: r["cnt"]
-            for r in nodes_iv.groupBy("interval_id")
+        parts = [
+            bucketed.groupBy("interval_id")
             .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
-        first_node = {
-            r["interval_id"]: r["cnt"]
-            for r in nodes_iv.groupBy("node")
+            .select(F.lit("edge_counts").alias("stat"), "interval_id", "cnt"),
+            nodes_iv.groupBy("interval_id")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.lit("win_nodes").alias("stat"), "interval_id", "cnt"),
+            nodes_iv.groupBy("node")
             .agg(F.min("interval_id").alias("interval_id"))
             .groupBy("interval_id")
             .agg(F.count("*").alias("cnt"))
-            .collect()
+            .select(F.lit("first_node").alias("stat"), "interval_id", "cnt"),
+        ]
+        # first interval each distinct edge appears in: only consumed by
+        # index-mode total_edges (DiGraph dedup) — skip the (src, dst)
+        # shuffle entirely in epoch mode
+        if time_type == "index":
+            parts.append(
+                bucketed.groupBy("src", "dst")
+                .agg(F.min("interval_id").alias("interval_id"))
+                .groupBy("interval_id")
+                .agg(F.count("*").alias("cnt"))
+                .select(F.lit("first_edge").alias("stat"), "interval_id", "cnt")
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionAll(p)
+        stats: dict[str, dict] = {
+            "edge_counts": {},
+            "win_nodes": {},
+            "first_node": {},
+            "first_edge": {},
         }
+        for r in union.collect():
+            stats[r["stat"]][r["interval_id"]] = r["cnt"]
         nodes_iv.unpersist()
-        return dict(
-            edge_counts=edge_counts,
-            first_edge=first_edge,
-            first_node=first_node,
-            win_nodes=win_nodes,
-            time_type=time_type,
-        )
+        stats["time_type"] = time_type
+        return stats
 
     def _static_scores_df(
         self, bucketed: DataFrame, sm: StaticMeasure, i: int

@@ -73,6 +73,106 @@ def add_global_seq(
     return sdf.mapInPandas(attach, schema=out_schema)
 
 
+def per_key_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based rank of each row within its ``key_cols`` group ordered by
+    ``order_cols`` — the supernode-safe replacement for
+    ``row_number().over(partitionBy(key).orderBy(order))``, whose sort
+    puts a hub key's entire group in ONE task (degree-bounded straggler
+    at 10^8-degree hubs).
+
+    Physical plan: range-repartition on (key, order), local sort, local
+    rank in one Arrow pass. Because range partitioning keeps each key's
+    rows contiguous ACROSS partitions, only the keys that straddle a
+    partition boundary (at most ``num_partitions - 1`` of them, bounded
+    by parallelism — never by data) need stitching: their per-partition
+    counts are collected and broadcast as (pid, key) offsets.
+    ``(key_cols + order_cols)`` must be a unique row key for the rank to
+    be total and deterministic.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    cols = list(key_cols) + list(order_cols)
+    sdf = (
+        df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sdf.persist()
+    cnt = sdf.groupBy("_pid", *key_cols).agg(F.count("*").alias("_n"))
+    spanning = (
+        cnt.groupBy(*key_cols)
+        .agg(
+            F.count("*").alias("_np"),
+            F.collect_list(F.struct("_pid", "_n")).alias("_parts"),
+        )
+        .filter(F.col("_np") > 1)
+        .collect()
+    )
+    # (pid, key tuple) -> rank offset of that key's first row in that pid
+    offsets: dict[tuple, int] = {}
+    for r in spanning:
+        kt = tuple(r[k] for k in key_cols)
+        acc = 0
+        for pid, n in sorted((p["_pid"], p["_n"]) for p in r["_parts"]):
+            offsets[(pid,) + kt] = acc
+            acc += n
+    b_off = spark.sparkContext.broadcast(offsets)
+    out_schema = sdf.drop("_pid").schema.add(rank_col, "long", False)
+    keys = list(key_cols)
+
+    def attach(batches):
+        import pandas as pd
+
+        prev_key: tuple | None = None
+        prev_n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            local = pdf.groupby(keys, sort=False).cumcount().to_numpy(np.int64)
+            first = tuple(pdf.iloc[0][k] for k in keys)
+            if prev_key == first:
+                # a key's run continuing from the previous Arrow batch:
+                # bump its leading contiguous block by the carried count
+                same = np.ones(len(pdf), dtype=bool)
+                for k, v in zip(keys, first):
+                    same &= pdf[k].to_numpy() == v
+                brk = np.nonzero(~same)[0]
+                stop = int(brk[0]) if len(brk) else len(pdf)
+                local[:stop] += prev_n
+            prev_key = tuple(pdf.iloc[-1][k] for k in keys)
+            prev_n = int(local[-1]) + 1  # pre-offset: within-pid count
+            off = b_off.value
+            if off:
+                pid_rows = {
+                    kt[1:]: v for kt, v in off.items() if kt[0] == pid
+                }
+                if pid_rows:
+                    off_df = pd.DataFrame(
+                        [(*k, v) for k, v in pid_rows.items()],
+                        columns=keys + ["_off"],
+                    )
+                    merged = (
+                        pdf[keys]
+                        .merge(off_df, on=keys, how="left")["_off"]
+                        .fillna(0)
+                        .to_numpy(np.int64)
+                    )
+                    local = local + merged
+            out = pdf.drop(columns=["_pid"])
+            out[rank_col] = local
+            yield out
+
+    return sdf.mapInPandas(attach, schema=out_schema)
+
+
 def dictionary_encode(values: DataFrame, value_col: str, id_col: str = "node_id") -> DataFrame:
     """Dense 0-based ids for distinct values, sorted lexicographically.
 

@@ -80,6 +80,47 @@ def test_add_global_seq_total_order(spark):
     assert out["seq"].tolist() == list(range(1, 11))
 
 
+def test_per_key_rank_matches_window_on_skewed_keys(spark):
+    """per_key_rank == row_number().over(partitionBy(key).orderBy(order)) - 1
+    on a hub-skewed fixture, at partition counts that force hub groups to
+    straddle range-partition boundaries (the stitch path)."""
+    import numpy as np
+
+    from online_centrality_spark.sources.edges import per_key_rank
+
+    rng = np.random.default_rng(7)
+    # one 600-row hub, a 150-row mid key, and a long tail
+    keys = np.concatenate(
+        [np.zeros(600), np.ones(150), rng.integers(2, 40, 250)]
+    ).astype(np.int64)
+    vals = rng.permutation(len(keys)).astype(np.int64)
+    pdf = pd.DataFrame({"k": keys, "v": vals})
+    df = spark.createDataFrame(pdf)
+    want = (
+        pdf.sort_values(["k", "v"])
+        .assign(rank=lambda d: d.groupby("k").cumcount())
+        .set_index(["k", "v"])["rank"]
+    )
+    for nparts in (3, 8, 17):
+        got = per_key_rank(df, ["k"], ["v"], num_partitions=nparts).toPandas()
+        got = got.set_index(["k", "v"])["rank"]
+        assert got.sort_index().equals(want.sort_index()), nparts
+
+
+def test_random_walks_adjacency_has_no_per_node_window(spark):
+    """The walk-corpus adjacency index must not sort a raw node id's whole
+    group in one window task (supernode straggler): the executed plan of
+    random_walks carries NO Window operator at all — ranking runs through
+    the range-partitioned two-phase per_key_rank."""
+    from online_centrality_spark.operators import random_walks
+
+    pairs = [(0, i) for i in range(1, 9)] + [(i, (i % 8) + 1) for i in range(1, 9)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    out = random_walks(df, walk_length=2, seed=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
 def test_conversation_stats(spark, fixture_pair):
     from online_centrality_spark.sources import conversation_stats
 

@@ -38,3 +38,45 @@ def test_graph_report_resume_skips_committed(spark, tmp_path):
         assert m["rows"] == first[name]["rows"], name
     resumed = {n for n, m in second.items() if m.get("resumed")}
     assert resumed == {"scc", "reciprocity", "temporal_motifs", "random_walks"}
+
+
+def test_graph_report_resume_recomputes_on_param_change(spark, tmp_path):
+    """--resume with DIFFERENT parameters must not serve stale families:
+    the per-family params manifest gates the skip (ADVICE r03)."""
+    from jobs.graph_report import run_report
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "report3")
+    run_report(spark, events, out, walk_length=3)
+    second = run_report(spark, events, out, walk_length=4, resume=True)
+    # walk_length changed -> nothing may resume (one shared manifest)
+    assert not any(m.get("resumed") for m in second.values()), second
+    # the recomputed sink's manifest records the NEW invocation params
+    # (the sf0.001 digraph is a single dead-end edge, so walk depth
+    # itself cannot witness the recompute)
+    import json
+
+    mani = json.load(open(f"{out}/metric=random_walks/_params.json"))
+    assert mani["walk_length"] == 4
+    # and a third run with the same params resumes everything
+    third = run_report(spark, events, out, walk_length=4, resume=True)
+    assert all(m.get("resumed") for m in third.values()), third
+
+
+def test_graph_report_reciprocity_schema_matches_driver_query(spark, tmp_path):
+    """Both surfaces emit the shared (n_edges, n_mutual, reciprocity)
+    select — schema drift between the job and q_reciprocity was an
+    ADVICE r03 finding."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+    from jobs.graph_report import run_report
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "report4")
+    run_report(spark, events, out, walk_length=2)
+    job_row = spark.read.parquet(f"{out}/metric=reciprocity")
+    q_row = entry_mod.q_reciprocity(spark, "/root/testdata/sf0.001")
+    assert job_row.columns == q_row.columns
+    assert job_row.collect() == q_row.collect()

@@ -32,6 +32,29 @@ def _check(spark, pairs):
     assert got == _nx_scc(pairs)
 
 
+def test_scc_empty_edge_list_returns_empty_frame(spark):
+    """A quiet events slice induces no digraph: SCC must return an empty
+    typed frame, not crash on finished[0] (ADVICE r03)."""
+    out = strongly_connected_components(_edges(spark, []))
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["node_id", "component"]
+    assert [f.dataType.simpleString() for f in out.schema] == ["bigint", "bigint"]
+
+
+def test_scc_finishing_exactly_on_max_iter_does_not_raise(spark):
+    """One SCC retiring exactly on the last allowed outer round must
+    succeed — the old for/else guard raised despite finished work
+    (ADVICE r03)."""
+    pairs = [(0, 1), (1, 2), (2, 0)]  # single SCC -> exactly 1 outer round
+    got = {
+        r["node_id"]: r["component"]
+        for r in strongly_connected_components(
+            _edges(spark, pairs), max_iter=1
+        ).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
 def test_scc_two_cycles_bridge(spark):
     # cycle {0,1,2} -> bridge -> cycle {3,4}
     _check(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)])

@@ -1,0 +1,152 @@
+"""Engine-side invariant checks at sf0.1 for the oracle-limited graph
+queries.
+
+The `scc` (recursive closure) and `eccentricity` (min-plus doubling)
+DuckDB oracles go quadratic at sf0.1 (BENCH/BASELINE.md), so the driver
+gate checks them at sf0.01 only. This tool closes the sf0.1 gap with
+properties that must hold at ANY scale, checked engine-side against
+independent operators:
+
+  1. scc_idempotent   — two independent SCC runs produce the identical
+                        (node_id, component) label set.
+  2. condensation_dag — the SCC condensation edge set has no cycle
+                        (iterative source-stripping peels every node).
+  3. ecc_matches_bfs  — for a 16-node deterministic sample of the
+                        cosine graph, eccentricity(v) equals the max
+                        finite BFS depth from v computed by the
+                        independent bfs_distances operator.
+  4. walks_follow_edges — every consecutive random-walk step is a real
+                        digraph edge and step-0 node == walk_id
+                        (corpus validity at sf0.1).
+
+Usage:  python tools/sf01_invariants.py [sf_dir]
+Prints one JSON line; exit code 1 if any invariant fails.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="sf01_invariants",
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    results: dict[str, dict] = {}
+
+    def check(name, fn):
+        t0 = time.time()
+        try:
+            fn()
+            results[name] = {"ok": True, "secs": round(time.time() - t0, 1)}
+        except AssertionError as e:
+            results[name] = {
+                "ok": False,
+                "secs": round(time.time() - t0, 1),
+                "err": str(e)[:300],
+            }
+
+    # 1. SCC idempotence on the user-interaction digraph
+    def scc_idempotent():
+        a = {(r.node_id, r.component) for r in entry_mod.q_scc(spark, sf_dir).collect()}
+        b = {(r.node_id, r.component) for r in entry_mod.q_scc(spark, sf_dir).collect()}
+        assert a and a == b, f"label sets differ: {len(a)} vs {len(b)}"
+
+    check("scc_idempotent", scc_idempotent)
+
+    # 2. condensation DAG: source-strip until empty
+    def condensation_dag():
+        edges = [
+            (r[0], r[1])
+            for r in entry_mod.q_scc_condensation(spark, sf_dir)
+            .select("src_comp", "dst_comp")
+            .collect()
+        ]
+        assert edges, "no condensation edges at sf0.1"
+        succ: dict[int, set[int]] = {}
+        indeg: dict[int, int] = {}
+        for a, b in edges:
+            succ.setdefault(a, set()).add(b)
+            indeg[b] = indeg.get(b, 0) + 1
+            indeg.setdefault(a, 0)
+        queue = [n for n, d in indeg.items() if d == 0]
+        peeled = 0
+        while queue:
+            n = queue.pop()
+            peeled += 1
+            for m in succ.get(n, ()):  # strip outgoing edges
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    queue.append(m)
+        assert peeled == len(indeg), (
+            f"cycle: peeled {peeled} of {len(indeg)} condensation nodes"
+        )
+
+    check("condensation_dag", condensation_dag)
+
+    # 3. eccentricity == max BFS depth, 16-node deterministic sample
+    def ecc_matches_bfs():
+        from online_centrality_spark.operators import bfs_distances
+
+        cos = entry_mod._cos_edges(spark, sf_dir).persist()
+        ecc = {
+            r.node_id: r.ecc
+            for r in entry_mod.q_eccentricity(spark, sf_dir).collect()
+        }
+        sample = sorted(ecc)[:16]
+        for v in sample:
+            depth = (
+                bfs_distances(cos, v)
+                .agg(F.max("dist").alias("d"))
+                .collect()[0]["d"]
+            )
+            assert ecc[v] == depth, f"node {v}: ecc {ecc[v]} != bfs max {depth}"
+        cos.unpersist()
+
+    check("ecc_matches_bfs", ecc_matches_bfs)
+
+    # 4. walk corpus validity: consecutive steps are digraph edges
+    def walks_follow_edges():
+        from online_centrality_spark.sources.edges import user_interaction_digraph
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        dg = user_interaction_digraph(events, gap_seconds=60.0)
+        walks = entry_mod.q_random_walks(spark, sf_dir)
+        nxt = walks.select(
+            "walk_id",
+            (F.col("step") + 1).alias("step"),
+            F.col("node_id").alias("src"),
+        )
+        steps = walks.filter(F.col("step") > 0).join(
+            nxt, ["walk_id", "step"]
+        ).select("src", F.col("node_id").alias("dst"))
+        bad = steps.join(dg, ["src", "dst"], "left_anti").count()
+        assert bad == 0, f"{bad} walk transitions are not digraph edges"
+        starts = walks.filter(
+            (F.col("step") == 0) & (F.col("walk_id") != F.col("node_id"))
+        ).count()
+        assert starts == 0, f"{starts} walks do not start at walk_id"
+
+    check("walks_follow_edges", walks_follow_edges)
+
+    ok = all(v["ok"] for v in results.values())
+    print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
