@@ -1927,6 +1927,52 @@ def q_lineitem_pricing(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document (term-weighting prep for keyword
+    extraction / relevance features): tokenize + two map-side aggs +
+    per-doc top-k window — no task holds more than one doc's vocab."""
+    from online_centrality_spark.text.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    """Within-document co-occurrence counts + PMI over the df-capped
+    top-100 vocabulary — the word2vec/GloVe co-occurrence-matrix prep.
+    The vocab cap bounds the per-doc pair explosion and broadcasts."""
+    from online_centrality_spark.text.analysis import term_cooccurrence
+
+    return term_cooccurrence(
+        _t(spark, sf_dir, "documents"), vocab_size=100, min_pair_count=2
+    )
+
+
+def q_token_percentiles(spark, sf_dir):
+    """Exact interpolated token-count percentiles per language + 'all'
+    (sequence-length budgeting profile). The 100 TB swap is
+    percentile_approx (t-digest) — same call shape, documented in the
+    operator."""
+    from online_centrality_spark.text.analysis import token_percentiles
+
+    return token_percentiles(_t(spark, sf_dir, "documents"))
+
+
+def q_daily_activity(spark, sf_dir):
+    """Daily distinct active users + event volume + trailing 7-day
+    rolling event sum over the events stream (ingestion health
+    profile). Day emitted as a yyyy-MM-dd string for engine-portable
+    comparison."""
+    from online_centrality_spark.sources.transcripts import daily_activity
+
+    out = daily_activity(_t(spark, sf_dir, "events"), window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users",
+        "n_events",
+        "rolling_events",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -1980,6 +2026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "static_katz": q_static_katz,
         "interval_labels": q_interval_labels,
         "lineitem_pricing": q_lineitem_pricing,
+        # -- new in round 4 (need their first driver rows) -------------
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "term_cooccurrence": q_term_cooccurrence,
+        "token_percentiles": q_token_percentiles,
+        "daily_activity": q_daily_activity,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "decontaminate": q_decontaminate,
@@ -2989,5 +3040,74 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+"""
+    sqls["tfidf_top_terms"] = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(n.n / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rnk FROM rk WHERE rnk <= 3
+"""
+    sqls["term_cooccurrence"] = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+  ) t
+),
+dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+vocab AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 100),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dv AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair,
+         any_value(a.df) AS df_a, any_value(b.df) AS df_b
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+  HAVING count(*) >= 2
+)
+SELECT term_a, term_b, n_pair,
+       round(ln((n_pair * n.n) / (df_a * df_b)), 6) AS pmi
+FROM pairs CROSS JOIN n
+"""
+    sqls["token_percentiles"] = """
+WITH tc AS (
+  SELECT lang, CAST(len(regexp_extract_all(lower(text),
+    '[a-z0-9]+|[^a-z0-9\\s]+')) AS DOUBLE) AS n
+  FROM documents
+),
+strata AS (
+  SELECT lang, n FROM tc UNION ALL SELECT 'all' AS lang, n FROM tc
+)
+""" + "\nUNION ALL\n".join(
+        f"SELECT lang, {p} AS p, round(quantile_cont(n, {p}), 6) AS n_tokens"
+        " FROM strata GROUP BY lang"
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    )
+    sqls["daily_activity"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_users, n_events,
+       CAST(sum(n_events) OVER (ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS rolling_events
+FROM daily
 """
     return sqls

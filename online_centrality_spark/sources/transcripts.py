@@ -153,3 +153,45 @@ def conversation_stats(
             F.sum(F.col(tool_col).isNotNull().cast("long")).alias("n_tool_turns")
         )
     return turns.groupBy(F.col(conv_col)).agg(*aggs)
+
+
+def daily_activity(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+):
+    """(day, n_users, n_events, rolling_events) — daily distinct active
+    users and event volume plus a trailing ``window_days``-day rolling
+    event sum (the DAU/volume health profile every ingestion pipeline
+    reports).
+
+    Scale shape: one map-side-combinable groupBy over (day) computes
+    both dailies — ``count_distinct`` over the user key shuffles
+    (day, user) pairs once; the rolling sum is a range window over the
+    DAYS frame (one row per day — driver-trivial cardinality, single
+    partition is fine and explicit).
+    """
+    from pyspark.sql import functions as F
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = (
+        events.select(day, F.col(user_col))
+        .groupBy("day")
+        .agg(
+            F.count_distinct(F.col(user_col)).alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_days - 1) * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "n_users",
+        "n_events",
+        F.sum("n_events").over(w).alias("rolling_events"),
+    )

@@ -336,3 +336,137 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f"size(regexp_extract_all(text_redacted, '{tokens_alt}', 0))"
         ).cast("int"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, term, tf, score) — the ``k`` highest tf-idf terms per
+    document; score = tf * ln(N / df) rounded to 6 (deterministic
+    tiebreak: rounded score desc, then term asc).
+
+    Scale shape: tokenization and term-frequency both stay JVM-side
+    (regexp + explode + map-side-combinable groupBy); document
+    frequency is a second map-side agg; the per-doc top-k window
+    partitions by doc_id, so no task holds more than one document's
+    vocabulary. The N-row count attaches as a 1-row broadcast — the
+    only driver value in the plan.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(words)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
+
+
+def term_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 100,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """(term_a, term_b, n_pair, pmi) — within-document co-occurrence
+    counts and pointwise mutual information over a df-capped vocabulary
+    (the word2vec/GloVe co-occurrence-matrix prep).
+
+    ``term_a < term_b``; a pair counts once per document containing
+    both. pmi = ln((n_pair * N) / (df_a * df_b)), N = total docs,
+    rounded to 6.
+
+    Scale shape: the vocabulary is capped to the ``vocab_size`` highest
+    document-frequency terms (global top-k via TakeOrderedAndProject —
+    per-partition heaps, no global sort), so the per-doc self-join
+    explodes at most vocab_size^2 / 2 pairs per document and the
+    (tiny) vocab table broadcasts to both join sides. Everything else
+    is map-side-combinable aggregation.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    doc_terms = (
+        docs.select("doc_id", F.explode(F.expr(words)).alias("term"))
+        .distinct()
+    )
+    df_ = doc_terms.groupBy("term").agg(F.count("*").alias("df"))
+    # deterministic vocab: df desc, term asc -> TakeOrderedAndProject
+    vocab = df_.orderBy(F.col("df").desc(), F.col("term").asc()).limit(
+        vocab_size
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    dt = doc_terms.join(F.broadcast(vocab), "term")
+    a = dt.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = dt.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count("*").alias("n_pair"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    return pairs.select(
+        "term_a",
+        "term_b",
+        "n_pair",
+        F.round(
+            F.log(
+                (F.col("n_pair") * F.lit(float(n_docs)))
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+def token_percentiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    percentiles: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """(lang, p, n_tokens) — exact interpolated token-count percentiles
+    per language plus an 'all' stratum (corpus length profiling for
+    sequence-length budgeting).
+
+    Exact percentiles are a full-sort-per-group operation by definition;
+    Spark's ``percentile`` aggregate computes them with a per-group
+    in-memory map — right for profiling runs. At 100 TB, swap to
+    ``percentile_approx`` (t-digest, one pass, mergeable) — same call
+    shape, bounded memory, documented trade.
+    """
+    tc = token_count(docs, text_col).select(
+        F.col("lang"), F.col("n_tokens").cast("double").alias("n")
+    )
+    both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
+    rows = [
+        both.groupBy("lang").agg(
+            F.round(F.expr(f"percentile(n, {p})"), 6).alias("n_tokens")
+        ).select("lang", F.lit(p).alias("p"), "n_tokens")
+        for p in percentiles
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

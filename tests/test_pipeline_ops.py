@@ -709,3 +709,91 @@ def test_kmeans_matches_duckdb_oracle_fixture(spark):
     assert (out.vec_id.values == odf.vec_id.values).all()
     assert (out.cluster.values == odf.cluster.values).all()
     assert (out.sq_dist.values == odf.sq_dist.values).all()
+
+
+def test_tfidf_top_terms(spark, docs_df):
+    import math
+
+    from online_centrality_spark.text.analysis import tfidf_top_terms
+
+    out = tfidf_top_terms(docs_df, k=3).toPandas()
+    # per-doc cap + rank contiguity
+    for _, g in out.groupby("doc_id"):
+        assert len(g) <= 3
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+    # independent recomputation for doc 3
+    tokens = [d[1].lower().split() for d in DOCS]
+    n = len(DOCS)
+    tf3 = {t: tokens[3].count(t) for t in set(tokens[3])}
+    df = {t: sum(1 for ts in tokens if t in ts) for t in tf3}
+    want = sorted(
+        ((round(tf3[t] * math.log(n / df[t]), 6), t) for t in tf3),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    got = out[out["doc_id"] == 3].sort_values("rnk")
+    assert [(r.score, r.term) for r in got.itertuples()] == want
+
+
+def test_term_cooccurrence(spark, docs_df):
+    import math
+
+    from online_centrality_spark.text.analysis import term_cooccurrence
+
+    out = {
+        (r.term_a, r.term_b): (r.n_pair, r.pmi)
+        for r in term_cooccurrence(
+            docs_df, vocab_size=100, min_pair_count=2
+        ).collect()
+    }
+    # 'quick' and 'brown' co-occur in docs 0,1,2; df both 3; n=7
+    n_pair, pmi = out[("brown", "quick")]
+    assert n_pair == 3
+    assert pmi == round(math.log((3 * 7) / (3 * 3)), 6)
+    assert all(a < b for a, b in out)
+    assert all(np >= 2 for np, _ in out.values())
+
+
+def test_token_percentiles(spark, docs_df):
+    import numpy as np
+
+    from online_centrality_spark.text.analysis import token_percentiles
+
+    docs = docs_df.withColumn(
+        "lang", docs_df["doc_id"].cast("string")
+    ).replace({"4": "de", "5": "fr"}, subset=["lang"])
+    out = token_percentiles(docs).toPandas()
+    alls = out[out["lang"] == "all"].set_index("p")["n_tokens"]
+    counts = np.array(
+        [len(re.findall(r"[a-z0-9]+|[^a-z0-9\s]+", t.lower())) for _, t in DOCS],
+        dtype=float,
+    )
+    for p in (0.1, 0.5, 0.9):
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        assert alls[p] == round(float(np.quantile(counts, p)), 6), p
+
+
+def test_daily_activity(spark):
+    import datetime
+
+    from online_centrality_spark.sources.transcripts import daily_activity
+
+    rows = []
+    base = datetime.datetime(2026, 1, 1)
+    # 10 days, i+1 events on day i, users cycle mod 3
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append((base + datetime.timedelta(days=i, hours=j), j % 3))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = (
+        daily_activity(df, window_days=7)
+        .orderBy("day")
+        .toPandas()
+        .set_index(out_col := "day", drop=False)
+    )
+    assert len(out) == 10
+    assert out["n_events"].tolist() == list(range(1, 11))
+    assert out["n_users"].tolist() == [min(i + 1, 3) for i in range(10)]
+    want_roll = [
+        sum(k + 1 for k in range(max(0, i - 6), i + 1)) for i in range(10)
+    ]
+    assert out["rolling_events"].tolist() == want_roll
