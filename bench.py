@@ -213,6 +213,18 @@ def main():
             max_bucket_size=2000,
         ).count(),
     )
+    # exact distributed near-dups: one Arrow task per block pair, no
+    # driver collect — the pair source feeding the 14 graph queries
+    run(
+        "embedding_dedup_blocked",
+        lambda: __import__(
+            "online_centrality_spark.dedup.embedding", fromlist=["x"]
+        ).embedding_near_dups_blocked(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.4,
+            num_blocks=8,
+        ).count(),
+    )
     # scale path: cap shingle doc-frequency (drops ultra-common bigrams
     # whose candidate fan-out is quadratic; the exact uncapped variant is
     # the sf0.01 correctness query)
