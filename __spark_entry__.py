@@ -1973,6 +1973,20 @@ def q_daily_activity(spark, sf_dir):
     )
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: top-20 exact token counts next to
+    their sketch estimates (n_est >= n_true by construction). The sketch
+    is a depth x width groupBy grid — map-side partial aggregation IS
+    the shard merge, so sketch traffic is O(depth*width) per partition
+    regardless of corpus size. Portable-md5 buckets make the DuckDB
+    oracle build the identical sketch cell-for-cell."""
+    from online_centrality_spark.text.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "documents"), width=1024, depth=4, k=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2031,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": q_term_cooccurrence,
         "token_percentiles": q_token_percentiles,
         "daily_activity": q_daily_activity,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "decontaminate": q_decontaminate,
@@ -3097,6 +3112,34 @@ strata AS (
         " FROM strata GROUP BY lang"
         for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     )
+    sqls["cms_heavy_hitters"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+depth AS (SELECT unnest([0, 1, 2, 3]) AS i),
+cells AS (
+  SELECT i,
+         CAST(('0x' || substr(md5(token || '#cms' || i), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS c
+  FROM toks CROSS JOIN depth
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT token, count(*) AS n_true FROM toks GROUP BY token
+  ORDER BY n_true DESC, token ASC LIMIT 20
+),
+probes AS (
+  SELECT t.token, t.n_true, d.i,
+         CAST(('0x' || substr(md5(t.token || '#cms' || d.i), 1, 15)) AS BIGINT)
+           % 1024 AS bucket
+  FROM topk t CROSS JOIN depth d
+)
+SELECT p.token, p.n_true, min(c.c) AS n_est
+FROM probes p JOIN cells c USING (i, bucket)
+GROUP BY p.token, p.n_true
+"""
     sqls["daily_activity"] = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d,

@@ -797,3 +797,26 @@ def test_daily_activity(spark):
         sum(k + 1 for k in range(max(0, i - 6), i + 1)) for i in range(10)
     ]
     assert out["rolling_events"].tolist() == want_roll
+
+
+def test_cms_heavy_hitters(spark, docs_df):
+    from collections import Counter
+
+    from online_centrality_spark.text.sketches import cms_heavy_hitters
+
+    out = cms_heavy_hitters(docs_df, width=1024, depth=4, k=10).toPandas()
+    counts = Counter(
+        t for _, text in DOCS for t in re.findall("[a-z0-9]+", text.lower())
+    )
+    want_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = out.set_index("token")
+    assert set(got.index) == {t for t, _ in want_top}
+    for t, n in want_top:
+        assert got.loc[t, "n_true"] == n
+        # count-min never underestimates; at this width, no collisions
+        assert got.loc[t, "n_est"] >= n
+
+    # tiny width forces collisions -> estimates strictly dominate
+    tiny = cms_heavy_hitters(docs_df, width=4, depth=2, k=10).toPandas()
+    assert (tiny["n_est"] >= tiny["n_true"]).all()
+    assert (tiny["n_est"] > tiny["n_true"]).any()
