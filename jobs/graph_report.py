@@ -49,69 +49,21 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
     from online_centrality_spark.streaming import response_latency
     from pyspark.sql import functions as F
 
+    from online_centrality_spark.sinks import metric_sink
+
     metrics = {}
     # the knobs a committed family's values depend on: resume only skips
     # a family whose manifest matches the CURRENT invocation, so
     # re-running with different parameters plus --resume can never mix
-    # stale and fresh families in one report
+    # stale and fresh families in one report (shared contract:
+    # online_centrality_spark/sinks.py, pinned by the resume tests)
     params = {
         "gap_seconds": gap_seconds,
         "motif_gap_seconds": motif_gap_seconds,
         "motif_delta_us": motif_delta_us,
         "walk_length": walk_length,
     }
-
-    def _fs_and_path(p):
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        return jvm, fs, hpath
-
-    def sink(name, df):
-        """Write one metric family; with ``resume`` a family whose sink
-        already committed (parquet _SUCCESS marker present AND params
-        manifest equal to this invocation's) is skipped, so a killed
-        report re-run only recomputes the unfinished tail — every
-        family is deterministic, so skip-vs-recompute is
-        value-identical (pinned by the resume test)."""
-        path = f"{out}/metric={name}"
-        t0 = time.time()
-        if resume:
-            try:
-                # _SUCCESS existence FIRST — never scan a possibly
-                # partial sink just to decide whether to skip it
-                jvm, fs, success = _fs_and_path(path + "/_SUCCESS")
-                if fs.exists(success):
-                    mpath = jvm.org.apache.hadoop.fs.Path(
-                        path + "/_params.json"
-                    )
-                    committed = None
-                    if fs.exists(mpath):
-                        stream = fs.open(mpath)
-                        committed = json.loads(
-                            jvm.org.apache.commons.io.IOUtils.toString(
-                                stream, "UTF-8"
-                            )
-                        )
-                        stream.close()
-                    if committed == params:
-                        n = spark.read.parquet(path).count()
-                        metrics[name] = {
-                            "rows": n, "secs": 0.0, "resumed": True,
-                        }
-                        return
-            except Exception:
-                pass  # unreadable marker/manifest -> recompute below
-        df.write.mode("overwrite").parquet(path)
-        # manifest written AFTER the parquet commit: its presence+match
-        # implies the data beside it was produced with these params
-        # (underscore prefix -> invisible to parquet readers)
-        jvm, fs, mpath = _fs_and_path(path + "/_params.json")
-        ostream = fs.create(mpath, True)
-        ostream.write(bytearray(json.dumps(params), "utf-8"))
-        ostream.close()
-        n = spark.read.parquet(path).count()
-        metrics[name] = {"rows": n, "secs": round(time.time() - t0, 2)}
+    sink = metric_sink(spark, out, params, metrics, resume=resume)
 
     dg = user_interaction_digraph(events, gap_seconds=gap_seconds).persist()
     sink("scc", strongly_connected_components(dg))

@@ -80,3 +80,23 @@ def test_graph_report_reciprocity_schema_matches_driver_query(spark, tmp_path):
     q_row = entry_mod.q_reciprocity(spark, "/root/testdata/sf0.001")
     assert job_row.columns == q_row.columns
     assert job_row.collect() == q_row.collect()
+
+
+def test_corpus_profile_all_stages(spark, tmp_path):
+    from jobs.corpus_profile import run_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "profile")
+    metrics = run_profile(spark, docs, events, out)
+    assert set(metrics) == {
+        "token_percentiles", "tfidf_top_terms", "term_cooccurrence",
+        "heavy_hitters", "daily_activity",
+    }
+    assert all(m["rows"] >= 1 for m in metrics.values()), metrics
+    hh = spark.read.parquet(f"{out}/metric=heavy_hitters")
+    assert set(hh.columns) == {"token", "n_true", "n_est"}
+    assert hh.filter("n_est < n_true").count() == 0  # CMS never undershoots
+    # resume skips everything when params are unchanged
+    again = run_profile(spark, docs, events, out, resume=True)
+    assert all(m.get("resumed") for m in again.values()), again
