@@ -1973,6 +1973,70 @@ def q_daily_activity(spark, sf_dir):
     )
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set over the cosine
+    similarity graph: portable-hash priorities make every round's
+    winner set identical across engines, so the oracle is the same
+    rounds unrolled in SQL. Independence + maximality pinned by
+    tests/test_graph_ops.py."""
+    from online_centrality_spark.operators.mis import maximal_independent_set
+
+    return maximal_independent_set(_cos_edges(spark, sf_dir))
+
+
+def _mis_sql(rounds: int = 10) -> str:
+    """Unrolled Luby rounds over the cosine graph; extra rounds past the
+    fixpoint are no-ops on empty active sets (same unroll philosophy as
+    the CC/PR oracles). Every per-round CTE is MATERIALIZED — the round
+    chain references each predecessor several times, and DuckDB's
+    default CTE inlining would expand the plan exponentially in the
+    round count."""
+    p_hash = PORTABLE_HASH.format(s="'mis:' || CAST(node_id AS VARCHAR)")
+    ctes = [
+        f"a0 AS MATERIALIZED (SELECT node_id, {p_hash} AS p FROM cnodes)",
+        "e0 AS MATERIALIZED (SELECT a, b FROM sym)",
+    ]
+    wins = []
+    for r in range(rounds):
+        ctes.append(f"""
+n{r} AS MATERIALIZED (
+  SELECT e.a AS node_id, min({{'p': x.p, 'i': x.node_id}}) AS m
+  FROM e{r} e JOIN a{r} x ON e.b = x.node_id GROUP BY e.a
+)""")
+        ctes.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT x.node_id FROM a{r} x LEFT JOIN n{r} nn USING (node_id)
+  WHERE nn.m IS NULL
+     OR (x.p, x.node_id) <
+        (struct_extract(nn.m, 'p'), struct_extract(nn.m, 'i'))
+)""")
+        ctes.append(f"""
+r{r} AS MATERIALIZED (
+  SELECT node_id FROM w{r}
+  UNION
+  SELECT e.a AS node_id FROM e{r} e JOIN w{r} w ON e.b = w.node_id
+)""")
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT * FROM a{r} WHERE node_id "
+            f"NOT IN (SELECT node_id FROM r{r}))"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT * FROM e{r} WHERE a NOT IN "
+            f"(SELECT node_id FROM r{r}) AND b NOT IN "
+            f"(SELECT node_id FROM r{r}))"
+        )
+        wins.append(f"SELECT node_id FROM w{r}")
+    ctes.append("wins AS (" + " UNION ".join(wins) + ")")
+    return (
+        f"WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + """
+SELECT c.node_id,
+       c.node_id IN (SELECT node_id FROM wins) AS in_mis
+FROM cnodes c"""
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters: top-20 exact token counts next to
     their sketch estimates (n_est >= n_true by construction). The sketch
@@ -2046,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_percentiles": q_token_percentiles,
         "daily_activity": q_daily_activity,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mis": q_mis,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "decontaminate": q_decontaminate,
@@ -3112,6 +3177,7 @@ strata AS (
         " FROM strata GROUP BY lang"
         for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     )
+    sqls["mis"] = _mis_sql(rounds=10)
     sqls["cms_heavy_hitters"] = """
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

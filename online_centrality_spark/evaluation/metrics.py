@@ -104,7 +104,7 @@ def evaluate_pairwise(
     )
     both = pred.unionByName(rel)
 
-    def kernel(key, pdf: pd.DataFrame):
+    def kernel(key, pdf):
         measure, param_id, snapshot_id = key
         r = pdf[pdf["side"] == "rel"]
         p = pdf[pdf["side"] == "pred"]
@@ -146,7 +146,7 @@ def evaluate_sequential(scores: DataFrame, metric_ids: list[str]) -> DataFrame:
     max_snap = scores.agg(F.max("snapshot_id")).collect()[0][0]
     both = cur.unionByName(prev).filter(F.col("snapshot_id") <= max_snap)
 
-    def kernel(key, pdf: pd.DataFrame):
+    def kernel(key, pdf):
         measure, param_id, snapshot_id = key
         p = pdf[pdf["side"] == "prev"]
         c = pdf[pdf["side"] == "cur"]

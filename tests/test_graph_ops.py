@@ -217,3 +217,51 @@ def test_k_truss_two_cliques_bridge(spark):
         for r in k_truss(_edges(spark, pairs), 4).collect()
     }
     assert got == {tuple(sorted(e)) for e in cl1 + cl2}
+
+
+# --- maximal independent set ---------------------------------------------
+
+def _check_mis(pairs, labels):
+    """Independence: no edge inside the set. Maximality: every outside
+    node has an in-set neighbor."""
+    in_set = {n for n, f in labels.items() if f}
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in pairs:
+        assert not (a in in_set and b in in_set and a != b), (a, b)
+    for n, f in labels.items():
+        if not f:
+            assert adj.get(n, set()) & in_set, n
+
+
+def test_mis_path_and_star(spark):
+    from online_centrality_spark.operators.mis import maximal_independent_set
+
+    for pairs in (
+        [(i, i + 1) for i in range(9)],                     # path
+        [(0, i) for i in range(1, 8)],                      # star
+        [(0, 1), (1, 2), (2, 0), (3, 4)],                   # triangle + edge
+    ):
+        labels = {
+            r["node_id"]: r["in_mis"]
+            for r in maximal_independent_set(_edges(spark, pairs)).collect()
+        }
+        assert set(labels) == {n for p in pairs for n in p}
+        _check_mis(pairs, labels)
+
+
+def test_mis_random_and_deterministic(spark):
+    from online_centrality_spark.operators.mis import maximal_independent_set
+
+    rng = random.Random(17)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = _edges(spark, pairs)
+    l1 = {r["node_id"]: r["in_mis"] for r in maximal_independent_set(df).collect()}
+    l2 = {r["node_id"]: r["in_mis"] for r in maximal_independent_set(df).collect()}
+    _check_mis(pairs, l1)
+    assert l1 == l2  # hash priorities -> identical set on rerun
