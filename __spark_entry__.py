@@ -2037,6 +2037,54 @@ FROM cnodes c"""
     )
 
 
+def q_temporal_reachability(spark, sf_dir):
+    """Earliest-arrival temporal reachability from the min interaction
+    node over the timestamped pairs (gap 900 s): time-respecting-path
+    semantics — the reachability relation under the same walk
+    constraint the temporal centrality measures decay over."""
+    from online_centrality_spark.operators.reachability import (
+        temporal_reachability,
+    )
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(
+        _t(spark, sf_dir, "events"), gap_seconds=900.0
+    )
+    source = pairs.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    return temporal_reachability(pairs, source)
+
+
+def _temporal_reachability_sql(tedges_cte: str, rounds: int = 30) -> str:
+    """Unrolled arrival-time relaxation (MATERIALIZED per round — the
+    chain is self-referencing, same exponential-inlining hazard as the
+    MIS oracle). Monotone fixpoint: rounds past convergence are no-ops."""
+    src = "(SELECT least(min(src), min(dst)) FROM tedges)"
+    t0 = "(SELECT min(t) FROM tedges)"
+    ctes = [
+        tedges_cte.strip(),
+        f"arr0 AS MATERIALIZED (SELECT {src} AS node_id, {t0} AS arrival)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+rel{r} AS MATERIALIZED (
+  SELECT e.dst AS node_id, min(e.t) AS arrival
+  FROM tedges e JOIN arr{r} a ON e.src = a.node_id AND e.t >= a.arrival
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""
+arr{r + 1} AS MATERIALIZED (
+  SELECT node_id, min(arrival) AS arrival FROM (
+    SELECT * FROM arr{r} UNION ALL SELECT * FROM rel{r}
+  ) u GROUP BY node_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node_id, arrival FROM arr{rounds}"
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters: top-20 exact token counts next to
     their sketch estimates (n_est >= n_true by construction). The sketch
@@ -2111,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity": q_daily_activity,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mis": q_mis,
+        "temporal_reachability": q_temporal_reachability,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "decontaminate": q_decontaminate,
@@ -2794,6 +2843,9 @@ tedges AS MATERIALIZED (
   WHERE prev_user IS NOT NULL AND prev_user <> user_id
     AND t - prev_t <= 900000000
 )"""
+    sqls["temporal_reachability"] = _temporal_reachability_sql(
+        tedges_cte, rounds=30
+    )
     sqls["temporal_motifs"] = f"""
 WITH {tedges_cte},
 wedges AS MATERIALIZED (

@@ -265,3 +265,68 @@ def test_mis_random_and_deterministic(spark):
     l2 = {r["node_id"]: r["in_mis"] for r in maximal_independent_set(df).collect()}
     _check_mis(pairs, l1)
     assert l1 == l2  # hash priorities -> identical set on rerun
+
+
+# --- temporal reachability -------------------------------------------------
+
+def _tedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, t long")
+
+
+def py_earliest_arrival(triples, source, t_start):
+    arr = {source: t_start}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in triples:
+            if u in arr and t >= arr[u] and (v not in arr or t < arr[v]):
+                arr[v] = t
+                changed = True
+    return arr
+
+
+def test_temporal_reachability_respects_time(spark):
+    from online_centrality_spark.operators.reachability import (
+        temporal_reachability,
+    )
+
+    # 0->1 at t=10, 1->2 at t=5: 2 is NOT reachable (time decreases),
+    # but 1->3 at t=20 is; 0->4 at t=1 usable from t_start=0
+    triples = [(0, 1, 10), (1, 2, 5), (1, 3, 20), (0, 4, 1)]
+    got = {
+        r["node_id"]: r["arrival"]
+        for r in temporal_reachability(
+            _tedges(spark, triples), source=0, t_start=0
+        ).collect()
+    }
+    assert got == {0: 0, 1: 10, 3: 20, 4: 1}
+    assert 2 not in got
+
+
+def test_temporal_reachability_matches_python_replay(spark):
+    from online_centrality_spark.operators.reachability import (
+        temporal_reachability,
+    )
+
+    rng = random.Random(23)
+    triples = [
+        (rng.randrange(15), rng.randrange(15), rng.randrange(100))
+        for _ in range(120)
+    ]
+    triples = [(u, v, t) for u, v, t in triples if u != v]
+    got = {
+        r["node_id"]: r["arrival"]
+        for r in temporal_reachability(
+            _tedges(spark, triples), source=3, t_start=0
+        ).collect()
+    }
+    assert got == py_earliest_arrival(triples, 3, 0)
+
+
+def test_temporal_reachability_empty_stream(spark):
+    from online_centrality_spark.operators.reachability import (
+        temporal_reachability,
+    )
+
+    out = temporal_reachability(_tedges(spark, []), source=0)
+    assert out.count() == 0
