@@ -156,6 +156,47 @@ def _pagerank_sql() -> str:
     )
 
 
+def _weighted_pagerank_sql() -> str:
+    """Weighted-transition PageRank oracle: :func:`_pagerank_sql` with
+    out-degree replaced by total out-weight and the push carrying
+    ``rank * w / wout`` (networkx ``weight=`` semantics), unrolled to
+    the same fixed PR_ITERS depth the engine runs."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT l_suppkey AS src, 100000 + o_custkey AS dst,
+         CAST(sum(l_quantity) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "od AS (SELECT src AS node, sum(w) AS wout FROM e GROUP BY src)",
+        """base AS MATERIALIZED (
+  SELECT n.node, coalesce(od.wout, 0.0) AS wout FROM nodes n
+  LEFT JOIN od ON n.node = od.node
+)""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, wout, 1.0 / (SELECT n FROM nn) AS rank FROM base)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT b.node, b.wout,
+         0.85 * coalesce(push.contrib, 0.0)
+         + (0.85 * coalesce((SELECT sum(rank) FROM {p} WHERE wout = 0), 0.0)
+            + 0.15) / (SELECT n FROM nn) AS rank
+  FROM base b LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.w / r.wout) AS contrib
+    FROM e JOIN {p} r ON e.src = r.node GROUP BY e.dst
+  ) push ON b.node = push.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS node_id, round(rank, 9) AS score FROM r{PR_ITERS}"
+    )
+
+
 STATIC_KATZ_ALPHA = 0.05
 STATIC_KATZ_TERMS = 24  # term_{i+1} ~ alpha*rho*term_i; tail << 0.5e-6
 TK_BETA = 0.1
@@ -378,6 +419,73 @@ def _ecc_sql(rounds: int = 6) -> str:
 e AS (SELECT src AS node_id, max(d) AS ecc FROM h{rounds} GROUP BY src)
 SELECT n.node_id, CAST(coalesce(e.ecc, 0) AS BIGINT) AS ecc
 FROM cnodes n LEFT JOIN e ON n.node_id = e.node_id"""
+    )
+
+
+def _closeness_sql(rounds: int = 6) -> str:
+    """Closeness oracle: the same min-plus doubling closure as
+    :func:`_ecc_sql`, folded per source into (reach, total_dist) and
+    the reach/total ratio."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        "h0 AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS d FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        p, c = f"h{i - 1}", f"h{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {p}
+    UNION ALL
+    SELECT a.src, b.dst, a.d + b.d
+    FROM {p} a JOIN {p} b ON a.dst = b.src WHERE a.src <> b.dst
+  ) u GROUP BY src, dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+c AS (SELECT src AS node_id, CAST(count(*) AS BIGINT) AS reach,
+             CAST(sum(d) AS BIGINT) AS total_dist
+      FROM h{rounds} GROUP BY src)
+SELECT n.node_id,
+       CAST(coalesce(c.reach, 0) AS BIGINT) AS reach,
+       CAST(coalesce(c.total_dist, 0) AS BIGINT) AS total_dist,
+       round(CASE WHEN coalesce(c.total_dist, 0) > 0
+             THEN CAST(c.reach AS DOUBLE) / c.total_dist
+             ELSE 0.0 END, 6) AS closeness
+FROM cnodes n LEFT JOIN c ON n.node_id = c.node_id"""
+    )
+
+
+EIGENVECTOR_ITERS = 12
+
+
+def _eigenvector_sql(k: int = EIGENVECTOR_ITERS) -> str:
+    """Eigenvector oracle: k unrolled symmetric matvecs from the
+    all-ones vector, UNNORMALIZED, one L1 normalization at the end —
+    exactly the engine's per-step normalization (linear update,
+    scalars commute; the HITS argument)."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        "v0 AS MATERIALIZED "
+        "(SELECT node_id, CAST(1.0 AS DOUBLE) AS v FROM cnodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT s.a AS node_id, sum(p.v) AS v "
+            f"FROM sym s JOIN v{i - 1} p ON s.b = p.node_id GROUP BY s.a)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.node_id,
+       round(coalesce(x.v, 0.0) / (SELECT sum(v) FROM v{k}), 6) AS score
+FROM cnodes n LEFT JOIN v{k} x ON n.node_id = x.node_id"""
     )
 
 
@@ -2099,6 +2207,180 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality on the cosine similarity graph — exactly
+    12 power iterations (fixed depth, per-step L1 normalization; equal
+    to the unrolled end-normalized SQL oracle because the update is
+    linear, the same commuting-scalar argument as HITS)."""
+    from online_centrality_spark.operators.eigenvector import (
+        eigenvector_centrality,
+    )
+
+    out = eigenvector_centrality(_cos_edges(spark, sf_dir), max_iter=12)
+    return out.select("node_id", F.round("score", 6).alias("score"))
+
+
+def q_closeness(spark, sf_dir):
+    """Exact per-component closeness centrality on the cosine graph
+    (reach count, total hop distance, reach/total ratio) — the
+    all-sources BFS envelope of `eccentricity` with per-round gain
+    aggregates folded in one final union."""
+    from online_centrality_spark.operators.bfs import closeness_centrality
+
+    out = closeness_centrality(_cos_edges(spark, sf_dir))
+    return out.select(
+        "node_id",
+        "reach",
+        "total_dist",
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
+def q_asof_value(spark, sf_dir):
+    """As-of join: every click event annotated with the user's most
+    recent preceding-or-equal purchase value (the time-series
+    state-attach primitive; DuckDB twin is a native ASOF LEFT JOIN).
+    Two-phase (key, time-bucket) implementation — no per-key global
+    sort task (operators/asof.py)."""
+    from online_centrality_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "value")
+        .groupBy("user_id", "t")
+        .agg(F.max("value").alias("v"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="t",
+        right_ts="t",
+        value_col="v",
+        out_col="last_purchase",
+        bucket_us=86_400_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("last_purchase", 6).alias("last_purchase"),
+    )
+
+
+def q_activity_rollup(spark, sf_dir):
+    """ROLLUP over (event_type, day): per-cell, per-type subtotal and
+    grand-total rows in one pass (Spark `rollup` = GROUPING SETS;
+    grouped-out columns emitted as 'ALL' for engine-portable NULL
+    handling). Partial aggregation covers all three levels map-side."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("day", F.lit("ALL")).alias("day"),
+        "n_events",
+        "total_value",
+    )
+
+
+def q_weighted_pagerank(spark, sf_dir):
+    """Weight-proportional PageRank on the supplier -> customer
+    bipartite graph, edge weight = total shipped quantity — exactly
+    PR_ITERS iterations (the unrolled weighted SQL oracle's depth)."""
+    from online_centrality_spark.operators.static_pagerank import (
+        weighted_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.sum("l_quantity").cast("double").alias("w"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(100000) + F.col("o_custkey")).alias("dst"),
+            "w",
+        )
+    )
+    pr = weighted_pagerank(w, alpha=0.85, max_iter=PR_ITERS, tol=0.0, strict=False)
+    return pr.select("node_id", F.round("score", 9).alias("score"))
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped star join: revenue of unshipped BUILDING-segment
+    orders, top 10. The customer dim filter broadcasts (explicit hint);
+    date filters push to the parquet scans; deterministic tiebreak on
+    the ROUNDED revenue so both engines select the identical set."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_graph_growth(spark, sf_dir):
+    """Graph-evolution profile of the induced edge stream: per-day
+    first-appearance counts of nodes and distinct pairs plus running
+    totals (two map-side min-aggs; cumulative windows run on the
+    DAY-cardinality frame only)."""
+    from online_centrality_spark.sources.edges import edge_stream_growth
+
+    edges, _ = _event_edges(spark, sf_dir)
+    out = edge_stream_growth(edges)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_nodes",
+        "new_edges",
+        "cum_nodes",
+        "cum_edges",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2160,15 +2442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mis": q_mis,
         "temporal_reachability": q_temporal_reachability,
+        "eigenvector": q_eigenvector,
+        "closeness": q_closeness,
+        "asof_value": q_asof_value,
+        "activity_rollup": q_activity_rollup,
+        "weighted_pagerank": q_weighted_pagerank,
+        "shipping_priority": q_shipping_priority,
+        "graph_growth": q_graph_growth,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
-        "decontaminate": q_decontaminate,
-        "duplicated_spans": q_duplicated_spans,
-        "gopher_rules": q_gopher_rules,
-        "repetition_rules": q_repetition_rules,
-        "domain_mixture": q_domain_mixture,
-        "actor_transitions": q_actor_transitions,
-        "sessionize": q_sessionize,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
@@ -2179,7 +2461,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation": q_scc_condensation,
         "eccentricity": q_eccentricity,
         "temporal_motifs": q_temporal_motifs,
-        # -- (4) double-green anchors (cheap; keep a third green row) --
+        # ---- 50-entry driver window ends here ------------------------
+        # -- r03 driver green + judge-verified; displaced from the
+        # -- window by the 7 new round-4 queries above (never-verified
+        # -- entries take window priority, VERDICT r03 next-round #2) --
+        "decontaminate": q_decontaminate,
+        "duplicated_spans": q_duplicated_spans,
+        "gopher_rules": q_gopher_rules,
+        "repetition_rules": q_repetition_rules,
+        "domain_mixture": q_domain_mixture,
+        "actor_transitions": q_actor_transitions,
+        "sessionize": q_sessionize,
+        # -- (4) double-green anchors ----------------------------------
         "edge_induction": q_edge_induction,
         "vertex_dictionary": q_vertex_dictionary,
         "indegree_total": q_indegree_total,
@@ -2187,7 +2480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "active_ratio": q_active_ratio,
         "normalize_scores": q_normalize_scores,
-        # ---- 50-entry driver window ends here ------------------------
         # -- (5) double-green r02+r03 ----------------------------------
         "negative_beta_total": q_negative_beta_total,
         "decayed_indegree": q_decayed_indegree,
@@ -3269,6 +3561,71 @@ SELECT strftime(d, '%Y-%m-%d') AS day, n_users, n_events,
        CAST(sum(n_events) OVER (ORDER BY d
          RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
          AS BIGINT) AS rolling_events
+FROM daily
+"""
+    sqls["eigenvector"] = _eigenvector_sql()
+    sqls["closeness"] = _closeness_sql()
+    sqls["asof_value"] = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, round(p.v, 6) AS last_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+"""
+    sqls["activity_rollup"] = """
+WITH src AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM src GROUP BY ROLLUP(event_type, day)
+"""
+    sqls["weighted_pagerank"] = _weighted_pagerank_sql()
+    sqls["shipping_priority"] = """
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+    sqls["graph_growth"] = f"""
+WITH {EDGES_CTE},
+nf AS (
+  SELECT node, min(t) AS ft FROM (
+    SELECT src AS node, t FROM edges
+    UNION ALL SELECT dst, t FROM edges
+  ) u GROUP BY node
+),
+nd AS (SELECT CAST(make_timestamp(ft) AS DATE) AS d,
+              count(*) AS new_nodes FROM nf GROUP BY 1),
+ef AS (SELECT src, dst, min(t) AS ft FROM edges GROUP BY 1, 2),
+ed AS (SELECT CAST(make_timestamp(ft) AS DATE) AS d,
+              count(*) AS new_edges FROM ef GROUP BY 1),
+spine AS (SELECT DISTINCT CAST(make_timestamp(t) AS DATE) AS d FROM edges),
+daily AS (
+  SELECT s.d, coalesce(nd.new_nodes, 0) AS new_nodes,
+         coalesce(ed.new_edges, 0) AS new_edges
+  FROM spine s LEFT JOIN nd ON s.d = nd.d LEFT JOIN ed ON s.d = ed.d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_nodes, new_edges,
+       CAST(sum(new_nodes) OVER (ORDER BY d) AS BIGINT) AS cum_nodes,
+       CAST(sum(new_edges) OVER (ORDER BY d) AS BIGINT) AS cum_edges
 FROM daily
 """
     return sqls

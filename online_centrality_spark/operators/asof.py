@@ -1,0 +1,108 @@
+"""As-of join: attach the most recent right-side row at or before each
+left-side timestamp, per key.
+
+The classic time-series primitive Spark lacks as a built-in (DuckDB's
+``ASOF JOIN``, pandas ``merge_asof``). Semantics here are the inclusive
+backward join: for each left row ``(k, t)``, the right row with the
+greatest ``t_r <= t`` for the same key. The right side must be unique
+per ``(key, ts)`` (pre-aggregate ties); the left side is returned
+unchanged with the right value columns appended (NULL when nothing
+precedes).
+
+Scale design — two-phase, no single per-key sort task:
+
+1. Union-tag both sides and bucket time into fixed ``bucket_us``-wide
+   ranges. Phase 1 is ONE shuffle on ``(key, bucket)`` and an
+   in-partition ``last(value, ignorenulls)`` running window ordered by
+   ``(ts, side)`` (right rows sort before left rows at equal ts, which
+   is exactly the inclusive rule). A hub key's rows spread over its
+   time buckets instead of one task's sort — per-task volume is bounded
+   by per-(key, bucket) density, the knob the caller sets.
+2. Phase 2 computes each ``(key, bucket)``'s LAST right-side value (a
+   per-bucket 1-row aggregate, map-side combined) and turns it into a
+   carry-in per bucket with a running window over the per-key bucket
+   frame — rows per key there = occupied buckets, orders of magnitude
+   below row count. Final value = in-bucket running value, else carry.
+
+Both windows are bounded; neither is keyed on the raw key alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str | None = None,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Left as-of join (backward, inclusive) on ``key``.
+
+    ``left_ts`` / ``right_ts`` are epoch-microsecond longs; ``value_col``
+    is the right-side column to attach (aliased ``out_col``).
+    """
+    out_col = out_col or value_col
+    lcols = left.columns
+    l = left.withColumn("_ts", F.col(left_ts).cast("long")).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_v", F.lit(None).cast(right.schema[value_col].dataType))
+    r = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).cast("long").alias("_ts"),
+            F.col(value_col).alias("_v"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*lcols, "_ts", "_side", "_v").unionByName(
+        r.select(*lcols, "_ts", "_side", "_v")
+    )
+    u = u.withColumn("_b", F.expr(f"_ts div {bucket_us}"))
+
+    in_bucket = Window.partitionBy(key, "_b").orderBy("_ts", "_side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    u = u.withColumn("_run", F.last("_v", ignorenulls=True).over(in_bucket))
+
+    # per-(key, bucket) final right-side value -> carry-in for later buckets
+    bucket_last = (
+        r.withColumn("_b", F.expr(f"_ts div {bucket_us}"))
+        .groupBy(key, "_b")
+        .agg(F.max_by("_v", "_ts").alias("_blast"))
+    )
+    carry_w = Window.partitionBy(key).orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # left rows in buckets with no right row at all still need a carry:
+    # the carry frame is the union of left-occupied and right-occupied
+    # buckets (rows per key = occupied buckets, not events), with each
+    # bucket's carry = the nearest strictly-preceding bucket's final
+    # right value. A range-asof on bucket ids would re-introduce the
+    # problem one level up; this stays a bounded per-key window.
+    left_buckets = u.filter(F.col("_side") == 1).select(key, "_b").distinct()
+    all_b = (
+        left_buckets.join(bucket_last.select(key, "_b"), [key, "_b"], "full")
+        .select(key, "_b")
+        .distinct()
+        .join(bucket_last, [key, "_b"], "left")
+    )
+    all_carry = all_b.withColumn(
+        "_carry", F.last("_blast", ignorenulls=True).over(carry_w)
+    ).select(key, "_b", "_carry")
+
+    out = (
+        u.filter(F.col("_side") == 1)
+        .join(all_carry, [key, "_b"], "left")
+        .withColumn(out_col, F.coalesce("_run", "_carry"))
+    )
+    return out.select(*lcols, out_col)

@@ -125,3 +125,94 @@ def eccentricity(
             f"eccentricity did not saturate in {max_rounds} rounds"
         )
     return ecc
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(node_id, reach, total_dist, closeness) — per-component exact
+    closeness: ``reach`` = nodes reachable from v (excluding v),
+    ``total_dist`` = sum of hop distances to them, ``closeness`` =
+    reach / total_dist (0.0 when nothing is reachable).
+
+    Same all-sources level-synchronous BFS envelope as
+    :func:`eccentricity` (one (target, node) visited relation, one
+    shuffle join per depth, shrinking frontiers, ``localCheckpoint``
+    lineage cuts) but instead of a per-round score join it emits each
+    round's tiny ``(target, gained-count, depth)`` aggregate and folds
+    them in ONE final union + groupBy — no per-round update join at
+    all. State is quadratic in component size (the price of exact
+    all-pairs distances); for approximate closeness at 10^12 edges,
+    seed the loop with a target sample — the loop body is unchanged.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    adj = e.dropDuplicates(["src", "dst"])
+    if not directed:
+        adj = adj.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    adj = adj.persist()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    visited = nodes.select(
+        F.col("node_id").alias("target"), F.col("node_id").alias("node")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    per_depth: list[DataFrame] = []
+    for depth in range(1, max_rounds + 1):
+        expanded = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select("target", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = expanded.join(
+            visited, ["target", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        per_depth.append(
+            frontier.groupBy("target")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("depth", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"closeness did not saturate in {max_rounds} rounds"
+        )
+    if not per_depth:
+        return nodes.select(
+            "node_id",
+            F.lit(0).cast("long").alias("reach"),
+            F.lit(0).cast("long").alias("total_dist"),
+            F.lit(0.0).alias("closeness"),
+        )
+    gains = per_depth[0]
+    for g in per_depth[1:]:
+        gains = gains.unionByName(g)
+    stats = gains.groupBy(F.col("target").alias("node_id")).agg(
+        F.sum("cnt").cast("long").alias("reach"),
+        F.sum(F.col("cnt") * F.col("depth")).cast("long").alias("total_dist"),
+    )
+    return (
+        nodes.join(stats, "node_id", "left")
+        .fillna(0, ["reach", "total_dist"])
+        .select(
+            "node_id",
+            "reach",
+            "total_dist",
+            F.when(
+                F.col("total_dist") > 0,
+                F.col("reach").cast("double") / F.col("total_dist"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

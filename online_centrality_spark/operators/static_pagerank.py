@@ -387,3 +387,163 @@ def _ppr_distributed(
             f"personalized pagerank failed to converge in {max_iter} iterations"
         )
     return ranks.select("node_id", F.col("rank").alias("score"))
+
+
+def weighted_pagerank(
+    wedges: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    collect_threshold: int = 100_000,
+    strict: bool = True,
+    salt: int = 1,
+) -> DataFrame:
+    """(node_id, score) — PageRank with weight-proportional transitions.
+
+    networkx-parity semantics for a weighted digraph (``nx.pagerank``
+    with ``weight=``): input is ``(src, dst, w)`` with one row per pair
+    (pre-aggregated multiplicities); the push step sends
+    ``rank * w / W_src`` along each edge where ``W_src`` is the source's
+    total out-weight, dangling mass (``W_src = 0``) redistributes
+    uniformly, teleport is uniform. With all weights equal this reduces
+    exactly to :func:`static_pagerank`.
+
+    Physical strategy mirrors :func:`static_pagerank`: single-task numpy
+    kernel under ``collect_threshold`` nodes, else one salted shuffle
+    join + map-side-combined groupBy per iteration with
+    ``localCheckpoint`` lineage cuts.
+    """
+    w = (
+        wedges.select("src", "dst", F.col("w").cast("double").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    n_nodes = (
+        w.select(F.col("src").alias("n"))
+        .unionAll(w.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    if n_nodes == 0:
+        return wedges.sparkSession.createDataFrame([], _PR_SCHEMA)
+    if n_nodes <= collect_threshold:
+
+        def kernel(batches):
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            nodes, ranks = weighted_pagerank_numpy(
+                pdf["src"].to_numpy(np.int64),
+                pdf["dst"].to_numpy(np.int64),
+                pdf["w"].to_numpy(np.float64),
+                alpha,
+                max_iter,
+                tol,
+                strict,
+            )
+            yield pd.DataFrame(
+                {"node_id": nodes.astype(np.int64), "score": ranks}
+            )
+
+        return w.coalesce(1).mapInPandas(kernel, schema=_PR_SCHEMA)
+    return _weighted_pagerank_distributed(
+        w, n_nodes, alpha, max_iter, tol, strict, salt=salt
+    )
+
+
+def weighted_pagerank_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    strict: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return nodes, np.array([])
+    idx = {v: i for i, v in enumerate(nodes)}
+    s = np.array([idx[v] for v in src])
+    d = np.array([idx[v] for v in dst])
+    wout = np.bincount(s, weights=w, minlength=n)
+    dangling = wout == 0
+    safe_out = np.where(wout > 0, wout, 1.0)
+    x = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        xlast = x
+        share = alpha * xlast / safe_out
+        x = np.bincount(d, weights=share[s] * w, minlength=n)
+        danglesum = alpha * xlast[dangling].sum()
+        x += (danglesum + (1.0 - alpha)) / n
+        if np.abs(x - xlast).sum() < n * tol:
+            return nodes, x
+    if strict:
+        raise PageRankDiverged(
+            f"weighted pagerank failed to converge in {max_iter} iterations"
+        )
+    return nodes, x
+
+
+def _weighted_pagerank_distributed(
+    w: DataFrame, n_nodes: int, alpha, max_iter, tol, strict=True, salt: int = 1
+) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    w = w.persist()
+    nodes = (
+        w.select(F.col("src").alias("node_id"))
+        .unionAll(w.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    wout = w.groupBy(F.col("src").alias("node_id")).agg(
+        F.sum("w").alias("wout")
+    )
+    base = nodes.join(wout, "node_id", "left").fillna(0.0, ["wout"]).persist()
+    ranks = base.select(
+        "node_id", "wout", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        sc = ranks.select("node_id", "wout", "rank")
+        joined = (
+            salted_join(w, sc, key="src", salt=salt, dim_key="node_id")
+            if salt > 1
+            else w.join(sc, w["src"] == sc["node_id"])
+        )
+        push = joined.groupBy(F.col("dst").alias("node_id")).agg(
+            F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("contrib")
+        )
+        danglesum = (
+            ranks.filter(F.col("wout") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        uniform = (alpha * danglesum + (1.0 - alpha)) / n_nodes
+        new_ranks = (
+            base.join(push, "node_id", "left")
+            .select(
+                "node_id",
+                "wout",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(uniform)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        err = (
+            new_ranks.select("node_id", "rank")
+            .join(ranks.select("node_id", F.col("rank").alias("old")), "node_id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if err < n_nodes * tol:
+            return ranks.select("node_id", F.col("rank").alias("score"))
+    if strict:
+        raise PageRankDiverged(
+            f"weighted pagerank failed to converge in {max_iter} iterations"
+        )
+    return ranks.select("node_id", F.col("rank").alias("score"))

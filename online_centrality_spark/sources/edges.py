@@ -391,3 +391,53 @@ def user_interaction_digraph(
         .select("src", "dst")
         .distinct()
     )
+
+
+def edge_stream_growth(edges: DataFrame) -> DataFrame:
+    """(day, new_nodes, new_edges, cum_nodes, cum_edges) — graph-evolution
+    profile of a timestamped edge stream: how many nodes / distinct
+    (src, dst) pairs appear for the first time each day, plus running
+    totals.
+
+    Scale shape: two map-side-combinable first-appearance aggregations
+    (min(t) per node via a union of the endpoint projections, min(t) per
+    pair), each bucketed to a day, then per-day counts. The cumulative
+    sums are windows over the DAY frame — one row per day, bounded by
+    calendar time (a decade of 10^12-turn traffic is still < 4k rows),
+    so the single-partition window is explicit and safe, the same
+    envelope as :func:`~.transcripts.daily_activity`'s rolling sum.
+    """
+    day = F.to_date(F.timestamp_micros(F.col("first_t"))).alias("day")
+    node_first = (
+        edges.select(F.col("src").alias("node"), "t")
+        .unionAll(edges.select(F.col("dst").alias("node"), "t"))
+        .groupBy("node")
+        .agg(F.min("t").alias("first_t"))
+        .select(day)
+        .groupBy("day")
+        .agg(F.count("*").alias("new_nodes"))
+    )
+    edge_first = (
+        edges.groupBy("src", "dst")
+        .agg(F.min("t").alias("first_t"))
+        .select(day)
+        .groupBy("day")
+        .agg(F.count("*").alias("new_edges"))
+    )
+    spine = (
+        edges.select(F.to_date(F.timestamp_micros(F.col("t"))).alias("day"))
+        .distinct()
+    )
+    daily = (
+        spine.join(node_first, "day", "left")
+        .join(edge_first, "day", "left")
+        .fillna(0, ["new_nodes", "new_edges"])
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_nodes",
+        "new_edges",
+        F.sum("new_nodes").over(w).alias("cum_nodes"),
+        F.sum("new_edges").over(w).alias("cum_edges"),
+    )
