@@ -2381,6 +2381,42 @@ def q_graph_growth(spark, sf_dir):
     )
 
 
+def q_two_hop_reach(spark, sf_dir):
+    """Exact 1-hop / 2-hop distinct reach per node of the
+    user-interaction digraph (friend-of-friend influence profile):
+    one mid-node self-join + distinct aggregations, hub cap available
+    but off here so the driver row stays exact."""
+    from online_centrality_spark.operators.neighborhood import two_hop_reach
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return two_hop_reach(dg)
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative-edge samples (k=8 per node) for
+    link-prediction training over the user-interaction digraph —
+    portable-md5 picks into a dense add_global_seq node index, one
+    anti-join against the real edge set; identical sample set in the
+    DuckDB oracle."""
+    from online_centrality_spark.operators.link_prediction import (
+        negative_edge_samples,
+    )
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return negative_edge_samples(dg, k=8)
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Corpus Zipf profile: top-20 tokens with global frequency rank
+    plus the full-vocabulary log-log regression slope (corpus-health
+    scalar; natural text sits near -1)."""
+    from online_centrality_spark.text.analysis import zipf_profile
+
+    return zipf_profile(_t(spark, sf_dir, "documents"), top_n=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2449,6 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pagerank": q_weighted_pagerank,
         "shipping_priority": q_shipping_priority,
         "graph_growth": q_graph_growth,
+        "two_hop_reach": q_two_hop_reach,
+        "negative_sampling": q_negative_sampling,
+        "zipf_profile": q_zipf_profile,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "hits": q_hits,
@@ -2458,10 +2497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "scc": q_scc,
         "reciprocity": q_reciprocity,
+        # ---- 50-entry driver window ends here ------------------------
+        # (scc_condensation / eccentricity / temporal_motifs displaced
+        # by the three newest never-verified queries; each keeps its
+        # green r03 driver row)
         "scc_condensation": q_scc_condensation,
         "eccentricity": q_eccentricity,
         "temporal_motifs": q_temporal_motifs,
-        # ---- 50-entry driver window ends here ------------------------
         # -- r03 driver green + judge-verified; displaced from the
         # -- window by the 7 new round-4 queries above (never-verified
         # -- entries take window priority, VERDICT r03 next-round #2) --
@@ -3121,6 +3163,68 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
               WHERE EXISTS (SELECT 1 FROM dedges b
                             WHERE b.src = a.dst AND b.dst = a.src))
              / (SELECT count(*) FROM dedges), 6) AS reciprocity
+"""
+    sqls["two_hop_reach"] = f"""
+WITH {digraph_cte},
+dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
+two AS (
+  SELECT DISTINCT a.src AS src, b.dst AS c
+  FROM dedges a JOIN dedges b ON a.dst = b.src
+  WHERE b.dst <> a.src
+),
+r1 AS (SELECT src, count(*) AS reach1 FROM dedges GROUP BY src),
+r2 AS (SELECT src, count(*) AS reach2 FROM two GROUP BY src)
+SELECT n.node_id,
+       CAST(coalesce(r1.reach1, 0) AS BIGINT) AS reach1,
+       CAST(coalesce(r2.reach2, 0) AS BIGINT) AS reach2
+FROM dnodes n
+LEFT JOIN r1 ON n.node_id = r1.src
+LEFT JOIN r2 ON n.node_id = r2.src
+"""
+    sqls["negative_sampling"] = f"""
+WITH {digraph_cte},
+dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
+dict AS (
+  SELECT node_id, row_number() OVER (ORDER BY node_id) AS idx FROM dnodes
+),
+nn AS (SELECT count(*) AS n FROM dnodes),
+cand AS (
+  SELECT d.node_id AS src,
+         (CAST(('0x' || substr(md5(CAST(d.node_id AS VARCHAR) || '#neg#'
+            || CAST(i.i AS VARCHAR)), 1, 15)) AS BIGINT) % nn.n) + 1 AS cidx
+  FROM dnodes d
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS i) i
+),
+picked AS (
+  SELECT DISTINCT c.src, t.node_id AS dst
+  FROM cand c JOIN dict t ON t.idx = c.cidx
+  WHERE t.node_id <> c.src
+)
+SELECT p.src, p.dst
+FROM picked p
+WHERE NOT EXISTS (
+  SELECT 1 FROM dedges e WHERE e.src = p.src AND e.dst = p.dst
+)
+"""
+    sqls["zipf_profile"] = """
+WITH terms AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+freq AS (SELECT token, count(*) AS freq FROM terms GROUP BY token),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+           AS rank
+  FROM freq
+),
+slope AS (
+  SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope FROM ranked
+)
+SELECT r.rank, r.token, r.freq, s.zipf_slope
+FROM ranked r CROSS JOIN slope s
+WHERE r.rank <= 20
 """
     tedges_cte = """
 _tseq AS (

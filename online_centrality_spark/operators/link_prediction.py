@@ -72,3 +72,63 @@ def link_prediction_scores(
             "adamic_adar",
         )
     )
+
+
+def negative_edge_samples(edges: DataFrame, k: int = 8) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction training.
+
+    For every node of the digraph, draw ``k`` candidate destinations by
+    portable md5 hash (``text/packing.PORTABLE_HASH`` convention — the
+    identical bucket evaluates in Spark SQL and DuckDB, so the sampled
+    negative set is exactly reproducible across engines and reruns, no
+    RNG state to ship to 1000 executors), map the hash into a dense
+    node index, and keep the pair iff it is not a real edge and not a
+    self-loop. Output: distinct ``(src, dst)`` non-edges.
+
+    Scale design: the dense index comes from
+    :func:`~online_centrality_spark.sources.edges.add_global_seq`
+    (two-phase range-partitioned rank — NO single-partition window over
+    the node table, which is the thing that dies at 10^9 nodes); the
+    candidate attach is an equi-join on the uniformly-distributed dense
+    index; the reality check is one left-anti join keyed ``(src, dst)``.
+    The only driver-side value is the scalar node count (same envelope
+    as the kmeans seed read). Fan-out is exactly ``k`` rows per node —
+    hub-degree independent by construction.
+    """
+    from online_centrality_spark.sources.edges import add_global_seq
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    dictionary = add_global_seq(nodes, ["node_id"], seq_col="idx")
+    n = dictionary.count()
+    key = F.concat(
+        F.col("node_id").cast("string"), F.lit("#neg#"), F.col("i").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    cand = (
+        nodes.select(
+            "node_id",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        )
+        .select(
+            F.col("node_id").alias("src"),
+            (bucket % F.lit(n) + 1).alias("cidx"),
+        )
+    )
+    picked = cand.join(
+        dictionary.select(F.col("idx").alias("cidx"), F.col("node_id").alias("dst")),
+        "cidx",
+    ).select("src", "dst")
+    return (
+        picked.filter(F.col("src") != F.col("dst"))
+        .join(e, ["src", "dst"], "left_anti")
+        .distinct()
+    )

@@ -470,3 +470,52 @@ def token_percentiles(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def zipf_profile(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """(rank, token, freq, zipf_slope) — the corpus's Zipf profile: the
+    ``top_n`` most frequent tokens with their global frequency rank,
+    plus the log-log regression slope fitted over the ENTIRE vocabulary
+    (a natural-text corpus sits near slope -1; synthetic / template /
+    spam-heavy corpora flatten or steepen it, so the slope is a cheap
+    corpus-health scalar next to the gopher rules).
+
+    Scale design: token frequencies are one map-side-combinable groupBy;
+    the global rank uses
+    :func:`~online_centrality_spark.sources.edges.add_global_seq`
+    (two-phase range-partitioned rank — no single-partition window over
+    the vocabulary, which can be billions of tokens at 100 TB); the
+    slope is a single ``regr_slope`` aggregate (mergeable sufficient
+    statistics) attached to the bounded top-``top_n`` frame via the
+    engine's standard 1-row scalar cross-join.
+    """
+    from online_centrality_spark.sources.edges import add_global_seq
+
+    terms = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    freq = terms.groupBy("token").agg(F.count("*").alias("freq"))
+    ranked = add_global_seq(
+        freq.withColumn("nfreq", -F.col("freq")),
+        ["nfreq", "token"],
+        seq_col="rank",
+    ).drop("nfreq")
+    slope = ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("freq")), F.log(F.col("rank"))), 6
+        ).alias("zipf_slope")
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(slope))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("freq").cast("long").alias("freq"),
+            "zipf_slope",
+        )
+    )
