@@ -253,6 +253,37 @@ def main():
         lambda: entry_mod.q_random_walks(spark, sf_dir).count(),
     )
 
+    # round-4 additions: spectral / BFS-envelope centralities, temporal
+    # reachability, Luby MIS, neighborhood reach, negative sampling,
+    # as-of state attach, Zipf corpus profile
+    run("eigenvector", lambda: entry_mod.q_eigenvector(spark, sf_dir).count())
+    # closeness / temporal_reachability are O(n*m) all-sources sweeps —
+    # ~2 min each at sf0.1, so they run only when asked (recorded with
+    # probe stamps in BENCH/BASELINE.md) to keep the per-round suite lean
+    if os.environ.get("BENCH_HEAVY_EXTRAS") == "1" or (
+        only and {"closeness", "temporal_reachability"} & only
+    ):
+        run("closeness", lambda: entry_mod.q_closeness(spark, sf_dir).count(), n=1)
+        run(
+            "temporal_reachability",
+            lambda: entry_mod.q_temporal_reachability(spark, sf_dir).count(),
+            n=1,
+        )
+    run("mis", lambda: entry_mod.q_mis(spark, sf_dir).count())
+    run(
+        "two_hop_reach",
+        lambda: entry_mod.q_two_hop_reach(spark, sf_dir).count(),
+    )
+    run(
+        "negative_sampling",
+        lambda: entry_mod.q_negative_sampling(spark, sf_dir).count(),
+    )
+    run("asof_value", lambda: entry_mod.q_asof_value(spark, sf_dir).count())
+    run(
+        "zipf_profile",
+        lambda: entry_mod.q_zipf_profile(spark, sf_dir).count(),
+    )
+
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)
     run_replay(

@@ -97,15 +97,20 @@ def negative_edge_samples(edges: DataFrame, k: int = 8) -> DataFrame:
     """
     from online_centrality_spark.sources.edges import add_global_seq
 
+    # both frames feed two consumers each (dictionary+candidates /
+    # nodes-derivation+anti-join) — persist so the upstream edge
+    # induction computes once, not three times
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionAll(e.select(F.col("dst").alias("node_id")))
         .distinct()
+        .persist()
     )
     dictionary = add_global_seq(nodes, ["node_id"], seq_col="idx")
     n = dictionary.count()
