@@ -460,6 +460,48 @@ FROM cnodes n LEFT JOIN c ON n.node_id = c.node_id"""
     )
 
 
+def _hopdist_sql(rounds: int = 6, q: float = 0.9) -> str:
+    """Hop-distribution oracle: the same min-plus doubling closure as
+    :func:`_ecc_sql`, grouped by distance; the cumulative fraction is a
+    single float division of exact integer sums, so both engines agree
+    bit-for-bit before rounding, and the effective-diameter threshold
+    filter is therefore deterministic."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        "h0 AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS d FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        p, c = f"h{i - 1}", f"h{i}"
+        ctes.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d FROM (
+    SELECT src, dst, d FROM {p}
+    UNION ALL
+    SELECT a.src, b.dst, a.d + b.d
+    FROM {p} a JOIN {p} b ON a.dst = b.src WHERE a.src <> b.dst
+  ) u GROUP BY src, dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+hd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM h{rounds} GROUP BY d),
+tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hd),
+c AS (SELECT d, n_pairs,
+             CAST(sum(n_pairs) OVER (ORDER BY d) AS DOUBLE) / tot.t
+               AS raw_frac
+      FROM hd CROSS JOIN tot),
+ed AS (SELECT min(d) AS eff FROM c WHERE raw_frac >= {q})
+SELECT CAST(c.d AS BIGINT) AS d, c.n_pairs,
+       round(c.raw_frac, 6) AS cum_frac,
+       CAST(ed.eff AS BIGINT) AS eff_diameter
+FROM c CROSS JOIN ed"""
+    )
+
+
 EIGENVECTOR_ITERS = 12
 
 
@@ -2417,6 +2459,38 @@ def q_zipf_profile(spark, sf_dir):
     return zipf_profile(_t(spark, sf_dir, "documents"), top_n=20)
 
 
+def q_hop_distribution(spark, sf_dir):
+    """Exact hop-distance distribution + effective diameter (90th
+    percentile of reachable-pair distances) of the cosine graph — the
+    per-depth frontier counts of the all-sources BFS envelope; the
+    cumulative fraction is an exact integer ratio so both engines agree
+    bit-for-bit before rounding."""
+    from online_centrality_spark.operators.bfs import hop_distribution
+
+    return hop_distribution(_cos_edges(spark, sf_dir))
+
+
+def q_funnel(spark, sf_dir):
+    """Strict-order conversion funnel view -> click -> purchase with
+    earliest-completion semantics; one min-agg + one user-keyed join
+    per stage."""
+    from online_centrality_spark.streaming.sessions import conversion_funnel
+
+    return conversion_funnel(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Top-20 length-3 event-type sequences within 1h gaps (behavioral
+    motif mining); double-lag window on the high-cardinality user key."""
+    from online_centrality_spark.sources.edges import event_type_trigrams
+
+    return event_type_trigrams(
+        _t(spark, sf_dir, "events"), gap_seconds=3600.0, top_k=20
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2488,19 +2562,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_reach": q_two_hop_reach,
         "negative_sampling": q_negative_sampling,
         "zipf_profile": q_zipf_profile,
+        "hop_distribution": q_hop_distribution,
+        "funnel": q_funnel,
+        "event_trigrams": q_event_trigrams,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction": q_link_prediction,
+        # ---- 50-entry driver window ends here ------------------------
+        # (k_core / scc / reciprocity / scc_condensation / eccentricity
+        # / temporal_motifs displaced by the six newest never-verified
+        # queries; each keeps its green r03 driver row)
         "k_core": q_k_core,
         "scc": q_scc,
         "reciprocity": q_reciprocity,
-        # ---- 50-entry driver window ends here ------------------------
-        # (scc_condensation / eccentricity / temporal_motifs displaced
-        # by the three newest never-verified queries; each keeps its
-        # green r03 driver row)
         "scc_condensation": q_scc_condensation,
         "eccentricity": q_eccentricity,
         "temporal_motifs": q_temporal_motifs,
@@ -3669,6 +3746,58 @@ FROM daily
 """
     sqls["eigenvector"] = _eigenvector_sql()
     sqls["closeness"] = _closeness_sql()
+    sqls["hop_distribution"] = _hopdist_sql()
+    sqls["funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_done
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_done
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t_done
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_done
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t_done
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT 0 AS stage_idx, 'view' AS stage,
+         (SELECT count(*) FROM s0) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT count(*) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(n_users AS BIGINT) AS n_users,
+       round(CASE WHEN (SELECT count(*) FROM s0) > 0
+             THEN CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s0)
+             ELSE 0.0 END, 6) AS frac
+FROM n
+"""
+    sqls["event_trigrams"] = """
+WITH seq AS (
+  SELECT event_type AS c, epoch_us(ts) AS t,
+         lag(event_type, 1) OVER w AS b, lag(epoch_us(ts), 1) OVER w AS tb,
+         lag(event_type, 2) OVER w AS a, lag(epoch_us(ts), 2) OVER w AS ta
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT a || '>' || b || '>' || c AS trigram
+  FROM seq
+  WHERE a IS NOT NULL
+    AND t - tb <= 3600000000 AND tb - ta <= 3600000000
+)
+SELECT trigram, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY trigram
+ORDER BY n DESC, trigram ASC
+LIMIT 20
+"""
     sqls["asof_value"] = """
 WITH c AS (
   SELECT event_id, user_id, epoch_us(ts) AS t

@@ -47,10 +47,16 @@ def temporal_reachability(
     arr = spark.createDataFrame(
         [(int(source), int(t_start))], "node_id long, arrival long"
     ).localCheckpoint(eager=True)
+    # delta relaxation: only nodes whose arrival improved last round can
+    # produce new candidates (the relax term depends solely on arr(u)
+    # and the static edge set), so the probe side is the frontier, not
+    # the whole settled table — rounds stay O(frontier * deg) instead of
+    # re-relaxing every settled node every round
+    frontier = arr
     for _ in range(max_iter):
         relax = (
             e.join(
-                arr.select(
+                frontier.select(
                     F.col("node_id").alias("src"),
                     F.col("arrival").alias("a"),
                 ),
@@ -74,6 +80,7 @@ def temporal_reachability(
             .agg(F.min("arrival").alias("arrival"))
             .localCheckpoint(eager=True)
         )
+        frontier = improved
     raise RuntimeError(
         f"temporal reachability did not converge in {max_iter} rounds; "
         "raise max_iter"

@@ -441,3 +441,51 @@ def edge_stream_growth(edges: DataFrame) -> DataFrame:
         F.sum("new_nodes").over(w).alias("cum_nodes"),
         F.sum("new_edges").over(w).alias("cum_edges"),
     )
+
+
+def event_type_trigrams(
+    events: DataFrame,
+    gap_seconds: float = 3600.0,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(trigram, n) — the ``top_k`` most frequent length-3 event-type
+    sequences across user streams (behavioral-motif mining: the
+    tool-chain / action-pattern counterpart of ``actor_transitions``'
+    bigrams). A trigram counts when both consecutive gaps are within
+    ``gap_seconds``.
+
+    Scale shape: the double-lag window partitions on the USER key
+    (high-cardinality, well-distributed — the same envelope as
+    ``response_latency``; per-partition state is one user's stream, not
+    an event_type's), then one map-side-combinable groupBy over at most
+    |types|^3 distinct trigrams and a TakeOrderedAndProject top-k with
+    a deterministic tiebreak.
+    """
+    gap_us = int(gap_seconds * 1e6)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    seq = events.select(
+        F.col(type_col).alias("c"),
+        t.alias("t"),
+        F.lag(type_col, 1).over(w).alias("b"),
+        F.lag(t, 1).over(w).alias("tb"),
+        F.lag(type_col, 2).over(w).alias("a"),
+        F.lag(t, 2).over(w).alias("ta"),
+    )
+    tri = seq.filter(
+        F.col("a").isNotNull()
+        & ((F.col("t") - F.col("tb")) <= gap_us)
+        & ((F.col("tb") - F.col("ta")) <= gap_us)
+    ).select(
+        F.concat_ws(">", F.col("a"), F.col("b"), F.col("c")).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(top_k)
+    )

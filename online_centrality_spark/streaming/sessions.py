@@ -115,3 +115,71 @@ def response_latency(
         F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6).alias("p50_gap_secs"),
         F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6).alias("p90_gap_secs"),
     )
+
+
+def conversion_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(stage_idx, stage, n_users, frac) — strict-order conversion
+    funnel: a user counts at stage k iff they performed stage k's event
+    STRICTLY AFTER their earliest qualifying stage k-1 event (earliest-
+    completion semantics, the standard product-analytics funnel).
+    ``frac`` is the conversion rate relative to stage 0.
+
+    Scale shape: one filtered map-side min-agg plus one equi-join on
+    the (high-cardinality, well-distributed) user key per stage —
+    stages are few and fixed, so the chain is a constant number of
+    shuffles; each stage's per-user completion frame persists because
+    stage k+1 and the final count both read it. No windows, no driver
+    loops; the per-stage counts are 1-row aggregates folded in one
+    union.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        t.alias("t"),
+    )
+    counts: list[DataFrame] = []
+    cur: DataFrame | None = None
+    for k, stage in enumerate(stages):
+        s = e.filter(F.col("etype") == stage)
+        if cur is None:
+            cur = s.groupBy("user").agg(F.min("t").alias("t_done"))
+        else:
+            cur = (
+                s.join(
+                    cur.select("user", F.col("t_done").alias("t_prev")),
+                    "user",
+                )
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("user")
+                .agg(F.min("t").alias("t_done"))
+            )
+        cur = cur.persist()
+        counts.append(
+            cur.agg(F.count("*").cast("long").alias("n_users")).select(
+                F.lit(k).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    base = counts[0].select(F.col("n_users").alias("n0"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.when(F.col("n0") > 0, F.col("n_users") / F.col("n0")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("frac"),
+    )
