@@ -261,7 +261,7 @@ def main():
     # ~2 min each at sf0.1, so they run only when asked (recorded with
     # probe stamps in BENCH/BASELINE.md) to keep the per-round suite lean
     if os.environ.get("BENCH_HEAVY_EXTRAS") == "1" or (
-        only and {"closeness", "temporal_reachability"} & only
+        only and {"closeness", "temporal_reachability", "hop_distribution"} & only
     ):
         run("closeness", lambda: entry_mod.q_closeness(spark, sf_dir).count(), n=1)
         run(
@@ -269,7 +269,17 @@ def main():
             lambda: entry_mod.q_temporal_reachability(spark, sf_dir).count(),
             n=1,
         )
+        run(
+            "hop_distribution",
+            lambda: entry_mod.q_hop_distribution(spark, sf_dir).count(),
+            n=1,
+        )
     run("mis", lambda: entry_mod.q_mis(spark, sf_dir).count())
+    run("funnel", lambda: entry_mod.q_funnel(spark, sf_dir).count())
+    run(
+        "event_trigrams",
+        lambda: entry_mod.q_event_trigrams(spark, sf_dir).count(),
+    )
     run(
         "two_hop_reach",
         lambda: entry_mod.q_two_hop_reach(spark, sf_dir).count(),

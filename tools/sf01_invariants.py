@@ -152,6 +152,28 @@ def main():
 
     check("walks_follow_edges", walks_follow_edges)
 
+    # 5. hop-distribution mass == ordered reachable pairs from the
+    #    INDEPENDENT connected-components operator: for an undirected
+    #    graph, sum(n_pairs) must equal sum over components of
+    #    |c|*(|c|-1); eff_diameter must be a realized distance
+    def hop_mass_matches_components():
+        hd = entry_mod.q_hop_distribution(spark, sf_dir).collect()
+        assert hd, "empty hop distribution"
+        total = sum(r.n_pairs for r in hd)
+        eff = hd[0].eff_diameter
+        assert eff in {r.d for r in hd}, f"eff_diameter {eff} not a realized d"
+        comp_sizes = [
+            r.n
+            for r in entry_mod.q_connected_components(spark, sf_dir)
+            .groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        expect = sum(n * (n - 1) for n in comp_sizes)
+        assert total == expect, f"pair mass {total} != components {expect}"
+
+    check("hop_mass_matches_components", hop_mass_matches_components)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
