@@ -502,6 +502,49 @@ FROM c CROSS JOIN ed"""
     )
 
 
+def _simrank_sql(digraph_cte: str, rounds: int = 3, c: float = 0.8) -> str:
+    """SimRank oracle: the truncated pair-state expansion unrolled with
+    MATERIALIZED CTEs (self-referencing chain — default inlining is
+    exponential in round count, the MIS/reachability hazard). Each
+    round: ordered-pair in-neighbor sum + degree normalization, diagonal
+    pinned to 1."""
+    ctes = [
+        digraph_cte.strip(),
+        "dnodes AS (SELECT src AS node_id FROM dedges "
+        "UNION SELECT dst FROM dedges)",
+        "ind AS (SELECT dst AS node_id, count(*) AS ind "
+        "FROM dedges GROUP BY dst)",
+        "s0 AS MATERIALIZED (SELECT node_id AS a, node_id AS b, 1.0 AS s "
+        "FROM dnodes)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        ctes.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT e1.dst AS a, e2.dst AS b, sum({p}.s) AS t
+  FROM {p}
+  JOIN dedges e1 ON {p}.a = e1.src
+  JOIN dedges e2 ON {p}.b = e2.src
+  GROUP BY e1.dst, e2.dst
+)""")
+        ctes.append(f"""
+s{i} AS MATERIALIZED (
+  SELECT node_id AS a, node_id AS b, 1.0 AS s FROM dnodes
+  UNION ALL
+  SELECT p.a, p.b, {c} * p.t / (ia.ind * ib.ind) AS s
+  FROM p{i} p
+  JOIN ind ia ON p.a = ia.node_id
+  JOIN ind ib ON p.b = ib.node_id
+  WHERE p.a <> p.b
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a, b, round(s, 6) AS s FROM s{rounds} WHERE a < b AND s > 0"""
+    )
+
+
 EIGENVECTOR_ITERS = 12
 
 
@@ -2491,6 +2534,20 @@ def q_event_trigrams(spark, sf_dir):
     )
 
 
+def q_simrank(spark, sf_dir):
+    """SimRank structural similarity (C=0.8, 3 truncated iterations)
+    over the user-interaction digraph — off-diagonal pairs a < b with
+    nonzero similarity; oracle unrolls the three sparse pair-state
+    rounds with MATERIALIZED CTEs."""
+    from online_centrality_spark.operators.simrank import simrank
+
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    out = simrank(dg, c=0.8, iterations=3)
+    return out.select("a", "b", F.round("s", 6).alias("s"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2565,16 +2622,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distribution": q_hop_distribution,
         "funnel": q_funnel,
         "event_trigrams": q_event_trigrams,
+        "simrank": q_simrank,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
-        "link_prediction": q_link_prediction,
         # ---- 50-entry driver window ends here ------------------------
-        # (k_core / scc / reciprocity / scc_condensation / eccentricity
-        # / temporal_motifs displaced by the six newest never-verified
-        # queries; each keeps its green r03 driver row)
+        # (link_prediction / k_core / scc / reciprocity /
+        # scc_condensation / eccentricity / temporal_motifs displaced by
+        # the seven newest never-verified queries; each keeps its green
+        # r03 driver row)
+        "link_prediction": q_link_prediction,
         "k_core": q_k_core,
         "scc": q_scc,
         "reciprocity": q_reciprocity,
@@ -3241,6 +3300,7 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
                             WHERE b.src = a.dst AND b.dst = a.src))
              / (SELECT count(*) FROM dedges), 6) AS reciprocity
 """
+    sqls["simrank"] = _simrank_sql(digraph_cte, rounds=3, c=0.8)
     sqls["two_hop_reach"] = f"""
 WITH {digraph_cte},
 dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
