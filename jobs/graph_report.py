@@ -10,6 +10,8 @@ with --py-files exactly like jobs/replay_job.py):
            -> reciprocity              (1 row)
            -> δ-temporal motifs        (bucketed 3-way join)
            -> random-walk corpus       (deterministic DeepWalk input)
+           -> 2-hop reach profile      (round 4)
+           -> negative-edge samples    (round 4, graph-ML training prep)
       -> actor edge table (conv adjacency induction)
            -> HITS hubs/authorities
       -> turn-latency profile          (exact percentiles)
@@ -78,6 +80,14 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
         ),
     )
     sink("random_walks", random_walks(dg, walk_length=walk_length))
+    # round-4 families over the same cached digraph
+    from online_centrality_spark.operators.link_prediction import (
+        negative_edge_samples,
+    )
+    from online_centrality_spark.operators.neighborhood import two_hop_reach
+
+    sink("two_hop_reach", two_hop_reach(dg))
+    sink("negative_samples", negative_edge_samples(dg, k=8))
     edges, nodes = edges_from_events(events)
     sink(
         "hits",

@@ -9,12 +9,16 @@ def test_graph_report_all_stages(spark, tmp_path):
     metrics = run_report(spark, events, out, gap_seconds=60.0, walk_length=4)
     assert set(metrics) == {
         "scc", "reciprocity", "temporal_motifs", "random_walks",
-        "hits", "response_latency",
+        "two_hop_reach", "negative_samples", "hits", "response_latency",
     }
     assert all(m["rows"] >= 1 for m in metrics.values()), metrics
     # the sinks must be re-readable and carry the expected schemas
     scc = spark.read.parquet(f"{out}/metric=scc")
     assert set(scc.columns) == {"node_id", "component"}
+    reach = spark.read.parquet(f"{out}/metric=two_hop_reach")
+    assert set(reach.columns) == {"node_id", "reach1", "reach2"}
+    negs = spark.read.parquet(f"{out}/metric=negative_samples")
+    assert set(negs.columns) == {"src", "dst"}
     walks = spark.read.parquet(f"{out}/metric=random_walks")
     assert set(walks.columns) == {"walk_id", "step", "node_id"}
     # walks start at step 0 for every walk id
