@@ -41,7 +41,10 @@ def test_graph_report_resume_skips_committed(spark, tmp_path):
     for name, m in second.items():
         assert m["rows"] == first[name]["rows"], name
     resumed = {n for n, m in second.items() if m.get("resumed")}
-    assert resumed == {"scc", "reciprocity", "temporal_motifs", "random_walks"}
+    assert resumed == {
+        "scc", "reciprocity", "temporal_motifs", "random_walks",
+        "two_hop_reach", "negative_samples",
+    }
 
 
 def test_graph_report_resume_recomputes_on_param_change(spark, tmp_path):
