@@ -139,3 +139,35 @@ def test_bucketed_edge_table_removes_cogroup_exchange(spark, tmp_path):
     }
     assert got == want
     spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+
+
+def test_round4_ops_have_no_unpartitioned_window(spark):
+    """The round-4 additions promise no window over an UNPARTITIONED
+    unbounded frame: zipf_profile ranks via add_global_seq, negative
+    sampling indexes via add_global_seq, two_hop_reach / simrank /
+    funnel are join+agg pipelines (their plans may carry the digraph
+    induction's bucket-partitioned lag windows — those are the
+    documented safe shape). An unpartitioned spec prints its FIRST
+    argument as an ordering column (`... ASC/DESC`); a partitioned one
+    leads with bare partition columns. (hop_distribution and
+    graph_growth keep an unpartitioned window over the diameter-/day-
+    bounded frame by design — excluded.)"""
+    unpart = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    for name in (
+        "zipf_profile",
+        "negative_sampling",
+        "two_hop_reach",
+        "simrank",
+        "funnel",
+    ):
+        plan = _plan(entry_mod.queries()[name](spark, SF))
+        m = unpart.search(plan)
+        assert m is None, f"{name} has an unpartitioned window: {m.group(0)}"
+
+
+def test_event_trigrams_window_partitions_on_user(spark):
+    plan = _plan(entry_mod.q_event_trigrams(spark, SF))
+    assert re.search(
+        r"windowspecdefinition\(user_id", plan
+    ), "trigram lag window must partition on the user key"
+    assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[-1]
