@@ -2359,8 +2359,10 @@ def q_asof_value(spark, sf_dir):
 def q_activity_rollup(spark, sf_dir):
     """ROLLUP over (event_type, day): per-cell, per-type subtotal and
     grand-total rows in one pass (Spark `rollup` = GROUPING SETS;
-    grouped-out columns emitted as 'ALL' for engine-portable NULL
-    handling). Partial aggregation covers all three levels map-side."""
+    grouped-out columns relabeled 'ALL' via F.grouping(), NOT coalesce
+    — a genuine NULL group value must stay distinguishable from a
+    subtotal row). Partial aggregation covers all three levels
+    map-side."""
     ev = _t(spark, sf_dir, "events")
     out = (
         ev.select(
@@ -2372,11 +2374,17 @@ def q_activity_rollup(spark, sf_dir):
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping("event_type").alias("_ge"),
+            F.grouping("day").alias("_gd"),
         )
     )
     return out.select(
-        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-        F.coalesce("day", F.lit("ALL")).alias("day"),
+        F.when(F.col("_ge") == 1, F.lit("ALL"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("_gd") == 1, F.lit("ALL"))
+        .otherwise(F.col("day"))
+        .alias("day"),
         "n_events",
         "total_value",
     )
@@ -3875,8 +3883,9 @@ WITH src AS (
   SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value
   FROM events
 )
-SELECT coalesce(event_type, 'ALL') AS event_type,
-       coalesce(day, 'ALL') AS day,
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
        count(*) AS n_events,
        round(sum(value), 4) AS total_value
 FROM src GROUP BY ROLLUP(event_type, day)

@@ -13,16 +13,20 @@ Scale design — two-phase, no single per-key sort task:
 
 1. Union-tag both sides and bucket time into fixed ``bucket_us``-wide
    ranges. Phase 1 is ONE shuffle on ``(key, bucket)`` and an
-   in-partition ``last(value, ignorenulls)`` running window ordered by
-   ``(ts, side)`` (right rows sort before left rows at equal ts, which
-   is exactly the inclusive rule). A hub key's rows spread over its
-   time buckets instead of one task's sort — per-task volume is bounded
-   by per-(key, bucket) density, the knob the caller sets.
-2. Phase 2 computes each ``(key, bucket)``'s LAST right-side value (a
+   in-partition running ``last`` window ordered by ``(ts, side)``
+   (right rows sort before left rows at equal ts, which is exactly the
+   inclusive rule). The carried unit is the right-side ROW as a struct,
+   not the bare value — a right row whose value is NULL is still "the
+   most recent row" and must attach its NULL rather than let an older
+   value bleed through (matching DuckDB ASOF JOIN / pandas merge_asof).
+   A hub key's rows spread over its time buckets instead of one task's
+   sort — per-task volume is bounded by per-(key, bucket) density, the
+   knob the caller sets.
+2. Phase 2 computes each ``(key, bucket)``'s LAST right-side row (a
    per-bucket 1-row aggregate, map-side combined) and turns it into a
    carry-in per bucket with a running window over the per-key bucket
    frame — rows per key there = occupied buckets, orders of magnitude
-   below row count. Final value = in-bucket running value, else carry.
+   below row count. Final row = in-bucket running row, else carry.
 
 Both windows are bounded; neither is keyed on the raw key alone.
 """
@@ -68,17 +72,31 @@ def asof_join(
         r.select(*lcols, "_ts", "_side", "_v")
     )
     u = u.withColumn("_b", F.expr(f"_ts div {bucket_us}"))
+    # the carried unit is the whole right ROW (struct): non-null even
+    # when its value is NULL, so a NULL value attaches instead of
+    # letting an older non-null value bleed through
+    u = u.withColumn(
+        "_ev",
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_ts").alias("_et"), F.col("_v")),
+        ),
+    )
 
     in_bucket = Window.partitionBy(key, "_b").orderBy("_ts", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    u = u.withColumn("_run", F.last("_v", ignorenulls=True).over(in_bucket))
+    u = u.withColumn("_run", F.last("_ev", ignorenulls=True).over(in_bucket))
 
-    # per-(key, bucket) final right-side value -> carry-in for later buckets
+    # per-(key, bucket) final right-side row -> carry-in for later buckets
     bucket_last = (
         r.withColumn("_b", F.expr(f"_ts div {bucket_us}"))
         .groupBy(key, "_b")
-        .agg(F.max_by("_v", "_ts").alias("_blast"))
+        .agg(
+            F.max_by(
+                F.struct(F.col("_ts").alias("_et"), F.col("_v")), F.col("_ts")
+            ).alias("_blast")
+        )
     )
     carry_w = Window.partitionBy(key).orderBy("_b").rowsBetween(
         Window.unboundedPreceding, -1
@@ -87,7 +105,7 @@ def asof_join(
     # the carry frame is the union of left-occupied and right-occupied
     # buckets (rows per key = occupied buckets, not events), with each
     # bucket's carry = the nearest strictly-preceding bucket's final
-    # right value. A range-asof on bucket ids would re-introduce the
+    # right row. A range-asof on bucket ids would re-introduce the
     # problem one level up; this stays a bounded per-key window.
     left_buckets = u.filter(F.col("_side") == 1).select(key, "_b").distinct()
     all_b = (
@@ -103,6 +121,13 @@ def asof_join(
     out = (
         u.filter(F.col("_side") == 1)
         .join(all_carry, [key, "_b"], "left")
-        .withColumn(out_col, F.coalesce("_run", "_carry"))
+        .withColumn(
+            out_col,
+            # NOT coalesce on the values: a present run-row with a NULL
+            # value is still the most recent row and must win over carry
+            F.when(F.col("_run").isNotNull(), F.col("_run._v")).otherwise(
+                F.col("_carry._v")
+            ),
+        )
     )
     return out.select(*lcols, out_col)

@@ -59,44 +59,38 @@ def bfs_distances(
     return nodes.join(visited, "node_id", "left").select("node_id", "dist")
 
 
-def eccentricity(
-    edges: DataFrame,
-    directed: bool = False,
-    max_rounds: int = 10_000,
-) -> DataFrame:
-    """(node_id, ecc) — max hop distance from each node to any node it
-    can reach (its connected component in the undirected default).
-
-    All-sources level-synchronous BFS run as ONE loop: the state is the
-    (target, node) visited relation; each round expands every target's
-    frontier through the adjacency in a single shuffle join, and the
-    targets that still gained nodes this round bump their eccentricity
-    to the current depth. Frontiers shrink monotonically as components
-    saturate, so late rounds are cheap. The (target, node) state is
-    quadratic in component size — the same envelope as the distributed
-    harmonic operator, the price of exact all-pairs hop radii; for
-    approximate radii at 10^12 edges, sample targets (the loop is
-    unchanged, seeded by a frontier filter).
-    """
+def _sym_adjacency(edges: DataFrame, directed: bool):
+    """(adj, nodes) for the all-sources sweeps — deduplicated adjacency
+    (symmetrized unless directed) and the distinct node set, both
+    persisted (each feeds every BFS round)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     adj = e.dropDuplicates(["src", "dst"])
     if not directed:
         adj = adj.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).dropDuplicates(["src", "dst"])
-    adj = adj.persist()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionAll(e.select(F.col("dst").alias("node_id")))
         .distinct()
         .persist()
     )
+    return adj.persist(), nodes
+
+
+def _all_pairs_frontiers(adj, nodes, max_rounds: int, tag: str):
+    """Shared all-sources level-synchronous BFS envelope: yields
+    ``(depth, frontier)`` where the frontier is exactly the (target,
+    node) pairs at shortest distance ``depth``. State is the quadratic
+    (target, node) visited relation — the price of exact all-pairs hop
+    metrics; frontiers shrink monotonically as components saturate.
+    One shuffle join + one anti-join per depth, lineage cut per round.
+    Raises instead of yielding a truncated relation when ``max_rounds``
+    is hit (the engine's standard fixpoint discipline)."""
     visited = nodes.select(
         F.col("node_id").alias("target"), F.col("node_id").alias("node")
     ).localCheckpoint(eager=True)
     frontier = visited
-    ecc = nodes.select("node_id", F.lit(0).cast("long").alias("ecc"))
-    ecc = ecc.localCheckpoint(eager=True)
     for depth in range(1, max_rounds + 1):
         expanded = (
             frontier.join(adj, frontier["node"] == adj["src"])
@@ -107,7 +101,30 @@ def eccentricity(
             visited, ["target", "node"], "left_anti"
         ).localCheckpoint(eager=True)
         if frontier.isEmpty():
-            break
+            return
+        yield depth, frontier
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(f"{tag} did not saturate in {max_rounds} rounds")
+
+
+def eccentricity(
+    edges: DataFrame,
+    directed: bool = False,
+    max_rounds: int = 10_000,
+) -> DataFrame:
+    """(node_id, ecc) — max hop distance from each node to any node it
+    can reach (its connected component in the undirected default).
+
+    All-sources BFS (:func:`_all_pairs_frontiers`); the targets that
+    still gained nodes this round bump their eccentricity to the
+    current depth. For approximate radii at 10^12 edges, sample targets
+    (the loop is unchanged, seeded by a frontier filter)."""
+    adj, nodes = _sym_adjacency(edges, directed)
+    ecc = nodes.select("node_id", F.lit(0).cast("long").alias("ecc"))
+    ecc = ecc.localCheckpoint(eager=True)
+    for depth, frontier in _all_pairs_frontiers(
+        adj, nodes, max_rounds, "eccentricity"
+    ):
         grew = frontier.select(F.col("target").alias("node_id")).distinct()
         ecc = (
             ecc.join(grew.withColumn("_g", F.lit(1)), "node_id", "left")
@@ -118,11 +135,6 @@ def eccentricity(
                 .alias("ecc"),
             )
             .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"eccentricity did not saturate in {max_rounds} rounds"
         )
     return ecc
 
@@ -137,55 +149,21 @@ def closeness_centrality(
     ``total_dist`` = sum of hop distances to them, ``closeness`` =
     reach / total_dist (0.0 when nothing is reachable).
 
-    Same all-sources level-synchronous BFS envelope as
-    :func:`eccentricity` (one (target, node) visited relation, one
-    shuffle join per depth, shrinking frontiers, ``localCheckpoint``
-    lineage cuts) but instead of a per-round score join it emits each
-    round's tiny ``(target, gained-count, depth)`` aggregate and folds
-    them in ONE final union + groupBy — no per-round update join at
-    all. State is quadratic in component size (the price of exact
-    all-pairs distances); for approximate closeness at 10^12 edges,
-    seed the loop with a target sample — the loop body is unchanged.
-    """
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    adj = e.dropDuplicates(["src", "dst"])
-    if not directed:
-        adj = adj.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates(["src", "dst"])
-    adj = adj.persist()
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .unionAll(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .persist()
-    )
-    visited = nodes.select(
-        F.col("node_id").alias("target"), F.col("node_id").alias("node")
-    ).localCheckpoint(eager=True)
-    frontier = visited
+    Same envelope as :func:`eccentricity`, but instead of a per-round
+    score join it emits each round's tiny ``(target, gained-count,
+    depth)`` aggregate and folds them in ONE final union + groupBy —
+    no per-round update join at all. For approximate closeness at
+    10^12 edges, seed the loop with a target sample."""
+    adj, nodes = _sym_adjacency(edges, directed)
     per_depth: list[DataFrame] = []
-    for depth in range(1, max_rounds + 1):
-        expanded = (
-            frontier.join(adj, frontier["node"] == adj["src"])
-            .select("target", F.col("dst").alias("node"))
-            .distinct()
-        )
-        frontier = expanded.join(
-            visited, ["target", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
+    for depth, frontier in _all_pairs_frontiers(
+        adj, nodes, max_rounds, "closeness"
+    ):
         per_depth.append(
             frontier.groupBy("target")
             .agg(F.count("*").alias("cnt"))
             .withColumn("depth", F.lit(depth).cast("long"))
             .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"closeness did not saturate in {max_rounds} rounds"
         )
     if not per_depth:
         return nodes.select(
@@ -230,53 +208,22 @@ def hop_distribution(
     diameter (smallest ``d`` covering ``eff_quantile`` of all reachable
     pairs — the standard small-world headline metric).
 
-    Same all-sources level-synchronous BFS envelope as
-    :func:`eccentricity` / :func:`closeness_centrality`: each round the
-    frontier IS the set of pairs at distance ``depth``, so the
-    distribution falls out as one scalar count per round; the rounds
-    fold in a single union over the (diameter-bounded) depth frame,
-    where the cumulative window is explicitly safe. State is the
-    quadratic (target, node) visited relation — the price of exactness;
-    at 10^12 edges seed with a target sample (loop unchanged).
-    """
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    adj = e.dropDuplicates(["src", "dst"])
-    if not directed:
-        adj = adj.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates(["src", "dst"])
-    adj = adj.persist()
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .unionAll(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-    )
+    Same envelope as :func:`eccentricity`: each round's frontier IS the
+    pair set at distance ``depth``, so the distribution falls out as
+    one scalar count per round; the rounds fold in a single union over
+    the (diameter-bounded) depth frame, where the cumulative window is
+    explicitly safe. The cumulative fraction is a single division of
+    exact integer sums, so engines agree bit-for-bit before rounding."""
+    adj, nodes = _sym_adjacency(edges, directed)
     spark = edges.sparkSession
-    visited = nodes.select(
-        F.col("node_id").alias("target"), F.col("node_id").alias("node")
-    ).localCheckpoint(eager=True)
-    frontier = visited
     per_depth: list[DataFrame] = []
-    for depth in range(1, max_rounds + 1):
-        expanded = (
-            frontier.join(adj, frontier["node"] == adj["src"])
-            .select("target", F.col("dst").alias("node"))
-            .distinct()
-        )
-        frontier = expanded.join(
-            visited, ["target", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
+    for depth, frontier in _all_pairs_frontiers(
+        adj, nodes, max_rounds, "hop_distribution"
+    ):
         per_depth.append(
             frontier.agg(F.count("*").alias("n_pairs")).select(
                 F.lit(depth).cast("long").alias("d"), "n_pairs"
             )
-        )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-    else:
-        raise RuntimeError(
-            f"hop_distribution did not saturate in {max_rounds} rounds"
         )
     if not per_depth:
         return spark.createDataFrame(

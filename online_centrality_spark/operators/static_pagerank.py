@@ -533,15 +533,24 @@ def _weighted_pagerank_distributed(
             )
             .localCheckpoint(eager=True)
         )
-        err = (
-            new_ranks.select("node_id", "rank")
-            .join(ranks.select("node_id", F.col("rank").alias("old")), "node_id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
-        )
+        # tol == 0 pins an exact iteration count (the oracle-depth
+        # contract): the O(n) convergence join + collect can never
+        # trigger the early return, so skip it entirely
+        if tol > 0:
+            err = (
+                new_ranks.select("node_id", "rank")
+                .join(
+                    ranks.select("node_id", F.col("rank").alias("old")),
+                    "node_id",
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
+            )
+            if err < n_nodes * tol:
+                return new_ranks.select(
+                    "node_id", F.col("rank").alias("score")
+                )
         ranks = new_ranks
-        if err < n_nodes * tol:
-            return ranks.select("node_id", F.col("rank").alias("score"))
     if strict:
         raise PageRankDiverged(
             f"weighted pagerank failed to converge in {max_iter} iterations"

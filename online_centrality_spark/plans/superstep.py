@@ -242,6 +242,13 @@ class SuperstepDriver:
                 )
             self._write_metrics(metric_rows, chunk[-1].interval_id)
             if self.ckpt_dir is not None:
+                # the manifest must never claim a chunk whose async
+                # dist-score commit is still in flight: a crash between
+                # the manifest write and the parquet commit would make
+                # resume skip a chunk with missing scores. The join
+                # costs only the (rare) case where the write outlives
+                # the whole driver-side tail.
+                self._join_writes()
                 self._checkpoint(online, chunk[-1].interval_id)
             del t_chunk
         self._join_writes()

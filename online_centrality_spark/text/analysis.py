@@ -455,21 +455,30 @@ def token_percentiles(
     in-memory map — right for profiling runs. At 100 TB, swap to
     ``percentile_approx`` (t-digest, one pass, mergeable) — same call
     shape, bounded memory, documented trade.
+
+    All requested percentiles come out of ONE groupBy (then a stack
+    unpivot on the |langs|-cardinality frame) — a union of per-p
+    aggregate branches would re-run the corpus tokenization once per
+    percentile, since Spark does not dedupe common subplans across
+    union branches.
     """
     tc = token_count(docs, text_col).select(
         F.col("lang"), F.col("n_tokens").cast("double").alias("n")
     )
     both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
-    rows = [
-        both.groupBy("lang").agg(
-            F.round(F.expr(f"percentile(n, {p})"), 6).alias("n_tokens")
-        ).select("lang", F.lit(p).alias("p"), "n_tokens")
-        for p in percentiles
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    agged = both.groupBy("lang").agg(
+        *[
+            F.round(F.expr(f"percentile(n, {p})"), 6).alias(f"_p{i}")
+            for i, p in enumerate(percentiles)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p} AS DOUBLE), _p{i}" for i, p in enumerate(percentiles)
+    )
+    return agged.select(
+        "lang",
+        F.expr(f"stack({len(percentiles)}, {stack}) AS (p, n_tokens)"),
+    )
 
 
 def zipf_profile(

@@ -294,3 +294,24 @@ def test_edge_stream_growth_counts(spark):
     assert (out[d0]["new_nodes"], out[d0]["new_edges"]) == (2, 2)
     assert (out[d2]["new_nodes"], out[d2]["new_edges"]) == (1, 1)
     assert (out[d2]["cum_nodes"], out[d2]["cum_edges"]) == (3, 3)
+
+
+def test_asof_null_value_attaches_not_bleeds(spark):
+    # the most recent right row has v = NULL: it must attach NULL, not
+    # let the older non-null value bleed through (DuckDB ASOF/merge_asof
+    # semantics) — in-bucket case and cross-bucket carry case
+    left = spark.createDataFrame(
+        [(1, 10), (1, 90_000_000_000)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None), (1, 86_400_000_001, None)],
+        "k long, t long, v double",
+    )
+    out = {
+        r["t"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="t", value_col="v"
+        ).collect()
+    }
+    assert out[10] is None  # latest in-bucket right row (t=2) is NULL
+    assert out[90_000_000_000] is None  # carry from bucket-1's last row
