@@ -2556,6 +2556,15 @@ def q_simrank(spark, sf_dir):
     return out.select("a", "b", F.round("s", 6).alias("s"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Top-20 adjacent character pairs weighted by corpus token
+    frequency — the first merge round of BPE tokenizer induction; pair
+    enumeration runs over the distinct vocabulary, not the corpus."""
+    from online_centrality_spark.text.analysis import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2631,16 +2640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "event_trigrams": q_event_trigrams,
         "simrank": q_simrank,
+        "bpe_merges": q_bpe_merges,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
-        "degree_assortativity": q_degree_assortativity,
         # ---- 50-entry driver window ends here ------------------------
-        # (link_prediction / k_core / scc / reciprocity /
-        # scc_condensation / eccentricity / temporal_motifs displaced by
-        # the seven newest never-verified queries; each keeps its green
-        # r03 driver row)
+        # (degree_assortativity / link_prediction / k_core / scc /
+        # reciprocity / scc_condensation / eccentricity / temporal_motifs
+        # displaced by the eight newest never-verified queries; each
+        # keeps its green r03 driver row)
+        "degree_assortativity": q_degree_assortativity,
         "link_prediction": q_link_prediction,
         "k_core": q_k_core,
         "scc": q_scc,
@@ -3309,6 +3319,22 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
              / (SELECT count(*) FROM dedges), 6) AS reciprocity
 """
     sqls["simrank"] = _simrank_sql(digraph_cte, rounds=3, c=0.8)
+    sqls["bpe_merges"] = """
+WITH terms AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS freq FROM terms GROUP BY token),
+pairs AS (
+  SELECT substr(token, CAST(ix.i AS INT), 2) AS pair, freq
+  FROM vocab, LATERAL unnest(range(1, length(token))) AS ix(i)
+  WHERE length(token) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 20
+"""
     sqls["two_hop_reach"] = f"""
 WITH {digraph_cte},
 dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),

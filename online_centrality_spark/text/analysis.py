@@ -528,3 +528,44 @@ def zipf_profile(
             "zipf_slope",
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """(pair, n) — the ``top_k`` most frequent adjacent character pairs
+    weighted by corpus token frequency: the first merge round of BPE
+    tokenizer induction, distributed.
+
+    Scale design: the classic BPE trick — pair enumeration runs over
+    the DISTINCT vocabulary (one row per token type, weighted by its
+    corpus frequency), so the explode work is vocab-size x token-length
+    regardless of corpus size; the frequency table itself is one
+    map-side-combinable groupBy over the tokenized scan. Top-k via
+    TakeOrderedAndProject with a deterministic (n desc, pair asc)
+    tiebreak.
+    """
+    terms = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    vocab = terms.groupBy("token").agg(F.count("*").alias("freq"))
+    pairs = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substr(token, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -208,3 +208,38 @@ def test_event_trigrams_gap_excludes(spark):
         for r in event_type_trigrams(df, gap_seconds=3600.0).collect()
     }
     assert got == {"c>a>b": 1}
+
+
+# ---------------------------------------------------------------- bpe merges
+
+
+def test_bpe_merges_matches_brute(spark):
+    from online_centrality_spark.text.analysis import bpe_merges
+
+    docs = [
+        (0, "aba abab x"),
+        (1, "aba cd cd cd"),
+        (2, "abab ef"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in bpe_merges(sdf, top_k=50).collect()}
+    from collections import Counter
+
+    exp = Counter()
+    words = Counter()
+    for _, t in docs:
+        words.update(t.split())
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            exp[w[i : i + 2]] += f
+    assert got == {p: n for p, n in exp.items()}
+
+
+def test_bpe_merges_top_k_deterministic(spark):
+    from online_centrality_spark.text.analysis import bpe_merges
+
+    docs = [(i, "aa bb cc dd ee") for i in range(5)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [r["pair"] for r in bpe_merges(sdf, top_k=3).collect()]
+    # all pairs tie at n=5 -> lexicographic tiebreak selects aa, bb, cc
+    assert got == ["aa", "bb", "cc"]
