@@ -545,6 +545,56 @@ SELECT a, b, round(s, 6) AS s FROM s{rounds} WHERE a < b AND s > 0"""
     )
 
 
+def _salsa_sql(digraph_cte: str, k: int = 12) -> str:
+    """SALSA oracle: k unrolled degree-normalized rounds from the
+    all-ones hub vector, UNNORMALIZED, one L1 normalization per vector
+    at the end — equal to any per-step schedule because the update is
+    linear with fixed denominators. MATERIALIZED per round (the chain
+    self-references; default inlining is exponential)."""
+    ctes = [
+        digraph_cte.strip(),
+        "dnodes AS (SELECT src AS node_id FROM dedges "
+        "UNION SELECT dst FROM dedges)",
+        "outd AS (SELECT src AS node_id, count(*) AS deg "
+        "FROM dedges GROUP BY src)",
+        "ind AS (SELECT dst AS node_id, count(*) AS deg "
+        "FROM dedges GROUP BY dst)",
+        "h0 AS MATERIALIZED "
+        "(SELECT node_id, CAST(1.0 AS DOUBLE) AS v FROM dnodes)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT e.dst AS node_id, sum(h.v / o.deg) AS v
+  FROM dedges e
+  JOIN h{i - 1} h ON e.src = h.node_id
+  JOIN outd o ON e.src = o.node_id
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT e.src AS node_id, sum(a.v / i2.deg) AS v
+  FROM dedges e
+  JOIN a{i} a ON e.dst = a.node_id
+  JOIN ind i2 ON e.dst = i2.node_id
+  GROUP BY e.src
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+hs AS (SELECT sum(v) AS s FROM h{k}),
+asum AS (SELECT sum(v) AS s FROM a{k})
+SELECT n.node_id,
+       round(coalesce(h.v, 0) / hs.s, 6) AS hub,
+       round(coalesce(a.v, 0) / asum.s, 6) AS authority
+FROM dnodes n
+LEFT JOIN h{k} h ON n.node_id = h.node_id
+LEFT JOIN a{k} a ON n.node_id = a.node_id
+CROSS JOIN hs CROSS JOIN asum"""
+    )
+
+
 EIGENVECTOR_ITERS = 12
 
 
@@ -2565,6 +2615,22 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(_t(spark, sf_dir, "documents"), top_k=20)
 
 
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority (12 stochastic rounds, end-normalized) over
+    the user-interaction digraph — the TKC-robust random-walk variant
+    of HITS; oracle unrolls the degree-normalized rounds MATERIALIZED."""
+    from online_centrality_spark.operators.salsa import salsa
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    out = salsa(dg, max_iter=12)
+    return out.select(
+        "node_id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2641,15 +2707,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigrams": q_event_trigrams,
         "simrank": q_simrank,
         "bpe_merges": q_bpe_merges,
+        "salsa": q_salsa,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
         "hits": q_hits,
-        "local_clustering": q_local_clustering,
         # ---- 50-entry driver window ends here ------------------------
-        # (degree_assortativity / link_prediction / k_core / scc /
-        # reciprocity / scc_condensation / eccentricity / temporal_motifs
-        # displaced by the eight newest never-verified queries; each
-        # keeps its green r03 driver row)
+        # (local_clustering / degree_assortativity / link_prediction /
+        # k_core / scc / reciprocity / scc_condensation / eccentricity /
+        # temporal_motifs displaced by the nine newest never-verified
+        # queries; each keeps its green r03 driver row)
+        "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction": q_link_prediction,
         "k_core": q_k_core,
@@ -3319,6 +3386,7 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
              / (SELECT count(*) FROM dedges), 6) AS reciprocity
 """
     sqls["simrank"] = _simrank_sql(digraph_cte, rounds=3, c=0.8)
+    sqls["salsa"] = _salsa_sql(digraph_cte, k=12)
     sqls["bpe_merges"] = """
 WITH terms AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

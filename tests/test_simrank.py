@@ -67,3 +67,67 @@ def test_simrank_min_score_prunes(spark):
     # every surviving score is a LOWER bound on its unpruned value
     for p, v in pruned.items():
         assert v <= full[p] + 1e-12
+
+
+# -------------------------------------------------------------------- salsa
+
+
+def _salsa_brute(pairs, k):
+    import numpy as np
+
+    eset = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({n for p in eset for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    outd = {}
+    ind = {}
+    for s, d in eset:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    for _ in range(k):
+        a = {}
+        for s, d in eset:
+            a[d] = a.get(d, 0.0) + h.get(s, 0.0) / outd[s]
+        h = {}
+        for s, d in eset:
+            h[s] = h.get(s, 0.0) + a.get(d, 0.0) / ind[d]
+    hs = sum(h.values())
+    asum = sum(a.values())
+    return (
+        {n: h.get(n, 0.0) / hs for n in nodes},
+        {n: a.get(n, 0.0) / asum for n in nodes},
+    )
+
+
+def test_salsa_matches_brute(spark):
+    from online_centrality_spark.operators.salsa import salsa
+
+    rng = random.Random(47)
+    pairs = list({(rng.randrange(18), rng.randrange(18)) for _ in range(70)})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node_id"]: (r["hub"], r["authority"])
+        for r in salsa(edges, max_iter=7).collect()
+    }
+    eh, ea = _salsa_brute(pairs, 7)
+    assert got.keys() == eh.keys()
+    for n in eh:
+        assert got[n][0] == pytest.approx(eh[n], abs=1e-12)
+        assert got[n][1] == pytest.approx(ea[n], abs=1e-12)
+
+
+def test_salsa_mass_splits_across_outlinks(spark):
+    from online_centrality_spark.operators.salsa import salsa
+
+    # star 1 -> {2,3,4}: after round 1 each leaf authority = 1/3 of
+    # node 1's mass; hub mass returns fully to node 1
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    got = {
+        r["node_id"]: (r["hub"], r["authority"])
+        for r in salsa(edges, max_iter=5).collect()
+    }
+    assert got[1][0] == pytest.approx(1.0)
+    for leaf in (2, 3, 4):
+        assert got[leaf][1] == pytest.approx(1.0 / 3.0)
+        assert got[leaf][0] == pytest.approx(0.0)
