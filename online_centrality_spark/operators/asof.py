@@ -86,7 +86,11 @@ def asof_join(
     in_bucket = Window.partitionBy(key, "_b").orderBy("_ts", "_side").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    u = u.withColumn("_run", F.last("_ev", ignorenulls=True).over(in_bucket))
+    # the windowed union feeds both the left-bucket spine and the final
+    # output — persist so the union + window computes once
+    u = u.withColumn(
+        "_run", F.last("_ev", ignorenulls=True).over(in_bucket)
+    ).persist()
 
     # per-(key, bucket) final right-side row -> carry-in for later buckets
     bucket_last = (

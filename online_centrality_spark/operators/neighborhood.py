@@ -35,10 +35,13 @@ def two_hop_reach(
     with a path ``v -> b -> c`` and ``c != v`` (a 1-hop neighbor that is
     also 2-hop-reachable counts in both columns).
     """
+    # four consumers (node set, both join sides, the degree agg):
+    # persist so the upstream induction computes once
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node_id"))

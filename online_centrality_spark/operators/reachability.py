@@ -39,7 +39,9 @@ def temporal_reachability(
     Unreached nodes are omitted.
     """
     spark = tedges.sparkSession
-    e = tedges.select("src", "dst", F.col("t").cast("long").alias("t"))
+    # every relaxation round probes the edge stream: persist it, or the
+    # upstream induction (windows + bucket stitch) re-executes per round
+    e = tedges.select("src", "dst", F.col("t").cast("long").alias("t")).persist()
     if t_start is None:
         t_start = e.agg(F.min("t")).collect()[0][0]
         if t_start is None:
