@@ -545,6 +545,48 @@ SELECT a, b, round(s, 6) AS s FROM s{rounds} WHERE a < b AND s > 0"""
     )
 
 
+def _wsssp_sql(digraph_cte: str, rounds: int = 40) -> str:
+    """Weighted-SSSP oracle: unrolled min-plus relaxation (MATERIALIZED
+    per round — self-referencing chain). Weighted pairs rebuild from
+    the digraph CTE's ``_seq`` stage with interaction counts; rounds
+    past convergence are no-ops (monotone, nonnegative weights)."""
+    src = "(SELECT least(min(src), min(dst)) FROM wedges)"
+    ctes = [
+        digraph_cte.strip(),
+        """wpairs AS MATERIALIZED (
+  SELECT prev_user AS src, user_id AS dst, count(*) AS cnt
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+  GROUP BY 1, 2
+)""",
+        "wedges AS MATERIALIZED "
+        "(SELECT src, dst, round(1.0 / cnt, 6) AS w FROM wpairs)",
+        f"d0 AS MATERIALIZED (SELECT {src} AS node_id, "
+        "CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+rel{r} AS MATERIALIZED (
+  SELECT e.dst AS node_id, min(d.dist + e.w) AS cand
+  FROM wedges e JOIN d{r} d ON e.src = d.node_id
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""
+d{r + 1} AS MATERIALIZED (
+  SELECT node_id, min(dist) AS dist FROM (
+    SELECT node_id, dist FROM d{r}
+    UNION ALL
+    SELECT node_id, cand FROM rel{r}
+  ) u GROUP BY node_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node_id, round(dist, 6) AS dist FROM d{rounds}"
+    )
+
+
 def _salsa_sql(digraph_cte: str, k: int = 12) -> str:
     """SALSA oracle: k unrolled degree-normalized rounds from the
     all-ones hub vector, UNNORMALIZED, one L1 normalization per vector
@@ -2631,6 +2673,27 @@ def q_salsa(spark, sf_dir):
     )
 
 
+def q_weighted_sssp(spark, sf_dir):
+    """Weighted shortest distances from the least node id over the
+    interaction digraph, edge weight = round(1/interaction_count, 6)
+    (strong ties are short): distributed Bellman-Ford with delta
+    frontiers; oracle unrolls the monotone relaxation MATERIALIZED."""
+    from online_centrality_spark.operators.sssp import weighted_sssp
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    wedges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+        .select("src", "dst", F.round(1.0 / F.col("cnt"), 6).alias("w"))
+    )
+    source = wedges.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    out = weighted_sssp(wedges, source)
+    return out.select("node_id", F.round("dist", 6).alias("dist"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2708,14 +2771,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": q_simrank,
         "bpe_merges": q_bpe_merges,
         "salsa": q_salsa,
+        "weighted_sssp": q_weighted_sssp,
         # -- (3) green in the r03 driver record only -------------------
         "did_distributed": q_did_distributed,
-        "hits": q_hits,
         # ---- 50-entry driver window ends here ------------------------
-        # (local_clustering / degree_assortativity / link_prediction /
-        # k_core / scc / reciprocity / scc_condensation / eccentricity /
-        # temporal_motifs displaced by the nine newest never-verified
-        # queries; each keeps its green r03 driver row)
+        # (hits / local_clustering / degree_assortativity /
+        # link_prediction / k_core / scc / reciprocity /
+        # scc_condensation / eccentricity / temporal_motifs displaced by
+        # the ten newest never-verified queries; each keeps its green
+        # r03 driver row)
+        "hits": q_hits,
         "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
         "link_prediction": q_link_prediction,
@@ -3387,6 +3452,7 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
 """
     sqls["simrank"] = _simrank_sql(digraph_cte, rounds=3, c=0.8)
     sqls["salsa"] = _salsa_sql(digraph_cte, k=12)
+    sqls["weighted_sssp"] = _wsssp_sql(digraph_cte, rounds=40)
     sqls["bpe_merges"] = """
 WITH terms AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

@@ -179,3 +179,51 @@ def test_zipf_slope_near_minus_one_for_zipf_corpus(spark):
     out = zipf_profile(sdf, top_n=5).toPandas()
     slope = out["zipf_slope"][0]
     assert -1.35 < slope < -0.65
+
+
+# ------------------------------------------------------------- weighted sssp
+
+
+def test_weighted_sssp_matches_dijkstra(spark):
+    import heapq
+
+    from online_centrality_spark.operators.sssp import weighted_sssp
+
+    rng = random.Random(53)
+    pairs = list({(rng.randrange(20), rng.randrange(20)) for _ in range(70)})
+    pairs = [(s, d) for s, d in pairs if s != d]
+    wedges = [(s, d, round(0.1 + rng.random(), 6)) for s, d in pairs]
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    source = min(min(s, d) for s, d, _ in wedges)
+    got = {
+        r["node_id"]: r["dist"]
+        for r in weighted_sssp(df, source).collect()
+    }
+    # independent Dijkstra
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got.keys() == dist.keys()
+    for n in dist:
+        assert got[n] == pytest.approx(dist[n], abs=1e-9)
+
+
+def test_weighted_sssp_unreachable_omitted(spark):
+    from online_centrality_spark.operators.sssp import weighted_sssp
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (3, 4, 1.0)], "src long, dst long, w double"
+    )
+    got = {r["node_id"]: r["dist"] for r in weighted_sssp(df, 1).collect()}
+    assert got == {1: 0.0, 2: 1.0}
