@@ -275,6 +275,13 @@ def main():
             n=1,
         )
     run("mis", lambda: entry_mod.q_mis(spark, sf_dir).count())
+    # 24 lineage-cut rounds -> ~20s of fixed per-round job overhead at
+    # sf0.1; one trial keeps the suite lean (spread is phase-dominated)
+    run("salsa", lambda: entry_mod.q_salsa(spark, sf_dir).count(), n=1)
+    run(
+        "bpe_merges",
+        lambda: entry_mod.q_bpe_merges(spark, sf_dir).count(),
+    )
     run("funnel", lambda: entry_mod.q_funnel(spark, sf_dir).count())
     run(
         "event_trigrams",
