@@ -2694,6 +2694,52 @@ def q_weighted_sssp(spark, sf_dir):
     return out.select("node_id", F.round("dist", 6).alias("dist"))
 
 
+def q_trending_nodes(spark, sf_dir):
+    """Top-20 interaction-indegree movers between the first and second
+    half of the event stream (trending detection, the snapshot-delta
+    pattern): two filtered map-side aggs over the timestamped pair
+    stream, one full-outer join on the node key, TakeOrderedAndProject
+    with deterministic tiebreak. Exact integer counts."""
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(
+        _t(spark, sf_dir, "events"), gap_seconds=60.0
+    ).persist()
+    # integer div: float-divide-then-cast truncates in Spark but rounds
+    # in DuckDB — div is exact in both (motifs bucket lesson)
+    mid = pairs.agg(
+        F.expr("(min(t) + max(t)) div 2").alias("m")
+    ).collect()[0]["m"]
+    first = (
+        pairs.filter(F.col("t") <= mid)
+        .groupBy(F.col("dst").alias("node_id"))
+        .agg(F.count("*").alias("n_first"))
+    )
+    second = (
+        pairs.filter(F.col("t") > mid)
+        .groupBy(F.col("dst").alias("node_id"))
+        .agg(F.count("*").alias("n_second"))
+    )
+    return (
+        first.join(second, "node_id", "full")
+        .fillna(0, ["n_first", "n_second"])
+        .select(
+            "node_id",
+            F.col("n_first").cast("long").alias("n_first"),
+            F.col("n_second").cast("long").alias("n_second"),
+            (F.col("n_second") - F.col("n_first"))
+            .cast("long")
+            .alias("delta"),
+        )
+        .orderBy(
+            F.abs(F.col("delta")).desc(),
+            F.col("delta").desc(),
+            F.col("node_id").asc(),
+        )
+        .limit(20)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2772,14 +2818,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "salsa": q_salsa,
         "weighted_sssp": q_weighted_sssp,
-        # -- (3) green in the r03 driver record only -------------------
-        "did_distributed": q_did_distributed,
+        "trending_nodes": q_trending_nodes,
         # ---- 50-entry driver window ends here ------------------------
-        # (hits / local_clustering / degree_assortativity /
-        # link_prediction / k_core / scc / reciprocity /
-        # scc_condensation / eccentricity / temporal_motifs displaced by
-        # the ten newest never-verified queries; each keeps its green
-        # r03 driver row)
+        # (did_distributed / hits / local_clustering /
+        # degree_assortativity / link_prediction / k_core / scc /
+        # reciprocity / scc_condensation / eccentricity /
+        # temporal_motifs displaced by the eleven newest never-verified
+        # queries; each keeps its green r03 driver row)
+        "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
         "degree_assortativity": q_degree_assortativity,
@@ -3453,6 +3499,28 @@ SELECT (SELECT count(*) FROM dedges) AS n_edges,
     sqls["simrank"] = _simrank_sql(digraph_cte, rounds=3, c=0.8)
     sqls["salsa"] = _salsa_sql(digraph_cte, k=12)
     sqls["weighted_sssp"] = _wsssp_sql(digraph_cte, rounds=40)
+    sqls["trending_nodes"] = f"""
+WITH {digraph_cte},
+ppairs AS MATERIALIZED (
+  SELECT prev_user AS src, user_id AS dst, t
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+m AS (SELECT (min(t) + max(t)) // 2 AS m FROM ppairs),
+f AS (SELECT dst AS node_id, count(*) AS n_first
+      FROM ppairs CROSS JOIN m WHERE t <= m.m GROUP BY dst),
+s AS (SELECT dst AS node_id, count(*) AS n_second
+      FROM ppairs CROSS JOIN m WHERE t > m.m GROUP BY dst)
+SELECT coalesce(f.node_id, s.node_id) AS node_id,
+       CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(s.n_second, 0) AS BIGINT) AS n_second,
+       CAST(coalesce(s.n_second, 0) - coalesce(f.n_first, 0) AS BIGINT)
+         AS delta
+FROM f FULL OUTER JOIN s ON f.node_id = s.node_id
+ORDER BY abs(delta) DESC, delta DESC, node_id ASC
+LIMIT 20
+"""
     sqls["bpe_merges"] = """
 WITH terms AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token

@@ -243,3 +243,46 @@ def test_bpe_merges_top_k_deterministic(spark):
     got = [r["pair"] for r in bpe_merges(sdf, top_k=3).collect()]
     # all pairs tie at n=5 -> lexicographic tiebreak selects aa, bb, cc
     assert got == ["aa", "bb", "cc"]
+
+
+# ------------------------------------------------------------- trending nodes
+
+
+def test_trending_nodes_brute(spark, tmp_path, monkeypatch):
+    # build a tiny events parquet and compare against a dict replay of
+    # the induction + half-split movers
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    rows = []
+    t0 = 1_500_000_000
+    # one event_type stream: user sequence with a burst by user 9 late
+    seq = [1, 2, 1, 3, 2, 9, 9, 9, 9, 2]
+    for i, u in enumerate(seq):
+        rows.append((i, pd.Timestamp(t0 + i * 10, unit="s"), u, "click", 1.0, ""))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "sf"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet")
+    out = entry_mod.q_trending_nodes(spark, str(d)).collect()
+    # induction: consecutive same-type events within 60s -> prev -> cur
+    pairs = [
+        (a, b, t0 * 10**6 + (i + 1) * 10 * 10**6)
+        for i, (a, b) in enumerate(zip(seq, seq[1:]))
+        if a != b
+    ]
+    mid = (pairs[0][2] + pairs[-1][2]) // 2
+    from collections import Counter
+
+    nf, ns = Counter(), Counter()
+    for _, dst, t in pairs:
+        (nf if t <= mid else ns)[dst] += 1
+    exp = {}
+    for n in set(nf) | set(ns):
+        exp[n] = (nf.get(n, 0), ns.get(n, 0), ns.get(n, 0) - nf.get(n, 0))
+    got = {r["node_id"]: (r["n_first"], r["n_second"], r["delta"]) for r in out}
+    assert got == exp
