@@ -21,10 +21,14 @@ sink/source leakage removes mass), so the unnormalized loop is
 float-safe at fixed depth.
 
 Scale shape: degrees are two map-side-combinable groupBys computed
-once; every half-step is one equi-join of the score vector against the
-(distinct) edge list plus a map-side groupBy-sum; lineage is cut per
-round; the end normalizers attach as 1-row broadcast cross joins. No
-driver-side state, no windows, no collects.
+once and ATTACHED to the persisted edge list up front (so no
+per-iteration degree join); every half-step is one equi-join of the
+score vector against the weighted edge list plus a map-side
+groupBy-sum; the two half-steps of a round run as ONE job (only ``h``
+is checkpointed per round — lineage depth stays O(1), job count and
+checkpoint I/O are halved vs checkpointing each half-step); the end
+normalizers attach as 1-row broadcast cross joins. No driver-side
+state, no windows, no collects.
 """
 
 from __future__ import annotations
@@ -55,33 +59,39 @@ def salsa(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     ind = p.groupBy(F.col("dst").alias("node_id")).agg(
         F.count("*").alias("deg")
     )
+    # pre-weighted edge list: both degree denominators ride along, so
+    # the iteration never re-joins the degree tables (division stays
+    # v / deg — identical float arithmetic to the unrolled oracle)
+    pw = (
+        p.join(outd.select(F.col("node_id").alias("src"),
+                           F.col("deg").alias("od")), "src")
+        .join(ind.select(F.col("node_id").alias("dst"),
+                         F.col("deg").alias("id_")), "dst")
+        .select("src", "dst", "od", "id_")
+        .localCheckpoint(eager=True)
+    )
     h = nodes.select("node_id", F.lit(1.0).alias("v")).localCheckpoint(
         eager=True
     )
     a = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         a = (
-            p.join(
-                h.join(outd, "node_id").select(
-                    F.col("node_id").alias("src"),
-                    (F.col("v") / F.col("deg")).alias("share"),
-                ),
-                "src",
+            pw.join(
+                h.select(F.col("node_id").alias("src"), "v"), "src"
             )
             .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum("share").alias("v"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum(F.col("v") / F.col("od")).alias("v"))
         )
+        if i == max_iter - 1:
+            # the final authority vector feeds the output join twice;
+            # pin it so it is not recomputed per consumer
+            a = a.localCheckpoint(eager=True)
         h = (
-            p.join(
-                a.join(ind, "node_id").select(
-                    F.col("node_id").alias("dst"),
-                    (F.col("v") / F.col("deg")).alias("share"),
-                ),
-                "dst",
+            pw.join(
+                a.select(F.col("node_id").alias("dst"), "v"), "dst"
             )
             .groupBy(F.col("src").alias("node_id"))
-            .agg(F.sum("share").alias("v"))
+            .agg(F.sum(F.col("v") / F.col("id_")).alias("v"))
             .localCheckpoint(eager=True)
         )
     h_tot = h.agg(F.sum("v").alias("hs"))
