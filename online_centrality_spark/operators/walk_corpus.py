@@ -50,7 +50,14 @@ def random_walks(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     adj = per_key_rank(e, ["src"], ["dst"], rank_col="idx").persist()
-    outdeg = adj.groupBy("src").agg(F.count("*").alias("od"))
+    # pinned once: every step joins the frontier against this small
+    # (node, outdeg) dimension — without the checkpoint each of the
+    # walk_length step jobs would re-aggregate the adjacency
+    outdeg = (
+        adj.groupBy("src")
+        .agg(F.count("*").alias("od"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .unionAll(e.select(F.col("dst").alias("node_id")))
