@@ -275,8 +275,9 @@ def main():
             n=1,
         )
     run("mis", lambda: entry_mod.q_mis(spark, sf_dir).count())
-    # 24 lineage-cut rounds -> ~20s of fixed per-round job overhead at
-    # sf0.1; one trial keeps the suite lean (spread is phase-dominated)
+    # 12 lineage-cut rounds (one checkpoint per round, pre-weighted edge
+    # list — 2.7x the per-half-step variant in same-window A/B); one
+    # trial keeps the suite lean (spread is phase-dominated)
     run("salsa", lambda: entry_mod.q_salsa(spark, sf_dir).count(), n=1)
     run(
         "bpe_merges",
