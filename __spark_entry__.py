@@ -2740,6 +2740,57 @@ def q_trending_nodes(spark, sf_dir):
     )
 
 
+def q_khop_features(spark, sf_dir):
+    """GCN-style 2-layer mean feature propagation over the cosine graph
+    (graph-ML preprocessing): per hop one symmetric-edge join + one
+    two-stage groupBy-avg; the kmeans label column is the propagated
+    feature. NULL f1/f2 for isolated nodes (avg-over-empty, identical
+    SQL semantics both engines)."""
+    from online_centrality_spark.operators.feature_prop import (
+        khop_feature_propagation,
+    )
+
+    edges = _cos_edges(spark, sf_dir)
+    feats = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node_id"), F.col("label").alias("f")
+    )
+    out = khop_feature_propagation(edges, feats, hops=2)
+    return out.select(
+        "node_id",
+        F.round("f0", 6).alias("f0"),
+        F.round("f1", 6).alias("f1"),
+        F.round("f2", 6).alias("f2"),
+    )
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (mislabel/anomaly candidates): label
+    centroid via (label, dim) two-stage agg over the posexploded matrix,
+    squared-L2 distance, top-5 per label with the ROUNDED distance as
+    the sort key and id tiebreak (identical boundary decision in both
+    engines)."""
+    from online_centrality_spark.similarity.outliers import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"), top_k=5)
+
+
+def q_grouped_split(spark, sf_dir):
+    """Leakage-safe train/test split: hash of the SOURCE (not the row),
+    so shared-provenance documents never straddle the boundary — a pure
+    scan-stage expression (portable md5 rule, zero shuffle before the
+    report agg). Emits the per-split audit: doc/source/char counts."""
+    from online_centrality_spark.text import grouped_split
+
+    tagged = grouped_split(
+        _t(spark, sf_dir, "documents"), group_col="source", test_fraction=0.3
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2825,6 +2876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocity / scc_condensation / eccentricity /
         # temporal_motifs displaced by the eleven newest never-verified
         # queries; each keeps its green r03 driver row)
+        # round-4 tail additions (gate-replica-verified; the window is
+        # fully allocated to queries still lacking driver rows)
+        "khop_features": q_khop_features,
+        "embedding_outliers": q_embedding_outliers,
+        "grouped_split": q_grouped_split,
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
@@ -4157,5 +4213,53 @@ SELECT strftime(d, '%Y-%m-%d') AS day, new_nodes, new_edges,
        CAST(sum(new_nodes) OVER (ORDER BY d) AS BIGINT) AS cum_nodes,
        CAST(sum(new_edges) OVER (ORDER BY d) AS BIGINT) AS cum_edges
 FROM daily
+"""
+    sqls["khop_features"] = f"""
+WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},
+f0 AS (SELECT vec_id AS node_id, CAST(label AS DOUBLE) AS f0 FROM embeddings),
+f1 AS (
+  SELECT s.a AS node_id, avg(f.f0) AS f1
+  FROM sym s JOIN f0 f ON s.b = f.node_id GROUP BY s.a
+),
+f2 AS (
+  SELECT s.a AS node_id, avg(f.f1) AS f2
+  FROM sym s JOIN f1 f ON s.b = f.node_id GROUP BY s.a
+)
+SELECT f0.node_id, round(f0.f0, 6) AS f0, round(f1.f1, 6) AS f1,
+       round(f2.f2, 6) AS f2
+FROM f0 LEFT JOIN f1 ON f0.node_id = f1.node_id
+        LEFT JOIN f2 ON f0.node_id = f2.node_id
+"""
+    sqls["embedding_outliers"] = """
+WITH dims AS (
+  SELECT vec_id, label, i.i AS dim, CAST(embedding[i.i] AS DOUBLE) AS val
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+),
+cent AS (SELECT label, dim, avg(val) AS c FROM dims GROUP BY label, dim),
+d2 AS (
+  SELECT d.vec_id, d.label, round(sum((d.val - c.c) ^ 2), 6) AS d2
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.vec_id, d.label
+),
+rk AS (
+  SELECT label, vec_id, d2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2 DESC, vec_id) AS rk
+  FROM d2
+)
+SELECT label, vec_id, d2, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 5
+"""
+    sqls["grouped_split"] = """
+WITH tagged AS (
+  SELECT *,
+    CASE WHEN (CAST(('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 15))
+               AS BIGINT)) % 1000000 < 300000
+         THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM tagged GROUP BY split
 """
     return sqls

@@ -9,6 +9,7 @@ from .bfs import bfs_distances, eccentricity
 from .kcore import core_number, k_core, k_truss
 from .link_prediction import link_prediction_scores
 from .community import modularity
+from .feature_prop import khop_feature_propagation
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -51,6 +52,7 @@ __all__ = [
     "strongly_connected_components",
     "temporal_motifs",
     "modularity",
+    "khop_feature_propagation",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

@@ -7,7 +7,12 @@ from .analysis import (
     quality_score,
     token_count,
 )
-from .packing import domain_mixture_weights, hash_sample, pack_sequences
+from .packing import (
+    domain_mixture_weights,
+    grouped_split,
+    hash_sample,
+    pack_sequences,
+)
 
 __all__ = [
     "token_count",
@@ -20,4 +25,5 @@ __all__ = [
     "gopher_rules",
     "repetition_rules",
     "domain_mixture_weights",
+    "grouped_split",
 ]

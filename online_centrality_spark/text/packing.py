@@ -203,3 +203,26 @@ def domain_mixture_weights(
             F.least(F.col("target_share") / F.col("share"), F.lit(float(cap))),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str = "source",
+    test_fraction: float = 0.1,
+    splits: tuple[str, str] = ("train", "test"),
+) -> DataFrame:
+    """Leakage-safe train/test split: the hash is taken over the GROUP
+    key (source, domain, conversation id), so every row of a group
+    lands in the same split — near-duplicates and shared-provenance
+    documents cannot straddle the boundary, which is the contamination
+    mode a row-level split invites.
+
+    Pure scan-stage expression (the same portable md5 keep rule as
+    :func:`hash_sample` — deterministic across engines and reruns), no
+    shuffle: splitting a 100 TB corpus is a projection.
+    """
+    h = portable_hash(F.col(group_col).cast("string")) % SAMPLE_MOD
+    tag = F.when(
+        h < F.lit(int(test_fraction * SAMPLE_MOD)), F.lit(splits[1])
+    ).otherwise(F.lit(splits[0]))
+    return docs.withColumn("split", tag)
