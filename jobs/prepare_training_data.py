@@ -10,7 +10,10 @@ like jobs/replay_job.py):
                              connected components -> canonical doc)
       -> quality/language   (JVM column expressions)
       -> stratified sample  (deterministic md5-bucket keep rates)
-      -> sequence packing   (token-budget bins, distributed prefix sum)
+      -> holdout split      (optional: leakage-safe, hashes SOURCE so
+                             no provenance group straddles train/test)
+      -> sequence packing   (token-budget bins, distributed prefix sum;
+                             train split only when a holdout is cut)
       -> partitioned parquet sink (bin_group=<bin // bins_per_file>)
 
 Every stage is a column expression, hash aggregation, bucketed
@@ -37,6 +40,7 @@ def build_pipeline(
     sample_rates: dict | None = None,
     default_rate: float = 1.0,
     budget: int = 512,
+    test_fraction: float = 0.0,
 ):
     """Return (kept_docs, packed) DataFrames for the prep pipeline."""
     from pyspark.sql import functions as F
@@ -100,8 +104,23 @@ def build_pipeline(
         fractions=sample_rates or {},
     )
 
-    # 5. token-budget sequence packing
-    packed = pack_sequences(sampled, budget=budget)
+    # 4.5 (optional) leakage-safe holdout: hash the SOURCE so no
+    # provenance group straddles train/test — near-dups share a source
+    # far more often than they share a doc_id, so a row-level split
+    # would leak. Pure scan-stage expression, zero extra shuffle.
+    if test_fraction > 0.0:
+        from online_centrality_spark.text import grouped_split
+
+        sampled = grouped_split(
+            sampled, group_col="source", test_fraction=test_fraction
+        )
+        to_pack = sampled.filter(F.col("split") == "train")
+    else:
+        to_pack = sampled
+
+    # 5. token-budget sequence packing (train split only when a holdout
+    # is requested — the holdout ships unpacked, like an eval set)
+    packed = pack_sequences(to_pack, budget=budget)
     return sampled, packed
 
 
@@ -112,6 +131,13 @@ def main():
     ap.add_argument("--pair-method", choices=["ngram", "minhash"], default="ngram")
     ap.add_argument("--budget", type=int, default=512)
     ap.add_argument("--bins-per-file", type=int, default=1024)
+    ap.add_argument(
+        "--test-fraction",
+        type=float,
+        default=0.0,
+        help="leakage-safe holdout rate (hashes source, not doc_id); "
+        "0 disables the split stage",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -120,7 +146,8 @@ def main():
     t0 = time.time()
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     sampled, packed = build_pipeline(spark, docs, pair_method=args.pair_method,
-                                     budget=args.budget)
+                                     budget=args.budget,
+                                     test_fraction=args.test_fraction)
     out = (
         sampled.select("doc_id", "text", "lang_pred", "quality")
         .join(packed, "doc_id")
@@ -129,6 +156,14 @@ def main():
         )
     )
     out.write.mode("overwrite").partitionBy("bin_group").parquet(args.out)
+    if args.test_fraction > 0.0:
+        # unpacked leakage-safe holdout beside the packed train corpus
+        (
+            sampled.filter(F.col("split") == "test")
+            .select("doc_id", "text", "lang_pred", "quality")
+            .write.mode("overwrite")
+            .parquet(args.out.rstrip("/") + "_holdout")
+        )
     written = spark.read.parquet(args.out)
     n_out = written.count()
     print(

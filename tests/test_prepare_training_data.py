@@ -79,3 +79,25 @@ def test_sampling_is_stratified(pipeline_out):
         h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 1_000_000
         cut = 900_000 if r.lang_pred == "en" else 700_000
         assert h < cut, (r.doc_id, r.lang_pred)
+
+
+def test_holdout_split_is_leakage_safe(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled, packed = build_pipeline(
+        spark,
+        docs,
+        jaccard_threshold=0.5,
+        default_rate=1.0,
+        budget=BUDGET,
+        test_fraction=0.4,
+    )
+    spdf = sampled.select("doc_id", "source", "split").toPandas()
+    # no source straddles the boundary
+    assert (spdf.groupby("source")["split"].nunique() <= 1).all()
+    assert set(spdf["split"].unique()) <= {"train", "test"}
+    # only train docs were packed
+    packed_ids = set(packed.toPandas()["doc_id"])
+    test_ids = set(spdf.loc[spdf["split"] == "test", "doc_id"])
+    assert packed_ids.isdisjoint(test_ids)
+    train_ids = set(spdf.loc[spdf["split"] == "train", "doc_id"])
+    assert packed_ids == train_ids
