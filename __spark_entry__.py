@@ -2791,6 +2791,17 @@ def q_grouped_split(spark, sf_dir):
     )
 
 
+def q_wl_refinement(spark, sf_dir):
+    """Two rounds of 1-WL color refinement over the cosine graph (graph
+    fingerprint / structural-role features): per round one equi-join +
+    one two-stage aggregation; the neighbor multiset folds through a
+    COMMUTATIVE md5 digest sum (map-side combinable, hub-safe — no
+    per-node sorted list anywhere)."""
+    from online_centrality_spark.operators.wl import wl_refinement
+
+    return wl_refinement(_cos_edges(spark, sf_dir), rounds=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2881,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_features": q_khop_features,
         "embedding_outliers": q_embedding_outliers,
         "grouped_split": q_grouped_split,
+        "wl_refinement": q_wl_refinement,
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
@@ -4248,6 +4260,27 @@ rk AS (
   FROM d2
 )
 SELECT label, vec_id, d2, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 5
+"""
+    _h = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    sqls["wl_refinement"] = f"""
+WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},
+c0 AS (SELECT a AS node_id, CAST(count(*) AS BIGINT) AS c
+       FROM sym GROUP BY a),
+d1 AS (SELECT s.a AS node_id,
+              CAST(sum({_h.format(x="p.c")} % 1000000000) AS BIGINT) AS dg
+       FROM sym s JOIN c0 p ON s.b = p.node_id GROUP BY s.a),
+c1 AS (SELECT d.node_id,
+              {_h.format(x="concat_ws(':', CAST(p.c AS VARCHAR), CAST(d.dg AS VARCHAR))")}
+              % 1000000000 AS c
+       FROM d1 d JOIN c0 p ON d.node_id = p.node_id),
+d2 AS (SELECT s.a AS node_id,
+              CAST(sum({_h.format(x="p.c")} % 1000000000) AS BIGINT) AS dg
+       FROM sym s JOIN c1 p ON s.b = p.node_id GROUP BY s.a),
+c2 AS (SELECT d.node_id,
+              {_h.format(x="concat_ws(':', CAST(p.c AS VARCHAR), CAST(d.dg AS VARCHAR))")}
+              % 1000000000 AS c
+       FROM d2 d JOIN c1 p ON d.node_id = p.node_id)
+SELECT node_id, c AS wl_color FROM c2
 """
     sqls["grouped_split"] = """
 WITH tagged AS (

@@ -10,6 +10,7 @@ from .kcore import core_number, k_core, k_truss
 from .link_prediction import link_prediction_scores
 from .community import modularity
 from .feature_prop import khop_feature_propagation
+from .wl import wl_histogram, wl_refinement
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -53,6 +54,8 @@ __all__ = [
     "temporal_motifs",
     "modularity",
     "khop_feature_propagation",
+    "wl_refinement",
+    "wl_histogram",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

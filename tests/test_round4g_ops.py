@@ -3,7 +3,6 @@ embedding outliers, leakage-safe grouped split — each against an
 independent in-Python oracle, plus the structural invariants the
 operators exist to guarantee."""
 
-import math
 import random
 
 import pytest
@@ -144,3 +143,62 @@ def test_grouped_split_deterministic_and_scan_only(spark):
     # project (splitting a 100 TB corpus must not shuffle)
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------- WL refinement
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _wl_brute(pairs, rounds, mod=1_000_000_000):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    color = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(rounds):
+        digest = {
+            v: sum(_h60(str(color[u])) % mod for u in ns)
+            for v, ns in adj.items()
+        }
+        color = {v: _h60(f"{color[v]}:{digest[v]}") % mod for v in adj}
+    return color
+
+
+def test_wl_matches_brute(spark):
+    from online_centrality_spark.operators.wl import wl_refinement
+
+    rng = random.Random(3)
+    pairs = sorted({tuple(sorted(rng.sample(range(25), 2))) for _ in range(50)})
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node_id"]: r["wl_color"] for r in wl_refinement(edges, 2).collect()}
+    assert got == _wl_brute(pairs, 2)
+
+
+def test_wl_vertex_transitive_graph_is_monochrome(spark):
+    # a cycle is vertex-transitive: WL can never distinguish its nodes
+    from online_centrality_spark.operators.wl import wl_histogram, wl_refinement
+
+    n = 12
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    hist = wl_histogram(wl_refinement(edges, rounds=3)).collect()
+    assert len(hist) == 1 and hist[0]["n"] == n
+
+
+def test_wl_separates_structural_roles(spark):
+    # star + triangle: center, leaves, and triangle nodes are three
+    # distinct structural roles; round-2 WL must separate all three
+    from online_centrality_spark.operators.wl import wl_refinement
+
+    pairs = [(0, i) for i in range(1, 5)] + [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node_id"]: r["wl_color"] for r in wl_refinement(edges, 2).collect()}
+    leaves = {got[i] for i in range(1, 5)}
+    tri = {got[i] for i in (10, 11, 12)}
+    assert len(leaves) == 1 and len(tri) == 1
+    assert len({got[0], leaves.pop(), tri.pop()}) == 3
