@@ -44,9 +44,11 @@ def khop_feature_propagation(
     """
     if hops < 1:
         raise ValueError("hops must be >= 1")
+    # persisted: one consumer per hop — without this an expensive edge
+    # source (the blocked cosine pair kernel) re-executes per layer
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     out = features.select(
         F.col(id_col).alias("node_id"),
         F.col(feature_col).cast("double").alias("f0"),

@@ -48,9 +48,13 @@ def wl_refinement(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    # the symmetric edge list feeds the degree seed plus one join per
+    # round — persist it or an expensive upstream (e.g. the blocked
+    # cosine pair kernel) re-executes once per lineage branch (the
+    # round-4 loop-input-persist audit lesson)
     sym = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     cur = sym.groupBy(F.col("src").alias("node_id")).agg(
         F.count("*").cast("long").alias("wl_color")
     )
