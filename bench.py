@@ -301,6 +301,24 @@ def main():
         "zipf_profile",
         lambda: entry_mod.q_zipf_profile(spark, sf_dir).count(),
     )
+    # round-4 tail: GNN-style feature propagation, WL fingerprint,
+    # per-label embedding outliers, leakage-safe grouped split
+    run(
+        "khop_features",
+        lambda: entry_mod.q_khop_features(spark, sf_dir).count(),
+    )
+    run(
+        "wl_refinement",
+        lambda: entry_mod.q_wl_refinement(spark, sf_dir).count(),
+    )
+    run(
+        "embedding_outliers",
+        lambda: entry_mod.q_embedding_outliers(spark, sf_dir).count(),
+    )
+    run(
+        "grouped_split",
+        lambda: entry_mod.q_grouped_split(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)
