@@ -2802,6 +2802,19 @@ def q_wl_refinement(spark, sf_dir):
     return wl_refinement(_cos_edges(spark, sf_dir), rounds=2)
 
 
+def q_temporal_split(spark, sf_dir):
+    """Chronological train/test edge split at the 80% time mark
+    (temporal-graph ML evaluation protocol): integer-arithmetic cutoff
+    attached as a 1-row broadcast, per-split edge/node counts as
+    map-side aggs, inductive (never-seen-in-train) node count via one
+    anti-join."""
+    from online_centrality_spark.operators.splits import temporal_edge_split
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return temporal_edge_split(pairs, num=4, den=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2893,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "grouped_split": q_grouped_split,
         "wl_refinement": q_wl_refinement,
+        "temporal_split": q_temporal_split,
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
@@ -4260,6 +4274,40 @@ rk AS (
   FROM d2
 )
 SELECT label, vec_id, d2, CAST(rk AS INT) AS rk FROM rk WHERE rk <= 5
+"""
+    sqls["temporal_split"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS MATERIALIZED (
+  SELECT prev_user AS src, user_id AS dst, t
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+c AS (SELECT min(t) + ((max(t) - min(t)) * 4) // 5 AS cut FROM ppairs),
+tagged AS MATERIALIZED (
+  SELECT src, dst,
+         CASE WHEN t <= c.cut THEN 'train' ELSE 'test' END AS split
+  FROM ppairs CROSS JOIN c
+),
+ec AS (SELECT split, count(*) AS n_edges FROM tagged GROUP BY split),
+nodes AS (SELECT split, src AS node_id FROM tagged
+          UNION ALL SELECT split, dst FROM tagged),
+nc AS (SELECT split, count(DISTINCT node_id) AS n_nodes
+       FROM nodes GROUP BY split),
+tn AS (SELECT DISTINCT node_id FROM nodes WHERE split = 'train'),
+sn AS (SELECT DISTINCT node_id FROM nodes WHERE split = 'test'),
+nw AS (SELECT 'test' AS split, count(*) AS n_new
+       FROM sn WHERE node_id NOT IN (SELECT node_id FROM tn))
+SELECT ec.split, CAST(ec.n_edges AS BIGINT) AS n_edges,
+       CAST(nc.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new_nodes
+FROM ec JOIN nc ON ec.split = nc.split
+        LEFT JOIN nw ON ec.split = nw.split
 """
     _h = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
     sqls["wl_refinement"] = f"""

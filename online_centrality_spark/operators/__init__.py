@@ -11,6 +11,7 @@ from .link_prediction import link_prediction_scores
 from .community import modularity
 from .feature_prop import khop_feature_propagation
 from .wl import wl_histogram, wl_refinement
+from .splits import temporal_edge_split
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -56,6 +57,7 @@ __all__ = [
     "khop_feature_propagation",
     "wl_refinement",
     "wl_histogram",
+    "temporal_edge_split",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

@@ -202,3 +202,42 @@ def test_wl_separates_structural_roles(spark):
     tri = {got[i] for i in (10, 11, 12)}
     assert len(leaves) == 1 and len(tri) == 1
     assert len({got[0], leaves.pop(), tri.pop()}) == 3
+
+
+# ------------------------------------------------------ temporal edge split
+
+
+def test_temporal_split_matches_brute(spark):
+    from online_centrality_spark.operators.splits import temporal_edge_split
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randint(0, 9), rng.randint(0, 9), rng.randint(1000, 2000))
+        for _ in range(80)
+    ]
+    pairs = spark.createDataFrame(rows, "src long, dst long, t long")
+    got = {r["split"]: r for r in temporal_edge_split(pairs, num=4, den=5).collect()}
+    lo = min(t for _, _, t in rows)
+    hi = max(t for _, _, t in rows)
+    cut = lo + ((hi - lo) * 4) // 5
+    train = [(s, d) for s, d, t in rows if t <= cut]
+    test = [(s, d) for s, d, t in rows if t > cut]
+    tn = {n for e in train for n in e}
+    sn = {n for e in test for n in e}
+    assert got["train"]["n_edges"] == len(train)
+    assert got["test"]["n_edges"] == len(test)
+    assert got["train"]["n_nodes"] == len(tn)
+    assert got["test"]["n_nodes"] == len(sn)
+    assert got["train"]["n_new_nodes"] == 0
+    assert got["test"]["n_new_nodes"] == len(sn - tn)
+
+
+def test_temporal_split_all_train_when_one_timestamp(spark):
+    from online_centrality_spark.operators.splits import temporal_edge_split
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 100), (2, 3, 100)], "src long, dst long, t long"
+    )
+    rows = temporal_edge_split(pairs).collect()
+    assert len(rows) == 1 and rows[0]["split"] == "train"
+    assert rows[0]["n_edges"] == 2 and rows[0]["n_new_nodes"] == 0
