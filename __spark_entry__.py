@@ -857,6 +857,66 @@ FROM cnodes n LEFT JOIN (
 ) m ON n.node_id = m.node_id"""
 
 
+def _component_evolution_sql(rounds: int = 14) -> str:
+    """Per-day connected components of the user-interaction graph via
+    unrolled min-label HOOK (neighbor minimum) + JUMP (label-of-label
+    pointer halving) rounds, both keyed on (day, node). Plain hash-min
+    needs diameter rounds — a single day's ≤60s event chain is
+    path-shaped, so that could be thousands; the jump step contracts
+    label chains geometrically (a 3000-node path converges in 14
+    rounds, verified)."""
+    ctes = [
+        """_seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+)""",
+        """ppairs AS (
+  SELECT prev_user AS src, user_id AS dst, t
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+)""",
+        """dedges AS MATERIALIZED (
+  SELECT DISTINCT t // 86400000000 AS day, src, dst FROM ppairs
+)""",
+        """dsym AS MATERIALIZED (
+  SELECT day, src AS a, dst AS b FROM dedges UNION
+  SELECT day, dst, src FROM dedges
+)""",
+        "dn AS (SELECT DISTINCT day, a AS node_id FROM dsym)",
+        "e0 AS MATERIALIZED (SELECT day, node_id, node_id AS lab FROM dn)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(f"""h{i} AS MATERIALIZED (
+  SELECT l.day, l.node_id, least(l.lab, coalesce(nm.nmin, l.lab)) AS lab
+  FROM {p} l LEFT JOIN (
+    SELECT s.day, s.b AS node_id, min(l2.lab) AS nmin
+    FROM dsym s JOIN {p} l2 ON s.day = l2.day AND s.a = l2.node_id
+    GROUP BY s.day, s.b) nm
+  ON l.day = nm.day AND l.node_id = nm.node_id)""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT m.day, m.node_id, least(m.lab, coalesce(j.lab, m.lab)) AS lab
+  FROM h{i} m LEFT JOIN h{i} j
+  ON m.day = j.day AND m.lab = j.node_id)""")
+    ctes.append(
+        f"sizes AS (SELECT day, lab, count(*) AS sz FROM e{rounds} "
+        "GROUP BY day, lab)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(max(sz) AS BIGINT) AS largest
+FROM sizes GROUP BY day"""
+    )
+
+
 def _ppr_sql() -> str:
     """Personalized PageRank unrolled PR_ITERS iterations on the
     supplier -> customer bipartite graph; restart (and dangling) mass
@@ -2815,6 +2875,35 @@ def q_temporal_split(spark, sf_dir):
     return temporal_edge_split(pairs, num=4, den=5)
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient series φ(k) of the cosine graph: do the
+    high-degree nodes preferentially connect to each other? One degree
+    shuffle, then histogram-sized frames only."""
+    from online_centrality_spark.operators import rich_club
+
+    return rich_club(_cos_edges(spark, sf_dir))
+
+
+def q_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness B = (σ−μ)/(σ+μ) (Goh–Barabási)
+    from exact integer-second gap sums — the temporal signature that
+    separates bursty actors from periodic ones."""
+    from online_centrality_spark.streaming.sessions import user_burstiness
+
+    return user_burstiness(_t(spark, sf_dir, "events"))
+
+
+def q_component_evolution(spark, sf_dir):
+    """Per-day connectivity profile of the user-interaction graph
+    (component count / node count / giant-component size), all days
+    solved in ONE star-CC run via composite-key encoding."""
+    from online_centrality_spark.operators import component_evolution
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return component_evolution(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2835,11 +2924,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
-    driver evidence they still lack — (1) the 10 never driver-verified,
-    (2) the 15 green in the r02 record only, (3) the 18 green in r03
-    only (second consecutive round), (4) seven cheap double-green (r02+
-    r03) anchors, then (5) the remaining 25 double-green queries, whose
-    two consecutive driver-green rounds stand as evidence."""
+    driver evidence they still lack — (1) the 10 never driver-verified
+    carried from r03, (2) every round-4 addition (zero driver rounds),
+    (3) pack_sequences (RED in r02, oracle since fixed) plus six
+    r02-green-only fillers to complete the 50, then the displaced
+    r02-only and double-green queries, whose prior driver-green rows
+    (plus this round's gate-replica sweeps in BENCH/verify_entry_r04.txt)
+    stand as evidence."""
     return {
         # -- (1) never driver-verified (judge-verified r03) ------------
         "modularity": q_modularity,
@@ -2852,23 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
         "kmeans": q_kmeans,
-        # -- (2) green in the r02 driver record only -------------------
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "hash_sample": q_hash_sample,
-        "conversation_stats": q_conversation_stats,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "weighted_kendall": q_weighted_kendall,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "static_katz": q_static_katz,
-        "interval_labels": q_interval_labels,
-        "lineitem_pricing": q_lineitem_pricing,
-        # -- new in round 4 (need their first driver rows) -------------
+        # -- (2) new in round 4 (need their first driver rows) ---------
         "tfidf_top_terms": q_tfidf_top_terms,
         "term_cooccurrence": q_term_cooccurrence,
         "token_percentiles": q_token_percentiles,
@@ -2894,19 +2969,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa": q_salsa,
         "weighted_sssp": q_weighted_sssp,
         "trending_nodes": q_trending_nodes,
-        # ---- 50-entry driver window ends here ------------------------
-        # (did_distributed / hits / local_clustering /
-        # degree_assortativity / link_prediction / k_core / scc /
-        # reciprocity / scc_condensation / eccentricity /
-        # temporal_motifs displaced by the eleven newest never-verified
-        # queries; each keeps its green r03 driver row)
-        # round-4 tail additions (gate-replica-verified; the window is
-        # fully allocated to queries still lacking driver rows)
         "khop_features": q_khop_features,
         "embedding_outliers": q_embedding_outliers,
         "grouped_split": q_grouped_split,
         "wl_refinement": q_wl_refinement,
         "temporal_split": q_temporal_split,
+        "rich_club": q_rich_club,
+        "burstiness": q_burstiness,
+        "component_evolution": q_component_evolution,
+        # -- (3) pack_sequences was RED in r02 (oracle fixed, judge-
+        # verified); six r02-green-only fillers complete the window ----
+        "pack_sequences": q_pack_sequences,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
+        "conversation_stats": q_conversation_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        # ---- 50-entry driver window ends here ------------------------
+        # (r02-green-only queries displaced below keep that row plus
+        # this round's gate-replica sweep as evidence)
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "weighted_kendall": q_weighted_kendall,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "static_katz": q_static_katz,
+        "interval_labels": q_interval_labels,
+        "lineitem_pricing": q_lineitem_pricing,
         "did_distributed": q_did_distributed,
         "hits": q_hits,
         "local_clustering": q_local_clustering,
@@ -4309,6 +4399,61 @@ SELECT ec.split, CAST(ec.n_edges AS BIGINT) AS n_edges,
 FROM ec JOIN nc ON ec.split = nc.split
         LEFT JOIN nw ON ec.split = nw.split
 """
+    sqls["rich_club"] = f"""
+WITH {COS_EDGES_CTE},
+deg AS (SELECT node_id, count(*) AS deg FROM (
+  SELECT src AS node_id FROM cedges UNION ALL SELECT dst FROM cedges) u
+  GROUP BY node_id),
+eh AS (SELECT least(da.deg, db.deg) AS m, count(*) AS ne
+       FROM cedges e JOIN deg da ON e.src = da.node_id
+                     JOIN deg db ON e.dst = db.node_id
+       GROUP BY 1),
+nh AS (SELECT deg AS d, count(*) AS nn FROM deg GROUP BY 1),
+ks AS (SELECT unnest(range(1, (SELECT max(deg) FROM deg))) AS k),
+nk AS (SELECT k, sum(nn) AS n_rich_nodes FROM ks JOIN nh ON nh.d > ks.k
+       GROUP BY k),
+ek AS (SELECT k, sum(ne) AS n_rich_edges FROM ks JOIN eh ON eh.m > ks.k
+       GROUP BY k)
+SELECT CAST(nk.k AS BIGINT) AS k,
+       CAST(nk.n_rich_nodes AS BIGINT) AS n_rich_nodes,
+       CAST(coalesce(ek.n_rich_edges, 0) AS BIGINT) AS n_rich_edges,
+       round(coalesce(ek.n_rich_edges, 0) * 2.0
+             / (nk.n_rich_nodes * (nk.n_rich_nodes - 1)), 6) AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_rich_nodes >= 2
+"""
+    sqls["burstiness"] = """
+WITH g AS (
+  SELECT user_id, (t - prev_t) // 1000000 AS gap_s FROM (
+    SELECT user_id, epoch_us(ts) AS t,
+           lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS prev_t
+    FROM events) s
+  WHERE prev_t IS NOT NULL
+),
+a AS (
+  SELECT user_id, count(*) AS n_gaps,
+         sum(gap_s) AS s1, sum(gap_s * gap_s) AS s2
+  FROM g GROUP BY user_id HAVING count(*) >= 5
+),
+d AS (
+  SELECT user_id, n_gaps,
+         CAST(s1 AS DOUBLE) / n_gaps AS mu,
+         sqrt(greatest(
+           CAST(s2 AS DOUBLE) / n_gaps
+             - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps),
+           0.0)) AS sigma
+  FROM a
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mu, 6) AS mean_gap_secs,
+       CASE WHEN sigma + mu = 0 THEN NULL
+            ELSE round((sigma - mu) / (sigma + mu), 6)
+       END AS burstiness
+FROM d
+"""
+    sqls["component_evolution"] = _component_evolution_sql()
     _h = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
     sqls["wl_refinement"] = f"""
 WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},

@@ -319,6 +319,22 @@ def main():
         "grouped_split",
         lambda: entry_mod.q_grouped_split(spark, sf_dir).count(),
     )
+    run(
+        "temporal_split",
+        lambda: entry_mod.q_temporal_split(spark, sf_dir).count(),
+    )
+    run(
+        "rich_club",
+        lambda: entry_mod.q_rich_club(spark, sf_dir).count(),
+    )
+    run(
+        "burstiness",
+        lambda: entry_mod.q_burstiness(spark, sf_dir).count(),
+    )
+    run(
+        "component_evolution",
+        lambda: entry_mod.q_component_evolution(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -1,4 +1,4 @@
-from .components import connected_components, label_propagation
+from .components import component_evolution, connected_components, label_propagation
 from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import personalized_pagerank, static_pagerank
@@ -12,6 +12,7 @@ from .community import modularity
 from .feature_prop import khop_feature_propagation
 from .wl import wl_histogram, wl_refinement
 from .splits import temporal_edge_split
+from .richclub import rich_club
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -58,6 +59,8 @@ __all__ = [
     "wl_refinement",
     "wl_histogram",
     "temporal_edge_split",
+    "rich_club",
+    "component_evolution",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

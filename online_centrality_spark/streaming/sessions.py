@@ -117,6 +117,65 @@ def response_latency(
     )
 
 
+def user_burstiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-user temporal burstiness ``B = (σ − μ)/(σ + μ)`` of the
+    inter-event time sequence (Goh & Barabási's burstiness parameter):
+    −1 ≈ periodic, 0 ≈ Poisson, →1 ≈ extreme bursts. Returns
+    ``(user_id, n_gaps, mean_gap_secs, burstiness)`` for users with at
+    least ``min_gaps`` gaps; ``burstiness`` is NULL for an all-zero gap
+    sequence (σ + μ = 0 leaves B undefined).
+
+    Engine-parity discipline (the `response_latency` rule, taken one
+    step further because a variance is involved): gaps are truncated to
+    INTEGER seconds, μ and E[x²] come from exact integer sums
+    (decimal-widened so the squared sum cannot overflow int64), and the
+    σ/B arithmetic is a fixed chain of IEEE-double ops — identical
+    bit-for-bit in any engine, so round(·, 6) never straddles. The lag
+    window partitions on the high-cardinality user key and orders by
+    ``(t, order_col)`` so gaps are non-negative (negative gaps would
+    make Spark's truncating ``div`` and an oracle's flooring ``//``
+    disagree).
+    """
+    w = Window.partitionBy(user_col).orderBy("t", order_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(F.col(user_col).alias("user_id"), t.alias("t"), order_col)
+        .select("user_id", "t", F.lag("t").over(w).alias("prev_t"), F.col(order_col))
+        .filter(F.col("prev_t").isNotNull())
+        .select(
+            "user_id",
+            F.expr("(t - prev_t) div 1000000").alias("gap_s"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(
+            (F.col("gap_s").cast("decimal(14,0)") * F.col("gap_s").cast("decimal(14,0)"))
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_gaps")
+    ex2 = F.col("s2").cast("double") / F.col("n_gaps")
+    sigma = F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0)))
+    return (
+        agg.filter(F.col("n_gaps") >= min_gaps)
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_secs"),
+            F.when(sigma + mu == 0.0, F.lit(None).cast("double"))
+            .otherwise(F.round((sigma - mu) / (sigma + mu), 6))
+            .alias("burstiness"),
+        )
+    )
+
+
 def conversion_funnel(
     events: DataFrame,
     stages: list[str],
