@@ -917,6 +917,56 @@ FROM sizes GROUP BY day"""
     )
 
 
+def _densest_sql(rounds: int = 24) -> str:
+    """Unrolled batch greedy peel (ε = 1/2): per round, survivors are
+    nodes with deg·V > 3·E (exact int64), best round = max density with
+    earliest-round tiebreak — the schedule `densest_subgraph` runs."""
+    ctes = [COS_EDGES_CTE.strip(),
+            "r0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges)"]
+    for i in range(rounds):
+        ctes.append(
+            f"st{i} AS (SELECT count(*) AS ne FROM r{i})"
+        )
+        ctes.append(
+            f"""deg{i} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM r{i} UNION ALL SELECT b FROM r{i}) u GROUP BY n)"""
+        )
+        ctes.append(f"nv{i} AS (SELECT count(*) AS nv FROM deg{i})")
+        ctes.append(
+            f"""keep{i} AS (
+  SELECT n FROM deg{i}, st{i}, nv{i} WHERE d * nv > 3 * ne)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM r{i}
+  WHERE a IN (SELECT n FROM keep{i}) AND b IN (SELECT n FROM keep{i}))"""
+        )
+    stats = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, (SELECT ne FROM st{i}) AS ne, "
+        f"(SELECT nv FROM nv{i}) AS nv"
+        for i in range(rounds)
+    )
+    members = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, n FROM deg{i}" for i in range(rounds)
+    )
+    ctes.append(f"allstats AS ({stats})")
+    ctes.append(
+        """bestr AS (
+  SELECT rnd, ne, nv FROM allstats WHERE ne > 0
+  ORDER BY CAST(ne AS DOUBLE) / nv DESC, rnd ASC LIMIT 1)"""
+    )
+    ctes.append(f"allnodes AS ({members})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT m.n AS node_id,
+       round(CAST(b.ne AS DOUBLE) / b.nv, 6) AS density
+FROM allnodes m JOIN bestr b ON m.rnd = b.rnd"""
+    )
+
+
 def _ppr_sql() -> str:
     """Personalized PageRank unrolled PR_ITERS iterations on the
     supplier -> customer bipartite graph; restart (and dangling) mass
@@ -2904,6 +2954,36 @@ def q_component_evolution(spark, sf_dir):
     return component_evolution(pairs)
 
 
+def q_densest_subgraph(spark, sf_dir):
+    """3-approx densest subgraph of the cosine graph (batch greedy
+    peel, integer keep/drop decisions, earliest-best-round tiebreak)."""
+    from online_centrality_spark.operators import densest_subgraph
+
+    return densest_subgraph(_cos_edges(spark, sf_dir))
+
+
+def q_disparity_backbone(spark, sf_dir):
+    """Disparity-filter backbone of the weighted user-interaction
+    graph: the 20 most statistically significant edges (smallest α,
+    total-order tiebreak — TakeOrderedAndProject, never a global
+    sort)."""
+    from online_centrality_spark.operators import disparity_scores
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return disparity_scores(pairs).orderBy("alpha_min", "a", "b").limit(20)
+
+
+def q_edge_persistence(spark, sf_dir):
+    """Day-over-day Jaccard stability of the user-interaction edge
+    set — the companion series to component_evolution."""
+    from online_centrality_spark.operators import edge_persistence
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return edge_persistence(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -2977,18 +3057,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "burstiness": q_burstiness,
         "component_evolution": q_component_evolution,
+        "densest_subgraph": q_densest_subgraph,
+        "disparity_backbone": q_disparity_backbone,
+        "edge_persistence": q_edge_persistence,
         # -- (3) pack_sequences was RED in r02 (oracle fixed, judge-
-        # verified); six r02-green-only fillers complete the window ----
+        # verified); three r02-green-only fillers complete the window --
         "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
-        "conversation_stats": q_conversation_stats,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
         # ---- 50-entry driver window ends here ------------------------
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
+        "conversation_stats": q_conversation_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
         "embedding_dedup": q_embedding_dedup,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "weighted_kendall": q_weighted_kendall,
@@ -4454,6 +4537,76 @@ SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
 FROM d
 """
     sqls["component_evolution"] = _component_evolution_sql()
+    sqls["densest_subgraph"] = _densest_sql()
+    sqls["disparity_backbone"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS (
+  SELECT prev_user AS src, user_id AS dst
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+w AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         count(*) AS weight
+  FROM ppairs GROUP BY 1, 2
+),
+nd AS (
+  SELECT n, sum(weight) AS s, count(*) AS k FROM (
+    SELECT a AS n, weight FROM w UNION ALL SELECT b, weight FROM w) u
+  GROUP BY n
+),
+sc AS (
+  SELECT w.a, w.b, w.weight,
+         round(least(
+           pow(CAST(na.s - w.weight AS DOUBLE) / na.s, na.k - 1),
+           pow(CAST(nb.s - w.weight AS DOUBLE) / nb.s, nb.k - 1)
+         ), 6) AS alpha_min
+  FROM w JOIN nd na ON w.a = na.n JOIN nd nb ON w.b = nb.n
+)
+SELECT a, b, CAST(weight AS BIGINT) AS weight, alpha_min
+FROM sc ORDER BY alpha_min, a, b LIMIT 20
+"""
+    sqls["edge_persistence"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS (
+  SELECT prev_user AS src, user_id AS dst, t
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT t // 86400000000 AS day,
+         least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ppairs
+),
+cnt AS (SELECT day, count(*) AS n_edges FROM e GROUP BY day),
+com AS (
+  SELECT e1.day, count(*) AS n_common
+  FROM e e1 JOIN e e2
+    ON e2.day = e1.day + 1 AND e1.a = e2.a AND e1.b = e2.b
+  GROUP BY e1.day
+)
+SELECT CAST(c.day AS BIGINT) AS day,
+       CAST(c.n_edges AS BIGINT) AS n_edges,
+       CAST(nx.n_edges AS BIGINT) AS n_next,
+       CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(com.n_common, 0)
+             / (c.n_edges + nx.n_edges - coalesce(com.n_common, 0)), 6)
+         AS jaccard
+FROM cnt c JOIN cnt nx ON nx.day = c.day + 1
+LEFT JOIN com ON com.day = c.day
+"""
     _h = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
     sqls["wl_refinement"] = f"""
 WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},

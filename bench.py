@@ -335,6 +335,18 @@ def main():
         "component_evolution",
         lambda: entry_mod.q_component_evolution(spark, sf_dir).count(),
     )
+    run(
+        "densest_subgraph",
+        lambda: entry_mod.q_densest_subgraph(spark, sf_dir).count(),
+    )
+    run(
+        "disparity_backbone",
+        lambda: entry_mod.q_disparity_backbone(spark, sf_dir).count(),
+    )
+    run(
+        "edge_persistence",
+        lambda: entry_mod.q_edge_persistence(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

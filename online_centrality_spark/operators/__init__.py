@@ -13,6 +13,9 @@ from .feature_prop import khop_feature_propagation
 from .wl import wl_histogram, wl_refinement
 from .splits import temporal_edge_split
 from .richclub import rich_club
+from .densest import densest_subgraph
+from .backbone import disparity_backbone, disparity_scores
+from .persistence import edge_persistence
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -61,6 +64,10 @@ __all__ = [
     "temporal_edge_split",
     "rich_club",
     "component_evolution",
+    "densest_subgraph",
+    "disparity_backbone",
+    "disparity_scores",
+    "edge_persistence",
     "random_walks",
     "degree_assortativity",
     "local_clustering",
