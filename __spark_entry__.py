@@ -879,41 +879,92 @@ def _component_evolution_sql(rounds: int = 14) -> str:
     AND t - prev_t <= 60000000
 )""",
         """dedges AS MATERIALIZED (
-  SELECT DISTINCT t // 86400000000 AS day, src, dst FROM ppairs
+  SELECT DISTINCT t // 86400000000 AS bkt, src, dst FROM ppairs
 )""",
+    ]
+    ctes += _bucketed_cc_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(bkt AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(sz) AS BIGINT) AS n_nodes,
+       CAST(max(sz) AS BIGINT) AS largest
+FROM sizes GROUP BY bkt"""
+    )
+
+
+def _bucketed_cc_ctes(rounds: int) -> list[str]:
+    """CTE chain computing per-bucket connected components of a prior
+    CTE ``dedges(bkt, src, dst)`` via hook+jump doubling rounds; ends
+    with ``sizes(bkt, lab, sz)`` — component sizes per bucket."""
+    ctes = [
         """dsym AS MATERIALIZED (
-  SELECT day, src AS a, dst AS b FROM dedges UNION
-  SELECT day, dst, src FROM dedges
+  SELECT bkt, src AS a, dst AS b FROM dedges UNION
+  SELECT bkt, dst, src FROM dedges
 )""",
-        "dn AS (SELECT DISTINCT day, a AS node_id FROM dsym)",
-        "e0 AS MATERIALIZED (SELECT day, node_id, node_id AS lab FROM dn)",
+        "dn AS (SELECT DISTINCT bkt, a AS node_id FROM dsym)",
+        "e0 AS MATERIALIZED (SELECT bkt, node_id, node_id AS lab FROM dn)",
     ]
     for i in range(1, rounds + 1):
         p = f"e{i - 1}"
         ctes.append(f"""h{i} AS MATERIALIZED (
-  SELECT l.day, l.node_id, least(l.lab, coalesce(nm.nmin, l.lab)) AS lab
+  SELECT l.bkt, l.node_id, least(l.lab, coalesce(nm.nmin, l.lab)) AS lab
   FROM {p} l LEFT JOIN (
-    SELECT s.day, s.b AS node_id, min(l2.lab) AS nmin
-    FROM dsym s JOIN {p} l2 ON s.day = l2.day AND s.a = l2.node_id
-    GROUP BY s.day, s.b) nm
-  ON l.day = nm.day AND l.node_id = nm.node_id)""")
+    SELECT s.bkt, s.b AS node_id, min(l2.lab) AS nmin
+    FROM dsym s JOIN {p} l2 ON s.bkt = l2.bkt AND s.a = l2.node_id
+    GROUP BY s.bkt, s.b) nm
+  ON l.bkt = nm.bkt AND l.node_id = nm.node_id)""")
         ctes.append(f"""e{i} AS MATERIALIZED (
-  SELECT m.day, m.node_id, least(m.lab, coalesce(j.lab, m.lab)) AS lab
+  SELECT m.bkt, m.node_id, least(m.lab, coalesce(j.lab, m.lab)) AS lab
   FROM h{i} m LEFT JOIN h{i} j
-  ON m.day = j.day AND m.lab = j.node_id)""")
+  ON m.bkt = j.bkt AND m.lab = j.node_id)""")
     ctes.append(
-        f"sizes AS (SELECT day, lab, count(*) AS sz FROM e{rounds} "
-        "GROUP BY day, lab)"
+        f"sizes AS (SELECT bkt, lab, count(*) AS sz FROM e{rounds} "
+        "GROUP BY bkt, lab)"
+    )
+    return ctes
+
+
+def _robustness_sql(rounds: int = 14, max_remove: int = 10) -> str:
+    """Targeted-attack robustness oracle: level-tagged edge copies
+    (level k drops the k top-degree hubs, degree desc / id asc), then
+    the shared per-bucket doubling-CC chain with bucket = level."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        "und AS (SELECT src AS a, dst AS b FROM cedges)",
+        """rdeg AS (SELECT n, count(*) AS d FROM (
+  SELECT a AS n FROM und UNION ALL SELECT b FROM und) u GROUP BY n)""",
+        f"""hubs AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY d DESC, n ASC) - 1 AS BIGINT)
+         AS rnk
+  FROM rdeg ORDER BY d DESC, n ASC LIMIT {max_remove})""",
+        f"""dedges AS MATERIALIZED (
+  SELECT lv.x AS bkt, t.a AS src, t.b AS dst
+  FROM (SELECT e.a, e.b,
+               least(coalesce(ha.rnk, {max_remove}),
+                     coalesce(hb.rnk, {max_remove})) AS alive_max
+        FROM und e LEFT JOIN hubs ha ON e.a = ha.n
+                   LEFT JOIN hubs hb ON e.b = hb.n) t
+  JOIN (SELECT unnest(range(0, {max_remove + 1})) AS x) lv
+    ON lv.x <= t.alive_max)""",
+    ]
+    ctes += _bucketed_cc_ctes(rounds)
+    ctes.append(
+        "ecnt AS (SELECT bkt, count(*) AS n_edges FROM dedges GROUP BY bkt)"
     )
     return (
         "WITH "
         + ",\n".join(ctes)
         + """
-SELECT CAST(day AS BIGINT) AS day,
+SELECT CAST(s.bkt AS BIGINT) AS level,
+       CAST(ecnt.n_edges AS BIGINT) AS n_edges,
+       CAST(sum(s.sz) AS BIGINT) AS n_nodes,
        CAST(count(*) AS BIGINT) AS n_components,
-       CAST(sum(sz) AS BIGINT) AS n_nodes,
-       CAST(max(sz) AS BIGINT) AS largest
-FROM sizes GROUP BY day"""
+       CAST(max(s.sz) AS BIGINT) AS largest
+FROM sizes s JOIN ecnt ON s.bkt = ecnt.bkt
+GROUP BY s.bkt, ecnt.n_edges"""
     )
 
 
@@ -2984,6 +3035,50 @@ def q_edge_persistence(spark, sf_dir):
     return edge_persistence(pairs)
 
 
+def q_attack_robustness(spark, sf_dir):
+    """Giant-component decay of the cosine graph under sequential
+    hub removal (levels 0..10), all levels in ONE star-CC run via
+    level-tagged edge copies."""
+    from online_centrality_spark.operators import attack_robustness
+
+    return attack_robustness(_cos_edges(spark, sf_dir), max_remove=10)
+
+
+def q_butterflies(spark, sf_dir):
+    """Wedge and butterfly (2x2 biclique) counts of the supplier ->
+    customer bipartite graph — the bipartite cohesion analogue of the
+    triangle count."""
+    from online_centrality_spark.operators import butterfly_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    e = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return butterfly_count(e)
+
+
+def q_attribute_assortativity(spark, sf_dir):
+    """Categorical assortativity of the user-interaction graph by each
+    user's dominant event type (count desc / type asc tiebreak)."""
+    from pyspark.sql import Window
+    from online_centrality_spark.operators import attribute_assortativity
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type").asc()
+    )
+    dom = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("node_id"), F.col("event_type").alias("attr"))
+    )
+    pairs = user_interaction_pairs(ev, gap_seconds=60.0)
+    return attribute_assortativity(pairs, dom)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3060,15 +3155,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest_subgraph,
         "disparity_backbone": q_disparity_backbone,
         "edge_persistence": q_edge_persistence,
+        "attack_robustness": q_attack_robustness,
+        "butterflies": q_butterflies,
+        "attribute_assortativity": q_attribute_assortativity,
         # -- (3) pack_sequences was RED in r02 (oracle fixed, judge-
-        # verified); three r02-green-only fillers complete the window --
+        # verified) — the 50th window slot ------------------------------
         "pack_sequences": q_pack_sequences,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "hash_sample": q_hash_sample,
         # ---- 50-entry driver window ends here ------------------------
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_sample": q_hash_sample,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4538,6 +4636,76 @@ FROM d
 """
     sqls["component_evolution"] = _component_evolution_sql()
     sqls["densest_subgraph"] = _densest_sql()
+    sqls["attack_robustness"] = _robustness_sql()
+    sqls["butterflies"] = """
+WITH be AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS u, o_custkey AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pr AS (
+  SELECT e1.u AS u1, e2.u AS u2, count(*) AS c
+  FROM be e1 JOIN be e2 ON e1.r = e2.r AND e1.u < e2.u
+  GROUP BY 1, 2
+)
+SELECT CAST((SELECT count(*) FROM be) AS BIGINT) AS n_edges,
+       CAST((SELECT sum((d * (d - 1)) // 2)
+             FROM (SELECT count(*) AS d FROM be GROUP BY r) t) AS BIGINT)
+         AS n_wedges,
+       CAST(coalesce((SELECT sum((c * (c - 1)) // 2) FROM pr), 0) AS BIGINT)
+         AS n_butterflies
+"""
+    sqls["attribute_assortativity"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS (
+  SELECT prev_user AS src, user_id AS dst
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+dom AS (
+  SELECT user_id AS node_id, event_type AS t FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+           ) AS rn
+    FROM events GROUP BY user_id, event_type) x
+  WHERE rn = 1
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ppairs
+),
+lab AS MATERIALIZED (
+  SELECT da.t AS ta, db.t AS tb FROM (
+    SELECT a, b FROM und UNION ALL SELECT b, a FROM und) s
+  JOIN dom da ON s.a = da.node_id
+  JOIN dom db ON s.b = db.node_id
+),
+ag AS (
+  SELECT count(*) AS m,
+         sum(CASE WHEN ta = tb THEN 1 ELSE 0 END) AS same
+  FROM lab
+),
+mg AS (
+  SELECT sum(cnt * cnt) AS sumsq
+  FROM (SELECT ta, count(*) AS cnt FROM lab GROUP BY ta) h
+)
+SELECT CASE
+  WHEN CAST(sumsq AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) = 1.0
+    THEN NULL
+  ELSE round(
+    (CAST(same AS DOUBLE) / m
+       - CAST(sumsq AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+    / (1.0 - CAST(sumsq AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))),
+    6)
+  END AS assortativity,
+  CAST(m // 2 AS BIGINT) AS n_edges
+FROM ag, mg
+"""
     sqls["disparity_backbone"] = """
 WITH _seq AS (
   SELECT user_id, epoch_us(ts) AS t, event_id,

@@ -347,6 +347,18 @@ def main():
         "edge_persistence",
         lambda: entry_mod.q_edge_persistence(spark, sf_dir).count(),
     )
+    run(
+        "attack_robustness",
+        lambda: entry_mod.q_attack_robustness(spark, sf_dir).count(),
+    )
+    run(
+        "butterflies",
+        lambda: entry_mod.q_butterflies(spark, sf_dir).count(),
+    )
+    run(
+        "attribute_assortativity",
+        lambda: entry_mod.q_attribute_assortativity(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

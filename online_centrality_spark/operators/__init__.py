@@ -16,6 +16,8 @@ from .richclub import rich_club
 from .densest import densest_subgraph
 from .backbone import disparity_backbone, disparity_scores
 from .persistence import edge_persistence
+from .robustness import attack_robustness
+from .bipartite import butterfly_count
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -27,7 +29,12 @@ from .temporal_katz_distributed import (
 )
 from .temporal_pagerank import TemporalPageRank
 from .temporal_pagerank_distributed import DistributedTemporalPageRank
-from .triangles import degree_assortativity, local_clustering, triangle_count
+from .triangles import (
+    attribute_assortativity,
+    degree_assortativity,
+    local_clustering,
+    triangle_count,
+)
 
 __all__ = [
     "TemporalKatz",
@@ -68,6 +75,9 @@ __all__ = [
     "disparity_backbone",
     "disparity_scores",
     "edge_persistence",
+    "attack_robustness",
+    "butterfly_count",
+    "attribute_assortativity",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

@@ -1,0 +1,120 @@
+"""Targeted-attack robustness curve — giant-component decay under
+sequential hub removal (Albert–Jeong–Barabási attack protocol).
+
+Level ``k`` removes the ``k`` highest-degree nodes (degree desc,
+node-id asc tiebreak — fully deterministic) and reports the surviving
+graph's edge/node/component counts and giant-component size. The
+resulting curve is the standard resilience diagnostic: robust graphs
+lose the giant component slowly, hub-dependent graphs collapse.
+
+Scale shape: the naive protocol is ``max_remove + 1`` separate
+connected-components jobs. Instead every level is solved in ONE
+star-CC run: an edge with earliest-removal rank ``r = min(rank(a),
+rank(b))`` is alive at levels ``0..min(r, max_remove)``, so the edge
+list explodes by at most ``max_remove + 1`` copies tagged with their
+level, and the composite key ``level * off + node`` feeds a single
+:func:`connected_components` call (the `component_evolution` encoding
+— levels cannot merge because no edge crosses an encoding stripe).
+The hub ranking itself is a ``max_remove``-row TakeOrdered frame
+broadcast back onto the degree table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .components import connected_components
+
+
+def attack_robustness(
+    edges: DataFrame, max_remove: int = 10, **cc_kwargs
+) -> DataFrame:
+    """``(level, n_edges, n_nodes, n_components, largest)`` for each
+    removal level ``0..max_remove`` that leaves at least one edge
+    (isolated nodes are not represented, consistent with the other
+    component operators)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # TakeOrderedAndProject down to max_remove rows FIRST; the global
+    # row_number window then sorts a <= max_remove-row frame
+    hubs = (
+        deg.orderBy(F.col("d").desc(), F.col("n").asc())
+        .limit(max_remove)
+        .select(
+            "n",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("d").desc(), F.col("n").asc())
+                )
+                - 1
+            ).alias("rank"),
+        )
+    )
+    none_rank = F.lit(max_remove)
+    tagged = (
+        und.join(F.broadcast(hubs.withColumnRenamed("n", "a")
+                 .withColumnRenamed("rank", "ra")), "a", "left")
+        .join(F.broadcast(hubs.withColumnRenamed("n", "b")
+              .withColumnRenamed("rank", "rb")), "b", "left")
+        .select(
+            "a",
+            "b",
+            F.least(
+                F.coalesce(F.col("ra"), none_rank),
+                F.coalesce(F.col("rb"), none_rank),
+            ).alias("alive_max"),
+        )
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("alive_max"))).alias("level"),
+            "a",
+            "b",
+        )
+        .persist()
+    )
+    mx = tagged.agg(F.greatest(F.max("a"), F.max("b")).alias("m")).first()
+    if mx["m"] is None:
+        return und.sparkSession.createDataFrame(
+            [],
+            "level long, n_edges long, n_nodes long, n_components long, "
+            "largest long",
+        )
+    off = mx["m"] + 1
+    if (max_remove + 1) * off >= 2**62:
+        raise ValueError(
+            "level*offset encoding would overflow int64; densify node ids "
+            "before calling attack_robustness"
+        )
+    enc = tagged.select(
+        (F.col("level") * F.lit(off) + F.col("a")).alias("src"),
+        (F.col("level") * F.lit(off) + F.col("b")).alias("dst"),
+    )
+    labels = connected_components(enc, **cc_kwargs)
+    sizes = labels.groupBy(
+        F.expr(f"node_id div {off}").alias("level"), "component"
+    ).agg(F.count("*").alias("sz"))
+    comp_stats = sizes.groupBy("level").agg(
+        F.count("*").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").alias("largest"),
+    )
+    edge_stats = tagged.groupBy("level").agg(F.count("*").alias("n_edges"))
+    return edge_stats.join(comp_stats, "level").select(
+        F.col("level").cast("long").alias("level"),
+        "n_edges",
+        "n_nodes",
+        "n_components",
+        "largest",
+    )

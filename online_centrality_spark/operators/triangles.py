@@ -138,6 +138,65 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def attribute_assortativity(
+    edges: DataFrame, attrs: DataFrame, attr_col: str = "attr"
+) -> DataFrame:
+    """1-row ``(assortativity, n_edges)`` — Newman's CATEGORICAL
+    assortativity coefficient ``r = (Σe_ii − Σa_i²)/(1 − Σa_i²)`` over
+    the undirected edge list, where ``e`` is the mixing matrix of the
+    node attribute in ``attrs`` (``node_id``, ``attr_col``) and ``a``
+    its marginals.
+
+    Every matrix entry is an exact int64 half-edge count (each
+    undirected edge contributes both orientations); ``Σa_i²`` uses
+    decimal-widened squares so it stays exact, and the final r is a
+    fixed IEEE-double chain — engine-identical after round(·, 6), the
+    `user_burstiness` discipline. Edges with an endpoint missing from
+    ``attrs`` are dropped (attribute unknown ⇒ no mixing evidence).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    at = attrs.select(F.col("node_id"), F.col(attr_col).alias("t"))
+    sym = und.select("a", "b").unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labeled = (
+        sym.join(at.select(F.col("node_id").alias("a"), F.col("t").alias("ta")), "a")
+        .join(at.select(F.col("node_id").alias("b"), F.col("t").alias("tb")), "b")
+        .persist()
+    )
+    same = labeled.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("ta") == F.col("tb"), 1).otherwise(0)).alias("same"),
+    )
+    marg = (
+        labeled.groupBy("ta")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(18,0)") * F.col("cnt").cast("decimal(18,0)")
+            ).alias("sumsq")
+        )
+    )
+    tr = F.col("same").cast("double") / F.col("m")
+    # m*m as a DOUBLE product: int64 m*m would overflow past ~3e9 edges
+    sq = F.col("sumsq").cast("double") / (
+        F.col("m").cast("double") * F.col("m").cast("double")
+    )
+    return (
+        same.crossJoin(marg)
+        .select(
+            F.when(sq == 1.0, F.lit(None).cast("double"))
+            .otherwise(F.round((tr - sq) / (F.lit(1.0) - sq), 6))
+            .alias("assortativity"),
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+        )
+    )
+
+
 def edge_reciprocity(edges: DataFrame) -> DataFrame:
     """1-row (n_edges, n_mutual, reciprocity) — fraction of directed
     edges whose reverse edge also exists. One left-semi self-join +
