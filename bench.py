@@ -359,6 +359,18 @@ def main():
         "attribute_assortativity",
         lambda: entry_mod.q_attribute_assortativity(spark, sf_dir).count(),
     )
+    run(
+        "graph_summary",
+        lambda: entry_mod.q_graph_summary(spark, sf_dir).count(),
+    )
+    run(
+        "domain_divergence",
+        lambda: entry_mod.q_domain_divergence(spark, sf_dir).count(),
+    )
+    run(
+        "transition_entropy",
+        lambda: entry_mod.q_transition_entropy(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

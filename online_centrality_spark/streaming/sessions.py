@@ -242,3 +242,60 @@ def conversion_funnel(
             6,
         ).alias("frac"),
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """1-row ``(n_transitions, n_states, entropy_rate)`` — the
+    conditional Shannon entropy H(next | current) of the per-user
+    event-type transition chain, in nats: how predictable is the next
+    action given the current one? 0 = deterministic workflow,
+    ln(n_states) = uniform chaos.
+
+    The lag window partitions on the high-cardinality user key (the
+    `response_latency` shape); the transition matrix that follows is
+    n_states² rows — constant-sized. Each term
+    ``(c_ij/N)·ln(c_ij/c_i)`` is a fixed double chain rounded to a
+    scaled int64 before the EXACT sum (the `domain_divergence`
+    order-independence rule).
+    """
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lag(type_col).over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    cij = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cij")).persist()
+    ci = cij.groupBy("prev").agg(F.sum("cij").alias("ci"))
+    n = cij.agg(F.sum("cij").alias("n"))
+    term = (
+        (F.col("cij").cast("double") / F.col("n"))
+        * F.log(F.col("cij").cast("double") / F.col("ci"))
+    )
+    scaled = (
+        cij.join(F.broadcast(ci), "prev")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n"),
+            F.round(term * 1e12).cast("long").alias("t"),
+        )
+    )
+    states = cij.select(F.col("prev").alias("s")).unionAll(
+        cij.select(F.col("cur").alias("s"))
+    ).distinct().agg(F.count("*").alias("n_states"))
+    return (
+        scaled.groupBy("n")
+        .agg(F.sum("t").alias("ent"))
+        .crossJoin(F.broadcast(states))
+        .select(
+            F.col("n").cast("long").alias("n_transitions"),
+            F.col("n_states").cast("long").alias("n_states"),
+            F.round(-F.col("ent") / 1e12, 6).alias("entropy_rate"),
+        )
+    )

@@ -569,3 +569,43 @@ def bpe_merges(
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def domain_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(source, n_tokens, kl)`` — KL divergence of each domain's
+    unigram distribution from the whole-corpus distribution, the
+    standard "how far does this source drift from the mixture" score
+    that drives domain reweighting (DoReMi-style diagnostics).
+
+    Engine-parity discipline for a transcendental SUM: each per-word
+    term ``p_d·ln(p_d/p)`` is a fixed IEEE-double chain (deterministic
+    per row), but a float SUM is order-dependent — so every term is
+    rounded to a scaled int64 (``round(term·1e12)``) and summed
+    EXACTLY, making the total independent of partitioning in both
+    engines.
+
+    Scale shape: tokenize + two map-side-combinable groupBys; the
+    corpus word table derives from the per-domain table (one scan);
+    per-domain totals broadcast (domains are few), the 1-row corpus
+    total cross-joins. The word-keyed join shuffles on the
+    high-cardinality word key.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    tok = docs.select("source", F.explode(F.expr(words)).alias("w"))
+    cdw = tok.groupBy("source", "w").agg(F.count("*").alias("cdw")).persist()
+    cw = cdw.groupBy("w").agg(F.sum("cdw").alias("cw"))
+    nd = cdw.groupBy("source").agg(F.sum("cdw").alias("nd"))
+    n = cdw.agg(F.sum("cdw").alias("n"))
+    pd_ = F.col("cdw").cast("double") / F.col("nd")
+    p = F.col("cw").cast("double") / F.col("n")
+    term = pd_ * F.log(pd_ / p)
+    scaled = (
+        cdw.join(cw, "w")
+        .join(F.broadcast(nd), "source")
+        .crossJoin(F.broadcast(n))
+        .select("source", "nd", F.round(term * 1e12).cast("long").alias("t"))
+    )
+    return scaled.groupBy("source").agg(
+        F.first("nd").cast("long").alias("n_tokens"),
+        F.round(F.sum("t") / 1e12, 6).alias("kl"),
+    )
