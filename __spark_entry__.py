@@ -3103,6 +3103,22 @@ def q_transition_entropy(spark, sf_dir):
     return transition_entropy(_t(spark, sf_dir, "events"))
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Fraction of each document's distinct word trigrams appearing in
+    no other document — the corpus-diversity diagnostic."""
+    from online_centrality_spark.dedup.ngram import doc_novelty
+
+    return doc_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Retention triangle: users cohorted by first active day, per-day
+    return rates."""
+    from online_centrality_spark.streaming.sessions import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3193,6 +3209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "domain_divergence": q_domain_divergence,
         "transition_entropy": q_transition_entropy,
+        "doc_novelty": q_doc_novelty,
+        "cohort_retention": q_cohort_retention,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -4751,6 +4769,48 @@ SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_transitions,
        CAST(st.n_states AS BIGINT) AS n_states,
        round(-(SELECT sum(t) FROM terms) / 1e12, 6) AS entropy_rate
 FROM st
+"""
+    sqls["doc_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM toks WHERE len(t) >= 3
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, {PORTABLE_HASH.format(s='gram')} AS sh FROM grams
+),
+dfreq AS (SELECT sh, count(*) AS df FROM hs GROUP BY sh)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS novelty
+FROM hs s JOIN dfreq d ON s.sh = d.sh
+GROUP BY s.doc_id
+"""
+    sqls["cohort_retention"] = """
+WITH act AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+first AS (SELECT u, min(day) AS cohort_day FROM act GROUP BY u),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first
+          GROUP BY cohort_day),
+ret AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+         count(*) AS n_active
+  FROM act a JOIN first f ON a.u = f.u
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, r.day_offset, CAST(r.n_active AS BIGINT) AS n_active,
+       round(r.n_active / s.cohort_size, 6) AS retention
+FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
 """
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (

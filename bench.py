@@ -371,6 +371,14 @@ def main():
         "transition_entropy",
         lambda: entry_mod.q_transition_entropy(spark, sf_dir).count(),
     )
+    run(
+        "doc_novelty",
+        lambda: entry_mod.q_doc_novelty(spark, sf_dir).count(),
+    )
+    run(
+        "cohort_retention",
+        lambda: entry_mod.q_cohort_retention(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -299,3 +299,47 @@ def transition_entropy(
             F.round(-F.col("ent") / 1e12, 6).alias("entropy_rate"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """``(cohort_day, day_offset, n_active, retention)`` — the classic
+    retention triangle: users are cohorted by their FIRST active day
+    and each row counts how many of that cohort were active again
+    ``day_offset`` days later (offset 0 is the cohort itself, so its
+    retention is 1.0 by construction).
+
+    Scale shape: one distinct over ``(user, day)``, one per-user min
+    (both map-side-combinable on the high-cardinality user key), a
+    user-keyed join back, then day-granularity frames (≤ days² rows).
+    Retention is one exact-integer division behind round(·, 6).
+    """
+    # integer div, not double-divide-then-cast: a boundary timestamp
+    # would misbucket under float rounding (the motifs bucketing lesson)
+    act = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div {bucket_us}"
+            ).alias("day"),
+        )
+        .distinct()
+        .persist()
+    )
+    first = act.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        act.join(first, "u")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

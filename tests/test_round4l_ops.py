@@ -1,0 +1,90 @@
+"""Round-4 additions, batch l: document n-gram novelty and cohort
+retention — each against an independent in-Python oracle."""
+
+import random
+import re
+
+from online_centrality_spark.dedup.ngram import doc_novelty
+from online_centrality_spark.streaming.sessions import cohort_retention
+
+TOKEN_RE = re.compile(r"[a-z0-9]+|[^a-z0-9\s]+")
+
+
+def _grams(text, n=3):
+    toks = TOKEN_RE.findall(text.lower())
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+# ------------------------------------------------------------ doc novelty
+
+
+def test_doc_novelty_matches_brute(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sleeps all day long"),
+        (3, "completely different content with unique trigrams here"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        (5, "hi"),  # too short for trigrams -> not emitted
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty"])
+        for r in doc_novelty(df).collect()
+    }
+    all_grams = {d: _grams(t) for d, t in docs}
+    want = {}
+    for d, gs in all_grams.items():
+        if not gs:
+            continue
+        uniq = sum(
+            1
+            for g in gs
+            if all(g not in all_grams[o] for o in all_grams if o != d)
+        )
+        want[d] = (len(gs), uniq, round(uniq / len(gs), 6))
+    assert got == want
+    # exact duplicates share every trigram -> zero novelty both sides
+    assert got[1][2] == 0.0 and got[4][2] == 0.0
+    # fully unique doc -> novelty 1.0
+    assert got[3][2] == 1.0
+
+
+# ------------------------------------------------------- cohort retention
+
+
+def test_cohort_retention_matches_brute(spark):
+    from pyspark.sql import functions as F
+
+    rng = random.Random(53)
+    day_us = 86_400_000_000
+    rows = []
+    for u in range(20):
+        start = rng.randint(0, 4)
+        for d in range(start, 10):
+            if d == start or rng.random() < 0.4:
+                rows.append((u, start * 0 + d * day_us + rng.randint(0, day_us - 1)))
+    df = spark.createDataFrame(rows, "user_id long, t_us long").select(
+        "user_id", F.timestamp_micros("t_us").alias("ts")
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    active = {}
+    for u, t in rows:
+        active.setdefault(u, set()).add(t // day_us)
+    first = {u: min(ds) for u, ds in active.items()}
+    sizes = {}
+    for u, f in first.items():
+        sizes[f] = sizes.get(f, 0) + 1
+    want = {}
+    for u, ds in active.items():
+        for d in ds:
+            key = (first[u], d - first[u])
+            want[key] = want.get(key, 0) + 1
+    want = {k: (v, round(v / sizes[k[0]], 6)) for k, v in want.items()}
+    assert got == want
+    # offset-0 retention is 1.0 for every cohort
+    for (c, off), (_, r) in got.items():
+        if off == 0:
+            assert r == 1.0
