@@ -12,9 +12,15 @@ with --py-files exactly like jobs/replay_job.py):
            -> random-walk corpus       (deterministic DeepWalk input)
            -> 2-hop reach profile      (round 4)
            -> negative-edge samples    (round 4, graph-ML training prep)
+           -> graph summary card       (round 4, density/entropy/α̂)
+      -> timestamped pair stream (shared persist)
+           -> component evolution      (round 4, per-day connectivity)
+           -> edge persistence         (round 4, day-over-day Jaccard)
+           -> disparity backbone       (round 4, top-20 significant)
       -> actor edge table (conv adjacency induction)
            -> HITS hubs/authorities
       -> turn-latency profile          (exact percentiles)
+      -> transition entropy + cohort retention (behavioral summaries)
 
 Each family lands under ``<out>/metric=<name>/`` so a downstream
 consumer reads exactly the partitions it needs; a JSON metrics line
@@ -96,6 +102,30 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
         ),
     )
     sink("response_latency", response_latency(events))
+    # round-4 late families: connectivity/stability time-series and the
+    # behavioral summaries, over the SAME cached pair stream / digraph
+    from online_centrality_spark.operators import (
+        component_evolution,
+        disparity_scores,
+        edge_persistence,
+    )
+    from online_centrality_spark.operators.summary import graph_summary
+    from online_centrality_spark.streaming.sessions import (
+        cohort_retention,
+        transition_entropy,
+    )
+
+    pairs = user_interaction_pairs(events, gap_seconds=gap_seconds).persist()
+    sink("component_evolution", component_evolution(pairs))
+    sink("edge_persistence", edge_persistence(pairs))
+    # shared shape with q_disparity_backbone: top-20 most significant
+    sink(
+        "disparity_backbone",
+        disparity_scores(pairs).orderBy("alpha_min", "a", "b").limit(20),
+    )
+    sink("graph_summary", graph_summary(dg))
+    sink("transition_entropy", transition_entropy(events))
+    sink("cohort_retention", cohort_retention(events))
     return metrics
 
 

@@ -10,8 +10,14 @@ def test_graph_report_all_stages(spark, tmp_path):
     assert set(metrics) == {
         "scc", "reciprocity", "temporal_motifs", "random_walks",
         "two_hop_reach", "negative_samples", "hits", "response_latency",
+        "component_evolution", "edge_persistence", "disparity_backbone",
+        "graph_summary", "transition_entropy", "cohort_retention",
     }
-    assert all(m["rows"] >= 1 for m in metrics.values()), metrics
+    # edge_persistence is legitimately empty when no two consecutive
+    # days both have edges (the sf0.001 case)
+    assert all(
+        m["rows"] >= 1 for n, m in metrics.items() if n != "edge_persistence"
+    ), metrics
     # the sinks must be re-readable and carry the expected schemas
     scc = spark.read.parquet(f"{out}/metric=scc")
     assert set(scc.columns) == {"node_id", "component"}
@@ -44,6 +50,8 @@ def test_graph_report_resume_skips_committed(spark, tmp_path):
     assert resumed == {
         "scc", "reciprocity", "temporal_motifs", "random_walks",
         "two_hop_reach", "negative_samples",
+        "component_evolution", "edge_persistence", "disparity_backbone",
+        "graph_summary", "transition_entropy", "cohort_retention",
     }
 
 
