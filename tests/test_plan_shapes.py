@@ -171,3 +171,33 @@ def test_event_trigrams_window_partitions_on_user(spark):
         r"windowspecdefinition\(user_id", plan
     ), "trigram lag window must partition on the user key"
     assert "SinglePartition" not in plan.split("TakeOrderedAndProject")[-1]
+
+
+def test_round4_late_ops_window_and_sort_discipline(spark):
+    """Late round-4 additions: burstiness / cohort_retention /
+    temporal_split / doc_novelty carry NO unpartitioned unbounded
+    window (only the user-keyed lag and the pair induction's bucketed
+    windows), and disparity_backbone's top-20 compiles to
+    TakeOrderedAndProject — never a global Sort exchange."""
+    unpart = re.compile(r"windowspecdefinition\([^,()]+ (ASC|DESC)")
+    for name in ("burstiness", "cohort_retention", "temporal_split",
+                 "doc_novelty"):
+        plan = _plan(entry_mod.queries()[name](spark, SF))
+        m = unpart.search(plan)
+        assert m is None, f"{name} has an unpartitioned window: {m.group(0)}"
+    plan = _plan(entry_mod.q_disparity_backbone(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_component_evolution_single_cc_run_no_collect(spark):
+    """component_evolution solves every day bucket in one CC pass over
+    the encoded keys: the plan of its output must not contain a
+    CartesianProduct or a per-day loop artifact (one InMemory/checkpoint
+    lineage), and the composite decode stays a projection."""
+    plan = _plan(entry_mod.q_component_evolution(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the decode is arithmetic in the aggregate key, not a join back
+    assert re.search(r"hashpartitioning\(day", plan) or re.search(
+        r"\(node_id#\d+L div ", plan
+    ), plan
