@@ -260,3 +260,40 @@ def test_streaming_exact_dedup_first_seen(spark, tmp_path):
     # one row per fingerprint; 2 and 3 are dups (in-batch and cross-batch)
     assert sorted(got["doc_id"]) in ([0, 1, 4], [1, 2, 4], [0, 3, 4], [2, 3, 4])
     assert got["fingerprint"].nunique() == 3
+
+
+def test_streaming_sessionize_append_matches_batch_closed_sessions(
+    spark, transcript_files
+):
+    """`sessionize` promises the identical call works under Structured
+    Streaming with a watermark: in append mode only sessions the
+    watermark has CLOSED emit, and every emitted row must equal its
+    batch twin exactly (same start/end/count)."""
+    from online_centrality_spark.streaming.sessions import sessionize
+
+    src, _ = transcript_files
+
+    def build(stream_in):
+        return sessionize(
+            stream_in.withWatermark("ts", "1 minute"),
+            user_col="conv_id",
+            gap_minutes=0.5,
+            value_col=None,
+        )
+
+    got = _run_stream(spark, src, build, mode="append", name="sess_t").collect()
+    batch = sessionize(
+        spark.read.schema(TSCHEMA).parquet(str(src)),
+        user_col="conv_id",
+        gap_minutes=0.5,
+        value_col=None,
+    ).collect()
+    bmap = {(r["conv_id"], r["session_start_us"]): r for r in batch}
+    assert got, "no session closed under the watermark — fixture too short"
+    assert len(got) < len(batch), "trailing sessions must stay open"
+    for r in got:
+        b = bmap[(r["conv_id"], r["session_start_us"])]
+        assert (r["n_events"], r["session_end_us"]) == (
+            b["n_events"],
+            b["session_end_us"],
+        )
