@@ -3203,9 +3203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so it takes the 50th slot --------------------------------------
         "pack_sequences": q_pack_sequences,
         # ---- 50-entry driver window ends here ------------------------
-        # (the three newest queries overflow the window by exactly the
-        # 52-zero-evidence vs 50-slot arithmetic; each carries 3-SF
-        # gate-replica + pytest evidence in BENCH/verify_entry_r04.txt)
+        # (FIVE round-4 queries overflow the window — graph_summary,
+        # domain_divergence, transition_entropy, doc_novelty,
+        # cohort_retention rely on gate-replica-only evidence: 54
+        # zero-evidence queries vs 49 slots after pack_sequences; each
+        # has 3-SF replica + pytest records in BENCH/verify_entry_r04.txt)
         "graph_summary": q_graph_summary,
         "domain_divergence": q_domain_divergence,
         "transition_entropy": q_transition_entropy,
@@ -4769,11 +4771,11 @@ SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_transitions,
        CAST(st.n_states AS BIGINT) AS n_states,
        round(-(SELECT sum(t) FROM terms) / 1e12, 6) AS entropy_rate
 FROM st
+WHERE (SELECT n FROM n) IS NOT NULL
 """
     sqls["doc_novelty"] = f"""
 WITH toks AS (
-  SELECT doc_id,
-         regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]+') AS t
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
   FROM documents
 ),
 grams AS (
@@ -4823,8 +4825,8 @@ pr AS (
   GROUP BY 1, 2
 )
 SELECT CAST((SELECT count(*) FROM be) AS BIGINT) AS n_edges,
-       CAST((SELECT sum((d * (d - 1)) // 2)
-             FROM (SELECT count(*) AS d FROM be GROUP BY r) t) AS BIGINT)
+       CAST(coalesce((SELECT sum((d * (d - 1)) // 2)
+             FROM (SELECT count(*) AS d FROM be GROUP BY r) t), 0) AS BIGINT)
          AS n_wedges,
        CAST(coalesce((SELECT sum((c * (c - 1)) // 2) FROM pr), 0) AS BIGINT)
          AS n_butterflies

@@ -51,7 +51,6 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
     from online_centrality_spark.operators.triangles import edge_reciprocity
     from online_centrality_spark.sources.edges import (
         edges_from_events,
-        user_interaction_digraph,
         user_interaction_pairs,
     )
     from online_centrality_spark.streaming import response_latency
@@ -73,7 +72,12 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
     }
     sink = metric_sink(spark, out, params, metrics, resume=resume)
 
-    dg = user_interaction_digraph(events, gap_seconds=gap_seconds).persist()
+    # ONE pair induction feeds both surfaces: the digraph is the
+    # distinct projection of the persisted timestamped pair stream
+    # (user_interaction_digraph is exactly this projection), so the
+    # bucketed-lag induction runs once, not twice
+    pairs = user_interaction_pairs(events, gap_seconds=gap_seconds).persist()
+    dg = pairs.select("src", "dst").distinct().persist()
     sink("scc", strongly_connected_components(dg))
     # shared select with the q_reciprocity driver query — one schema
     # (n_edges, n_mutual, reciprocity) across both surfaces
@@ -115,7 +119,6 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
         transition_entropy,
     )
 
-    pairs = user_interaction_pairs(events, gap_seconds=gap_seconds).persist()
     sink("component_evolution", component_evolution(pairs))
     sink("edge_persistence", edge_persistence(pairs))
     # shared shape with q_disparity_backbone: top-20 most significant

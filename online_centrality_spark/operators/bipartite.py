@@ -60,7 +60,7 @@ def butterfly_count(
         .crossJoin(bf)
         .select(
             "n_edges",
-            "n_wedges",
+            F.coalesce(F.col("n_wedges"), F.lit(0)).alias("n_wedges"),
             F.coalesce(F.col("n_butterflies"), F.lit(0)).alias("n_butterflies"),
         )
     )

@@ -249,6 +249,47 @@ def _cc_star(
     return labels, rounds
 
 
+def bucketed_component_sizes(e: DataFrame, **cc_kwargs) -> DataFrame:
+    """``(bkt, component, sz)`` — per-bucket WCC sizes of a ``(bkt,
+    src, dst)`` edge frame, every bucket solved in ONE run of the
+    star-contraction CC by encoding the composite key ``(bkt, node)``
+    as the single long ``bkt * off + node`` with ``off > max node id``
+    — buckets can never merge because no edge crosses an encoding
+    stripe, so the per-bucket component minimum decodes back exactly.
+    The only driver-held values are the encoding scalars (the k-means
+    seed-read pattern). Shared harness of :func:`component_evolution`
+    and the attack-robustness operator.
+    """
+    mx = e.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("mxn"),
+        F.least(F.min("src"), F.min("dst")).alias("mnn"),
+        F.max("bkt").alias("mxd"),
+        F.min("bkt").alias("mnd"),
+    ).first()
+    if mx["mxn"] is None:
+        return e.sparkSession.createDataFrame(
+            [], "bkt long, component long, sz long"
+        )
+    if mx["mnn"] < 0 or mx["mnd"] < 0:
+        raise ValueError(
+            "bucketed components need non-negative node ids and buckets"
+        )
+    off = mx["mxn"] + 1
+    if (mx["mxd"] + 1) * off >= 2**62:
+        raise ValueError(
+            "bucket*offset encoding would overflow int64; densify node ids "
+            "(e.g. via add_global_seq) first"
+        )
+    enc = e.select(
+        (F.col("bkt") * F.lit(off) + F.col("src")).alias("src"),
+        (F.col("bkt") * F.lit(off) + F.col("dst")).alias("dst"),
+    )
+    labels = connected_components(enc, **cc_kwargs)
+    return labels.groupBy(
+        F.expr(f"node_id div {off}").alias("bkt"), "component"
+    ).agg(F.count("*").alias("sz"))
+
+
 def component_evolution(
     pairs: DataFrame,
     t_col: str = "t",
@@ -260,49 +301,16 @@ def component_evolution(
     the integer bucket ``t div bucket_us`` and the three counts describe
     the weakly connected components of the edges falling in that bucket
     — the "does the interaction graph fragment or coalesce over time"
-    series.
-
-    Scale shape: rather than looping connected components once per
-    bucket (a driver-side loop over B jobs), every bucket is solved in
-    ONE run of the star-contraction CC by encoding the composite key
-    ``(day, node)`` as the single long ``day * off + node`` with
-    ``off > max node id`` — buckets can never merge because no edge
-    crosses an encoding stripe, so the per-bucket component minimum
-    decodes back exactly. The only driver-held values are the two max
-    scalars for the encoding (same pattern as the k-means seed read).
+    series. One star-CC run for all buckets via
+    :func:`bucketed_component_sizes`.
     """
     e = pairs.select(
-        F.expr(f"{t_col} div {bucket_us}").alias("day"),
+        F.expr(f"{t_col} div {bucket_us}").alias("bkt"),
         "src",
         "dst",
     ).filter(F.col("src") != F.col("dst"))
-    mx = e.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("mxn"),
-        F.least(F.min("src"), F.min("dst")).alias("mnn"),
-        F.max("day").alias("mxd"),
-        F.min("day").alias("mnd"),
-    ).first()
-    if mx["mxn"] is None:
-        return e.sparkSession.createDataFrame(
-            [], "day long, n_components long, n_nodes long, largest long"
-        )
-    if mx["mnn"] < 0 or mx["mnd"] < 0:
-        raise ValueError("component_evolution needs non-negative node ids and times")
-    off = mx["mxn"] + 1
-    if (mx["mxd"] + 1) * off >= 2**62:
-        raise ValueError(
-            "day*offset encoding would overflow int64; densify node ids "
-            "(e.g. via add_global_seq) before calling component_evolution"
-        )
-    enc = e.select(
-        (F.col("day") * F.lit(off) + F.col("src")).alias("src"),
-        (F.col("day") * F.lit(off) + F.col("dst")).alias("dst"),
-    )
-    labels = connected_components(enc, **cc_kwargs)
-    sizes = labels.groupBy(
-        F.expr(f"node_id div {off}").alias("day"), "component"
-    ).agg(F.count("*").alias("sz"))
-    return sizes.groupBy("day").agg(
+    sizes = bucketed_component_sizes(e, **cc_kwargs)
+    return sizes.groupBy(F.col("bkt").alias("day")).agg(
         F.count("*").alias("n_components"),
         F.sum("sz").cast("long").alias("n_nodes"),
         F.max("sz").alias("largest"),

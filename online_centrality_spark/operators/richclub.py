@@ -60,8 +60,16 @@ def rich_club(edges: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("ne"))
     )
     node_hist = deg.groupBy("deg").agg(F.count("*").alias("nn"))
+    # guard: sequence(1, 0) DESCENDS in Spark (the word_ngrams hazard),
+    # so a max-degree-1 graph must yield an empty k-series, matching
+    # the oracle's range(1, 1)
     ks = deg.agg(F.max("deg").alias("mx")).select(
-        F.explode(F.sequence(F.lit(1), F.col("mx") - 1)).alias("k")
+        F.explode(
+            F.expr(
+                "CASE WHEN mx >= 2 THEN sequence(CAST(1 AS BIGINT), mx - 1) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ).alias("k")
     )
     n_k = (
         ks.join(node_hist, node_hist["deg"] > ks["k"])

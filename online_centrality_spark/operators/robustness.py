@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .components import connected_components
+from .components import bucketed_component_sizes
 
 
 def attack_robustness(
@@ -84,28 +84,17 @@ def attack_robustness(
         )
         .persist()
     )
-    mx = tagged.agg(F.greatest(F.max("a"), F.max("b")).alias("m")).first()
-    if mx["m"] is None:
-        return und.sparkSession.createDataFrame(
-            [],
-            "level long, n_edges long, n_nodes long, n_components long, "
-            "largest long",
-        )
-    off = mx["m"] + 1
-    if (max_remove + 1) * off >= 2**62:
-        raise ValueError(
-            "level*offset encoding would overflow int64; densify node ids "
-            "before calling attack_robustness"
-        )
-    enc = tagged.select(
-        (F.col("level") * F.lit(off) + F.col("a")).alias("src"),
-        (F.col("level") * F.lit(off) + F.col("b")).alias("dst"),
+    # shared stripe-encode -> one-CC-run -> decode harness (carries the
+    # negative-id and int64-overflow guards)
+    sizes = bucketed_component_sizes(
+        tagged.select(
+            F.col("level").alias("bkt"),
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+        ),
+        **cc_kwargs,
     )
-    labels = connected_components(enc, **cc_kwargs)
-    sizes = labels.groupBy(
-        F.expr(f"node_id div {off}").alias("level"), "component"
-    ).agg(F.count("*").alias("sz"))
-    comp_stats = sizes.groupBy("level").agg(
+    comp_stats = sizes.groupBy(F.col("bkt").alias("level")).agg(
         F.count("*").alias("n_components"),
         F.sum("sz").cast("long").alias("n_nodes"),
         F.max("sz").alias("largest"),

@@ -142,7 +142,9 @@ def user_burstiness(
     make Spark's truncating ``div`` and an oracle's flooring ``//``
     disagree).
     """
-    w = Window.partitionBy(user_col).orderBy("t", order_col)
+    # the window runs AFTER the aliasing select, so it must partition
+    # on the alias — partitioning on user_col breaks any non-default key
+    w = Window.partitionBy("user_id").orderBy("t", order_col)
     t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gaps = (
         events.select(F.col(user_col).alias("user_id"), t.alias("t"), order_col)

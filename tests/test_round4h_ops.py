@@ -169,3 +169,21 @@ def test_component_evolution_empty_and_overflow_guard(spark):
     )
     with _pytest.raises(ValueError, match="overflow"):
         component_evolution(huge)
+
+
+def test_rich_club_matching_graph_is_empty(spark):
+    # max degree 1 (perfect matching): the k-series 1..max_deg-1 is
+    # empty — the descending-sequence hazard regression
+    df = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    assert rich_club(df).count() == 0
+
+
+def test_burstiness_custom_user_col(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("c1", 1_000_000_000 + i * 5_000_000, i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, t_us long, event_id long"
+    ).select("conv_id", F.timestamp_micros("t_us").alias("ts"), "event_id")
+    got = user_burstiness(df, user_col="conv_id", min_gaps=5).collect()
+    assert len(got) == 1 and got[0]["burstiness"] == -1.0

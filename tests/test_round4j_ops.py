@@ -159,3 +159,17 @@ def test_attribute_assortativity_matches_brute(spark):
     sq = sum(v * v for v in cnt.values()) / (m * m)
     want = round((same / m - sq) / (1 - sq), 6)
     assert got["assortativity"] == want and got["n_edges"] == len(und)
+
+
+def test_attack_robustness_rejects_negative_node_ids(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(-5, 3), (3, 4)], "src long, dst long")
+    with _pytest.raises(ValueError, match="non-negative"):
+        attack_robustness(df, max_remove=2).collect()
+
+
+def test_butterfly_empty_input_all_zero(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    r = butterfly_count(df).collect()[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_butterflies"]) == (0, 0, 0)
