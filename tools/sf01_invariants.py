@@ -174,6 +174,61 @@ def main():
 
     check("hop_mass_matches_components", hop_mass_matches_components)
 
+    def robustness_level0_matches_cc():
+        # attack level 0 removes nothing: its component stats must equal
+        # an independent whole-graph connected_components run, and the
+        # giant-component size must be non-increasing in the level
+        rows = sorted(
+            entry_mod.q_attack_robustness(spark, sf_dir).collect(),
+            key=lambda r: r["level"],
+        )
+        assert rows and rows[0]["level"] == 0
+        comp_sizes = [
+            r.n
+            for r in entry_mod.q_connected_components(spark, sf_dir)
+            .groupBy("component")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        l0 = rows[0]
+        assert l0["n_components"] == len(comp_sizes)
+        assert l0["n_nodes"] == sum(comp_sizes)
+        assert l0["largest"] == max(comp_sizes)
+        for a, b in zip(rows, rows[1:]):
+            assert b["n_edges"] <= a["n_edges"], "edges grew with removals"
+            assert b["largest"] <= a["largest"], "giant grew with removals"
+
+    check("robustness_level0_matches_cc", robustness_level0_matches_cc)
+
+    def evolution_days_match_persistence():
+        # the two time-series operators must agree on which days carry
+        # edges, and per-day node counts bound the giant component
+        ev = {
+            r["day"]: r
+            for r in entry_mod.q_component_evolution(spark, sf_dir).collect()
+        }
+        assert ev, "no days with edges"
+        pe = entry_mod.q_edge_persistence(spark, sf_dir).collect()
+        for r in pe:
+            assert r["day"] in ev and (r["day"] + 1) in ev
+            assert 0.0 <= r["jaccard"] <= 1.0
+        for r in ev.values():
+            assert r["largest"] <= r["n_nodes"]
+            assert r["n_components"] <= r["n_nodes"]
+
+    check("evolution_days_match_persistence", evolution_days_match_persistence)
+
+    def densest_beats_whole_graph_density():
+        # the peel's best snapshot can only DENSIFY relative to the
+        # whole graph (round 0 is the whole graph, best is max)
+        rows = entry_mod.q_densest_subgraph(spark, sf_dir).collect()
+        assert rows
+        gs = entry_mod.q_graph_summary(spark, sf_dir).collect()[0]
+        whole = round(gs["n_edges"] / gs["n_nodes"], 6)
+        assert rows[0]["density"] >= whole
+
+    check("densest_beats_whole_graph_density", densest_beats_whole_graph_density)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
