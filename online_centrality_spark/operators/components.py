@@ -260,6 +260,9 @@ def bucketed_component_sizes(e: DataFrame, **cc_kwargs) -> DataFrame:
     seed-read pattern). Shared harness of :func:`component_evolution`
     and the attack-robustness operator.
     """
+    # persist: the encoding-scalar agg and the CC's first checkpoint
+    # both read this frame (loop-input persist audit rule)
+    e = e.persist()
     mx = e.agg(
         F.greatest(F.max("src"), F.max("dst")).alias("mxn"),
         F.least(F.min("src"), F.min("dst")).alias("mnn"),

@@ -30,6 +30,10 @@ def temporal_edge_split(
     ``n_new_nodes`` counts test nodes absent from the train graph (0
     for the train row by definition).
     """
+    # persist the input once: the cut agg and the tagged materialization
+    # would otherwise each re-run the upstream induction (the loop-input
+    # persist audit rule)
+    pairs = pairs.persist()
     cut = pairs.agg(
         F.expr(
             f"min({t_col}) + ((max({t_col}) - min({t_col})) * {num}) div {den}"
