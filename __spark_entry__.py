@@ -3119,6 +3119,28 @@ def q_cohort_retention(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_spam_mass(spark, sf_dir):
+    """TrustRank-style spam mass on the supplier->customer graph:
+    (PageRank - trust-seeded PPR) / PageRank — the classic link-spam
+    score (Gyöngyi et al.). Computed on the 9-rounded score columns of
+    the two green PR queries so the derived ratio is a fixed double
+    chain over ENGINE-IDENTICAL inputs (raw PR doubles carry
+    summation-order noise that a small-denominator division would
+    amplify past any rounding)."""
+    pr = q_static_pagerank(spark, sf_dir)
+    trust = q_personalized_pagerank(spark, sf_dir).select(
+        "node_id", F.col("score").alias("trust")
+    )
+    return pr.join(trust, "node_id").select(
+        "node_id",
+        F.col("score").alias("pagerank"),
+        "trust",
+        F.round((F.col("score") - F.col("trust")) / F.col("score"), 6).alias(
+            "spam_mass"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3213,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": q_transition_entropy,
         "doc_novelty": q_doc_novelty,
         "cohort_retention": q_cohort_retention,
+        "spam_mass": q_spam_mass,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -4813,6 +4836,13 @@ ret AS (
 SELECT r.cohort_day, r.day_offset, CAST(r.n_active AS BIGINT) AS n_active,
        round(r.n_active / s.cohort_size, 6) AS retention
 FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+"""
+    sqls["spam_mass"] = f"""
+WITH pr AS ({sqls["static_pagerank"]}),
+tr AS ({sqls["personalized_pagerank"]})
+SELECT pr.node_id, pr.score AS pagerank, tr.score AS trust,
+       round((pr.score - tr.score) / pr.score, 6) AS spam_mass
+FROM pr JOIN tr ON pr.node_id = tr.node_id
 """
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (

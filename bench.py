@@ -379,6 +379,10 @@ def main():
         "cohort_retention",
         lambda: entry_mod.q_cohort_retention(spark, sf_dir).count(),
     )
+    run(
+        "spam_mass",
+        lambda: entry_mod.q_spam_mass(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

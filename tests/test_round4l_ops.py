@@ -88,3 +88,30 @@ def test_cohort_retention_matches_brute(spark):
     for (c, off), (_, r) in got.items():
         if off == 0:
             assert r == 1.0
+
+
+# ------------------------------------------------------------- spam mass
+
+
+def test_spam_mass_trust_concentrates_at_seeds(spark):
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.q_spam_mass(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # trust is a probability mass: 0 <= trust, pagerank > 0,
+        # spam_mass = 1 - trust/pr <= 1
+        assert r["pagerank"] > 0 and r["trust"] >= 0
+        assert r["spam_mass"] <= 1.0
+    # seed suppliers (suppkey % 7 == 0, ids < 100000) must carry MORE
+    # trust relative to rank than the average non-seed node
+    seeds = [r for r in rows if r["node_id"] < 100000 and r["node_id"] % 7 == 0]
+    others = [r for r in rows if not (r["node_id"] < 100000 and r["node_id"] % 7 == 0)]
+    assert seeds and others
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean([r["spam_mass"] for r in seeds]) < mean(
+        [r["spam_mass"] for r in others]
+    )
