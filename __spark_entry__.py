@@ -1018,6 +1018,59 @@ FROM allnodes m JOIN bestr b ON m.rnd = b.rnd"""
     )
 
 
+def _msf_sql(rounds: int = 10) -> str:
+    """MSF via the CYCLE property over a minimax path closure: with the
+    TOTAL edge order key(e) = (w, a, b) (keys are unique), edge e is in
+    the unique MSF iff NO path between its endpoints uses only
+    strictly-smaller edges — i.e. iff the minimax path key between its
+    endpoints equals its own key. The minimax closure M(u,v) =
+    min over paths of max edge key folds by doubling (2^rounds-hop
+    paths covered), the same min-plus recursion shape as the
+    eccentricity oracle — and like that oracle it is QUADRATIC in
+    component size, so the gate checks msf at sf0.01 and sf0.1 is
+    covered by engine-side invariants (tools/sf01_invariants.py).
+    The (w, a, b) order is encoded as the single BIGINT
+    round(w*1e6)*1e10 + a*1e5 + b — order-isomorphic for the fixture's
+    vec_id < 1e5 and w in [0, 1]."""
+    ctes = [
+        f"""_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+we AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS w
+  FROM _v a JOIN _v b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {COS_TH}
+)""",
+        """wk AS MATERIALIZED (
+  SELECT a, b, w,
+         CAST(round(w * 1e6) AS BIGINT) * 10000000000
+           + a * 100000 + b AS k
+  FROM we
+)""",
+        """m0 AS MATERIALIZED (
+  SELECT a AS u, b AS v, k FROM wk UNION
+  SELECT b, a, k FROM wk
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"m{i - 1}"
+        ctes.append(f"""m{i} AS MATERIALIZED (
+  SELECT u, v, min(k) AS k FROM (
+    SELECT u, v, k FROM {p}
+    UNION ALL
+    SELECT x.u, y.v, greatest(x.k, y.k) AS k
+    FROM {p} x JOIN {p} y ON x.v = y.u
+    WHERE x.u <> y.v) z
+  GROUP BY u, v)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.a, e.b, e.w
+FROM wk e JOIN m{rounds} m ON e.a = m.u AND e.b = m.v
+WHERE m.k = e.k"""
+    )
+
+
 def _ppr_sql() -> str:
     """Personalized PageRank unrolled PR_ITERS iterations on the
     supplier -> customer bipartite graph; restart (and dangling) mass
@@ -3141,6 +3194,24 @@ def q_spam_mass(spark, sf_dir):
     )
 
 
+def q_msf(spark, sf_dir):
+    """Minimum spanning forest of the weighted cosine graph (weight =
+    rounded similarity) via Boruvka contraction; the (w, a, b) total
+    order makes the forest unique, so the unrolled oracle lands on the
+    identical edge set."""
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
+    from online_centrality_spark.operators.msf import minimum_spanning_forest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_blocked(emb, threshold=COS_TH - 1e-6)
+    we = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.round("cosine", 6).alias("w"),
+    ).filter(F.col("w") >= COS_TH)
+    return minimum_spanning_forest(we, weight_col="w")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3236,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "cohort_retention": q_cohort_retention,
         "spam_mass": q_spam_mass,
+        "msf": q_msf,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -4844,6 +4916,7 @@ SELECT pr.node_id, pr.score AS pagerank, tr.score AS trust,
        round((pr.score - tr.score) / pr.score, 6) AS spam_mass
 FROM pr JOIN tr ON pr.node_id = tr.node_id
 """
+    sqls["msf"] = _msf_sql()
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

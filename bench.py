@@ -383,6 +383,7 @@ def main():
         "spam_mass",
         lambda: entry_mod.q_spam_mass(spark, sf_dir).count(),
     )
+    run("msf", lambda: entry_mod.q_msf(spark, sf_dir).count(), n=1)
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -18,6 +18,7 @@ from .backbone import disparity_backbone, disparity_scores
 from .persistence import edge_persistence
 from .robustness import attack_robustness
 from .bipartite import butterfly_count
+from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
 from .walk_corpus import random_walks
@@ -78,6 +79,7 @@ __all__ = [
     "attack_robustness",
     "butterfly_count",
     "attribute_assortativity",
+    "minimum_spanning_forest",
     "random_walks",
     "degree_assortativity",
     "local_clustering",

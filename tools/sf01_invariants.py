@@ -229,6 +229,36 @@ def main():
 
     check("densest_beats_whole_graph_density", densest_beats_whole_graph_density)
 
+    def msf_weight_matches_networkx():
+        # the msf ORACLE is quadratic (minimax closure, like ecc/scc) so
+        # the gate checks it at sf0.01; here the engine forest at sf0.1
+        # must carry the UNIQUE minimum total weight (invariant across
+        # all MSFs even under ties) and the exact forest cardinality
+        import networkx as nx
+
+        rows = entry_mod.q_msf(spark, sf_dir).collect()
+        cc = entry_mod.q_connected_components(spark, sf_dir)
+        n_nodes = cc.count()
+        n_comp = cc.select("component").distinct().count()
+        assert len(rows) == n_nodes - n_comp, (len(rows), n_nodes, n_comp)
+        g = nx.Graph()
+        # independent weighted edge list via the same blocked pair source
+        from online_centrality_spark.dedup.embedding import (
+            embedding_near_dups_blocked,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        pairs = embedding_near_dups_blocked(emb, threshold=0.35 - 1e-6)
+        for r in pairs.collect():
+            w = round(r["cosine"], 6)
+            if w >= 0.35:
+                g.add_edge(r["doc_a"], r["doc_b"], weight=w)
+        t = nx.minimum_spanning_edges(g, data=True)
+        nx_weight = round(sum(d["weight"] for _, _, d in t), 6)
+        assert round(sum(r["w"] for r in rows), 6) == nx_weight
+
+    check("msf_weight_matches_networkx", msf_weight_matches_networkx)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
