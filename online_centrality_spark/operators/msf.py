@@ -10,10 +10,12 @@ Borůvka cycle-free without distinct weights and makes the forest
 UNIQUE — the property the unrolled SQL oracle relies on.
 
 Per round: two label joins + one grouped struct-min + a
-connected-components run over the forest-so-far (star contraction /
-union-find fast path, the same engine every other component operator
-uses); lineage cut with ``localCheckpoint``. No windows, no driver
-state beyond the per-round cross-edge emptiness check.
+connected-components run over the CANDIDATE pick graph in LABEL space
+— one edge per component, so the contraction frame is component-count
+sized (shrinking geometrically), never the whole forest; labels
+compose through a single join. Lineage cut with ``localCheckpoint``;
+no windows, no driver state beyond the per-round cross-edge emptiness
+check.
 
 No reference counterpart; standard semantics, Kruskal-parity-validated
 in tests.
@@ -73,29 +75,35 @@ def minimum_spanning_forest(
             done = True
             break
         both = x.select(
-            F.col("ca").alias("comp"), F.struct("w", "a", "b").alias("e")
+            F.col("ca").alias("comp"),
+            F.struct("w", "a", "b", "ca", "cb").alias("e"),
         ).unionAll(
-            x.select(F.col("cb").alias("comp"), F.struct("w", "a", "b").alias("e"))
-        )
-        cand = (
-            both.groupBy("comp")
-            .agg(F.min("e").alias("me"))
-            .select(
-                F.col("me.w").alias("w"),
-                F.col("me.a").alias("a"),
-                F.col("me.b").alias("b"),
+            x.select(
+                F.col("cb").alias("comp"),
+                F.struct("w", "a", "b", "ca", "cb").alias("e"),
             )
-            .distinct()
         )
-        forest = forest.unionAll(cand).localCheckpoint(eager=True)
+        # struct min still orders by (w, a, b) — ca/cb ride along for
+        # the label-space contraction below and never affect comparison
+        # ((w, a, b) is unique per edge)
+        cand = (
+            both.groupBy("comp").agg(F.min("e").alias("me")).select("me.*")
+        ).localCheckpoint(eager=True)
+        forest = forest.unionAll(
+            cand.select("w", "a", "b").distinct()
+        ).localCheckpoint(eager=True)
+        # contract in LABEL space: the candidate pick graph has one
+        # edge per component, so this CC runs on a frame the size of
+        # the CURRENT component count (shrinking geometrically) — not
+        # the whole forest — and labels COMPOSE through a single join
         cc = connected_components(
-            forest.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        )
+            cand.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        ).select(F.col("node_id").alias("lab"), F.col("component").alias("new_lab"))
         labels = (
-            nodes.join(cc, "node_id", "left")
+            labels.join(cc, "lab", "left")
             .select(
                 "node_id",
-                F.coalesce(F.col("component"), F.col("node_id")).alias("lab"),
+                F.coalesce(F.col("new_lab"), F.col("lab")).alias("lab"),
             )
             .localCheckpoint(eager=True)
         )
