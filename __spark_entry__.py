@@ -3212,6 +3212,22 @@ def q_msf(spark, sf_dir):
     return minimum_spanning_forest(we, weight_col="w")
 
 
+def q_avg_neighbor_degree(spark, sf_dir):
+    """k_nn(k) average-neighbor-degree curve of the cosine graph — the
+    structural companion to the scalar assortativity coefficient."""
+    from online_centrality_spark.operators.summary import avg_neighbor_degree
+
+    return avg_neighbor_degree(_cos_edges(spark, sf_dir))
+
+
+def q_doc_surprisal(spark, sf_dir):
+    """Per-document cross-entropy under the corpus unigram LM — the
+    cheap perplexity proxy for quality filtering."""
+    from online_centrality_spark.text.analysis import doc_surprisal
+
+    return doc_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3308,6 +3324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "spam_mass": q_spam_mass,
         "msf": q_msf,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "doc_surprisal": q_doc_surprisal,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -4917,6 +4935,49 @@ SELECT pr.node_id, pr.score AS pagerank, tr.score AS trust,
 FROM pr JOIN tr ON pr.node_id = tr.node_id
 """
     sqls["msf"] = _msf_sql()
+    sqls["avg_neighbor_degree"] = f"""
+WITH {COS_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM cedges
+  UNION ALL SELECT dst, src FROM cedges
+),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+nbr AS (
+  SELECT s.u, sum(dv.d) AS sm FROM sym s JOIN deg dv ON s.v = dv.u
+  GROUP BY s.u
+),
+pn AS (
+  SELECT deg.d,
+         CAST(round((CAST(nbr.sm AS DOUBLE) / deg.d) * 1e12) AS BIGINT) AS t
+  FROM deg JOIN nbr ON deg.u = nbr.u
+)
+SELECT CAST(d AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+       round((CAST(sum(t) AS DOUBLE) / 1e12) / count(*), 6) AS knn
+FROM pn GROUP BY d
+"""
+    sqls["doc_surprisal"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DOC_TOKENS}) AS w FROM documents
+),
+cdw AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS cdw FROM tok GROUP BY 1, 2
+),
+cw AS (SELECT w, sum(cdw) AS cw FROM cdw GROUP BY w),
+ld AS (SELECT doc_id, sum(cdw) AS ld FROM cdw GROUP BY doc_id),
+n AS (SELECT sum(cdw) AS n FROM cdw),
+terms AS (
+  SELECT c.doc_id, ld.ld,
+         CAST(round(
+           (CAST(c.cdw AS DOUBLE) / ld.ld)
+           * ln(CAST(cw.cw AS DOUBLE) / n.n) * 1e12
+         ) AS BIGINT) AS t
+  FROM cdw c JOIN cw ON c.w = cw.w JOIN ld ON c.doc_id = ld.doc_id
+  CROSS JOIN n
+)
+SELECT doc_id, CAST(any_value(ld) AS BIGINT) AS n_tokens,
+       round(-sum(t) / 1e12, 6) AS cross_entropy
+FROM terms GROUP BY doc_id
+"""
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

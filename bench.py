@@ -384,6 +384,14 @@ def main():
         lambda: entry_mod.q_spam_mass(spark, sf_dir).count(),
     )
     run("msf", lambda: entry_mod.q_msf(spark, sf_dir).count(), n=1)
+    run(
+        "avg_neighbor_degree",
+        lambda: entry_mod.q_avg_neighbor_degree(spark, sf_dir).count(),
+    )
+    run(
+        "doc_surprisal",
+        lambda: entry_mod.q_doc_surprisal(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -23,6 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """``(k, n_nodes, knn)`` — the k_nn(k) curve: for every degree
+    class ``k``, the mean over class members of their average neighbor
+    degree. Rising knn(k) = assortative mixing, falling = hubs feed the
+    periphery — the structural companion to the scalar assortativity
+    coefficient.
+
+    One degree shuffle, one symmetric join to sum neighbor degrees,
+    then degree-class frames. Each node's mean neighbor degree is an
+    exact-int ratio (fixed double chain); the class average uses the
+    scaled-int64 sum rule so it is partition-order independent.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d")).persist()
+    nbr = (
+        sym.join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+        .groupBy("u")
+        .agg(F.sum("dv").alias("s"))
+    )
+    per_node = deg.join(nbr, "u").select(
+        "d",
+        F.round((F.col("s").cast("double") / F.col("d")) * 1e12)
+        .cast("long")
+        .alias("t"),
+    )
+    return per_node.groupBy(F.col("d").alias("k")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round(
+            (F.sum("t").cast("double") / 1e12) / F.count("*"), 6
+        ).alias("knn"),
+    )
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """1-row ``(n_nodes, n_edges, density, mean_degree, molloy_reed,
     degree_entropy, powerlaw_alpha)``; float columns rounded to 6."""

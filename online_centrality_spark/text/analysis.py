@@ -609,3 +609,39 @@ def domain_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.first("nd").cast("long").alias("n_tokens"),
         F.round(F.sum("t") / 1e12, 6).alias("kl"),
     )
+
+
+def doc_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens, cross_entropy)`` — each document's
+    cross-entropy (nats/token) under the corpus unigram language model:
+    ``H(d) = −Σ_w (c_dw/len_d)·ln(c_w/N)``. The classic cheap
+    perplexity proxy for quality filtering — boilerplate and
+    common-word soup scores low, rare-token noise scores high, and the
+    useful corpus lives in the middle band.
+
+    Scale shape: one tokenize + per-(doc, word) groupBy, a word-keyed
+    join against the corpus counts (derived from the same frame — one
+    scan), the 1-row total as a broadcast cross join; per-term values
+    use the scaled-int64 sum rule (`domain_divergence`) so the per-doc
+    totals are partition-order independent in both engines.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    tok = docs.select("doc_id", F.explode(F.expr(words)).alias("w"))
+    cdw = tok.groupBy("doc_id", "w").agg(F.count("*").alias("cdw")).persist()
+    cw = cdw.groupBy("w").agg(F.sum("cdw").alias("cw"))
+    ld = cdw.groupBy("doc_id").agg(F.sum("cdw").alias("ld"))
+    n = cdw.agg(F.sum("cdw").alias("n"))
+    term = (
+        (F.col("cdw").cast("double") / F.col("ld"))
+        * F.log(F.col("cw").cast("double") / F.col("n"))
+    )
+    scaled = (
+        cdw.join(cw, "w")
+        .join(ld, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "ld", F.round(term * 1e12).cast("long").alias("t"))
+    )
+    return scaled.groupBy("doc_id").agg(
+        F.first("ld").cast("long").alias("n_tokens"),
+        F.round(-F.sum("t") / 1e12, 6).alias("cross_entropy"),
+    )

@@ -115,3 +115,87 @@ def test_spam_mass_trust_concentrates_at_seeds(spark):
     assert mean([r["spam_mass"] for r in seeds]) < mean(
         [r["spam_mass"] for r in others]
     )
+
+
+# ----------------------------------------------- avg neighbor degree
+
+
+def test_avg_neighbor_degree_matches_brute(spark):
+    import math
+    import random
+
+    from online_centrality_spark.operators.summary import avg_neighbor_degree
+
+    def _round_half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    rng = random.Random(71)
+    edges = [(rng.randint(0, 14), rng.randint(0, 14)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["k"]: (r["n_nodes"], r["knn"])
+        for r in avg_neighbor_degree(df).collect()
+    }
+    es = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for h, l in es:
+        adj.setdefault(h, set()).add(l)
+        adj.setdefault(l, set()).add(h)
+    by_k = {}
+    for v, ns in adj.items():
+        t = _round_half_up(sum(len(adj[u]) for u in ns) / len(ns) * 1e12)
+        by_k.setdefault(len(ns), []).append(t)
+    want = {
+        k: (len(ts), round(sum(ts) / 1e12 / len(ts), 6)) for k, ts in by_k.items()
+    }
+    assert got == want
+
+
+def test_avg_neighbor_degree_star(spark):
+    from online_centrality_spark.operators.summary import avg_neighbor_degree
+
+    # star with 5 leaves: hub (k=5) sees knn=1; leaves (k=1) see knn=5
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    got = {r["k"]: (r["n_nodes"], r["knn"]) for r in avg_neighbor_degree(df).collect()}
+    assert got == {5: (1, 1.0), 1: (5, 5.0)}
+
+
+# ----------------------------------------------------- doc surprisal
+
+
+def test_doc_surprisal_matches_brute(spark):
+    import math
+
+    from online_centrality_spark.text.analysis import doc_surprisal
+
+    def _round_half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    docs = [
+        (1, "the the the common words"),
+        (2, "zeta xylophone quixotic rare rare"),
+        (3, "the common zeta mix"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in doc_surprisal(df).collect()
+    }
+    cdw, cw = {}, {}
+    for d, text in docs:
+        for w in text.split():
+            cdw[(d, w)] = cdw.get((d, w), 0) + 1
+            cw[w] = cw.get(w, 0) + 1
+    n = sum(cw.values())
+    want = {}
+    for d, _ in docs:
+        ld = sum(c for (dd, _), c in cdw.items() if dd == d)
+        ts = [
+            _round_half_up((c / ld) * math.log(cw[w] / n) * 1e12)
+            for (dd, w), c in cdw.items()
+            if dd == d
+        ]
+        want[d] = (ld, round(-sum(ts) / 1e12, 6))
+    assert got == want
+    # the rare-token doc must be more surprising than the common one
+    assert got[2][1] > got[1][1]
