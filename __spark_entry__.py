@@ -3312,9 +3312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so it takes the 50th slot --------------------------------------
         "pack_sequences": q_pack_sequences,
         # ---- 50-entry driver window ends here ------------------------
-        # (FIVE round-4 queries overflow the window — graph_summary,
+        # (NINE round-4 queries overflow the window — graph_summary,
         # domain_divergence, transition_entropy, doc_novelty,
-        # cohort_retention rely on gate-replica-only evidence: 54
+        # cohort_retention, spam_mass, msf, avg_neighbor_degree,
+        # doc_surprisal rely on gate-replica-only evidence: 58
         # zero-evidence queries vs 49 slots after pack_sequences; each
         # has 3-SF replica + pytest records in BENCH/verify_entry_r04.txt)
         "graph_summary": q_graph_summary,

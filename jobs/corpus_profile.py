@@ -10,6 +10,9 @@ stream is behaving, composed as one DataFrame program (launch with
       -> tf-idf top terms per document          (keyword audit)
       -> PMI term co-occurrence                 (vocab health / leakage)
       -> count-min heavy hitters                (boilerplate detection)
+      -> domain KL divergence                   (round 4, mixture drift)
+      -> per-doc unigram surprisal              (round 4, quality proxy)
+      -> trigram novelty                        (round 4, diversity)
     events
       -> daily active users + rolling volume    (ingestion health)
 
@@ -77,6 +80,17 @@ def run_profile(spark, docs, events, out: str,
             "rolling_events",
         ),
     )
+    # round-4 late families: domain drift, per-doc LM surprisal, and
+    # corpus-diversity novelty — the quality-filtering trio
+    from online_centrality_spark.dedup.ngram import doc_novelty
+    from online_centrality_spark.text.analysis import (
+        doc_surprisal,
+        domain_divergence,
+    )
+
+    sink("domain_divergence", domain_divergence(docs))
+    sink("doc_surprisal", doc_surprisal(docs))
+    sink("doc_novelty", doc_novelty(docs))
     return metrics
 
 

@@ -107,6 +107,7 @@ def test_corpus_profile_all_stages(spark, tmp_path):
     assert set(metrics) == {
         "token_percentiles", "tfidf_top_terms", "term_cooccurrence",
         "heavy_hitters", "daily_activity",
+        "domain_divergence", "doc_surprisal", "doc_novelty",
     }
     assert all(m["rows"] >= 1 for m in metrics.values()), metrics
     hh = spark.read.parquet(f"{out}/metric=heavy_hitters")
