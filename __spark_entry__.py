@@ -3228,6 +3228,30 @@ def q_doc_surprisal(spark, sf_dir):
     return doc_surprisal(_t(spark, sf_dir, "documents"))
 
 
+def q_clustering_by_degree(spark, sf_dir):
+    """C(k) curve of the cosine graph: mean local clustering per degree
+    class — hierarchy/modularity signal (Ravasz–Barabási)."""
+    from online_centrality_spark.operators.summary import clustering_by_degree
+
+    return clustering_by_degree(_cos_edges(spark, sf_dir))
+
+
+def q_activity_heatmap(spark, sf_dir):
+    """Weekly (dow, hour) activity heatmap in pure integer epoch
+    arithmetic — no calendar functions, engine/timezone-proof."""
+    from online_centrality_spark.streaming.sessions import activity_heatmap
+
+    return activity_heatmap(_t(spark, sf_dir, "events"))
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law cumulative vocabulary curve over doc-id-ordered
+    corpus buckets."""
+    from online_centrality_spark.text.analysis import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"), buckets=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3327,6 +3351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf": q_msf,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "doc_surprisal": q_doc_surprisal,
+        "clustering_by_degree": q_clustering_by_degree,
+        "activity_heatmap": q_activity_heatmap,
+        "vocab_growth": q_vocab_growth,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -4978,6 +5005,68 @@ terms AS (
 SELECT doc_id, CAST(any_value(ld) AS BIGINT) AS n_tokens,
        round(-sum(t) / 1e12, 6) AS cross_entropy
 FROM terms GROUP BY doc_id
+"""
+    sqls["clustering_by_degree"] = f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS (SELECT src AS a, dst AS b FROM cedges),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und
+  ) t GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n
+),
+tris AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM o e1 JOIN o e2 ON e1.hi = e2.lo JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT x AS node_id FROM tris UNION ALL SELECT y FROM tris UNION ALL SELECT z FROM tris
+),
+tc AS (SELECT node_id, count(*) AS t FROM corners GROUP BY node_id),
+pn AS (
+  SELECT d.d,
+         CAST(round(
+           CASE WHEN d.d >= 2
+                THEN 2.0 * coalesce(tc.t, 0) / (d.d * (d.d - 1))
+                ELSE 0.0 END * 1e12
+         ) AS BIGINT) AS t
+  FROM deg d LEFT JOIN tc ON d.n = tc.node_id
+)
+SELECT CAST(d AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+       round((CAST(sum(t) AS DOUBLE) / 1e12) / count(*), 6) AS ck
+FROM pn GROUP BY d
+"""
+    sqls["activity_heatmap"] = """
+SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+    sqls["vocab_growth"] = f"""
+WITH wd AS (SELECT max(doc_id) // 20 + 1 AS width FROM documents),
+db AS MATERIALIZED (
+  SELECT doc_id // (SELECT width FROM wd) AS b, text FROM documents
+),
+fb AS (
+  SELECT fb, count(*) AS nw FROM (
+    SELECT w, min(b) AS fb FROM (
+      SELECT b, unnest({DOC_TOKENS}) AS w FROM db) t
+    GROUP BY w) u
+  GROUP BY fb
+),
+docs_b AS (SELECT b, count(*) AS nd FROM db GROUP BY b),
+ks AS (SELECT b AS bucket FROM docs_b)
+SELECT ks.bucket,
+       CAST((SELECT sum(nd) FROM docs_b WHERE b <= ks.bucket) AS BIGINT)
+         AS n_docs_cum,
+       CAST(coalesce((SELECT sum(nw) FROM fb WHERE fb <= ks.bucket), 0)
+            AS BIGINT) AS vocab_cum
+FROM ks
 """
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (

@@ -392,6 +392,18 @@ def main():
         "doc_surprisal",
         lambda: entry_mod.q_doc_surprisal(spark, sf_dir).count(),
     )
+    run(
+        "clustering_by_degree",
+        lambda: entry_mod.q_clustering_by_degree(spark, sf_dir).count(),
+    )
+    run(
+        "activity_heatmap",
+        lambda: entry_mod.q_activity_heatmap(spark, sf_dir).count(),
+    )
+    run(
+        "vocab_growth",
+        lambda: entry_mod.q_vocab_growth(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -65,6 +65,27 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_by_degree(edges: DataFrame) -> DataFrame:
+    """``(k, n_nodes, ck)`` — the C(k) curve: mean local clustering
+    coefficient per degree class. Flat C(k) ≈ random graph; C(k) ~ 1/k
+    signals hierarchical/modular structure (Ravasz–Barabási) — the
+    curve view behind the scalar clustering numbers.
+
+    Reuses the degree-oriented triangle counter through
+    ``local_clustering`` (per-node lcc is an exact-int ratio in a fixed
+    double chain); class averages use the scaled-int64 sum rule.
+    """
+    from .triangles import local_clustering
+
+    per = local_clustering(edges).select(
+        "degree", F.round(F.col("lcc") * 1e12).cast("long").alias("t")
+    )
+    return per.groupBy(F.col("degree").alias("k")).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round((F.sum("t").cast("double") / 1e12) / F.count("*"), 6).alias("ck"),
+    )
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """1-row ``(n_nodes, n_edges, density, mean_degree, molloy_reed,
     degree_entropy, powerlaw_alpha)``; float columns rounded to 6."""

@@ -345,3 +345,27 @@ def cohort_retention(
         "n_active",
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def activity_heatmap(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """``(dow, hour, n_events, n_users)`` — the weekly activity heatmap
+    (0 = Monday ... 6 = Sunday, UTC hours). Pure integer epoch
+    arithmetic — ``(epoch_days + 3) % 7`` exploits 1970-01-01 being a
+    Thursday — so no engine/timezone calendar function is involved.
+    One map-side-combinable groupBy over 168 cells.
+    """
+    t = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+    return (
+        events.select(
+            F.expr(f"(({t} div 86400000000) + 3) % 7").alias("dow"),
+            F.expr(f"({t} div 3600000000) % 24").alias("hour"),
+            F.col(user_col).alias("u"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("u").cast("long").alias("n_users"),
+        )
+    )

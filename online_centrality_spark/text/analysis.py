@@ -645,3 +645,54 @@ def doc_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.first("ld").cast("long").alias("n_tokens"),
         F.round(-F.sum("t") / 1e12, 6).alias("cross_entropy"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame, text_col: str = "text", buckets: int = 20
+) -> DataFrame:
+    """``(bucket, n_docs_cum, vocab_cum)`` — the Heaps'-law curve:
+    cumulative distinct vocabulary as the corpus grows in doc-id order,
+    sampled at ``buckets`` evenly sized id ranges. Sub-linear growth is
+    healthy; a late-corpus vocabulary spike flags an unassimilated new
+    source or encoding noise.
+
+    Scale shape: each word's FIRST bucket is a map-side min; the
+    cumulative curve is a theta-join of two bucket-sized histograms
+    (the `rich_club` pattern) — nothing after the first groupBy scales
+    with the corpus. The only driver value is the max doc id for the
+    bucket width.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    mx = docs.agg(F.max("doc_id").alias("m")).first()["m"]
+    if mx is None:
+        return docs.sparkSession.createDataFrame(
+            [], "bucket long, n_docs_cum long, vocab_cum long"
+        )
+    width = mx // buckets + 1
+    db = docs.select(
+        F.expr(f"doc_id div {width}").alias("b"), F.col(text_col)
+    ).persist()
+    first_b = (
+        db.select("b", F.explode(F.expr(words)).alias("w"))
+        .groupBy("w")
+        .agg(F.min("b").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count("*").alias("nw"))
+    )
+    docs_b = db.groupBy("b").agg(F.count("*").alias("nd"))
+    ks = docs_b.select(F.col("b").alias("bucket"))
+    vg = (
+        ks.join(first_b, first_b["fb"] <= ks["bucket"])
+        .groupBy("bucket")
+        .agg(F.sum("nw").alias("vocab_cum"))
+    )
+    dg = (
+        ks.join(docs_b, docs_b["b"] <= ks["bucket"])
+        .groupBy("bucket")
+        .agg(F.sum("nd").alias("n_docs_cum"))
+    )
+    return dg.join(vg, "bucket", "left").select(
+        "bucket",
+        F.col("n_docs_cum").cast("long").alias("n_docs_cum"),
+        F.coalesce(F.col("vocab_cum"), F.lit(0)).cast("long").alias("vocab_cum"),
+    )
