@@ -1071,6 +1071,43 @@ WHERE m.k = e.k"""
     )
 
 
+def _threshold_profile_sql(rounds: int = 14) -> str:
+    """Percolation ladder over the weighted cosine graph: edges explode
+    into the rungs they survive, then the shared per-bucket doubling-CC
+    chain (bucket = rung index)."""
+    lad = [0.35, 0.4, 0.45, 0.5, 0.55, 0.6]
+    values = ", ".join(f"({i}, {t})" for i, t in enumerate(lad))
+    ctes = [
+        f"""_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+wk AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS w
+  FROM _v a JOIN _v b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {COS_TH}
+)""",
+        f"lad AS (SELECT * FROM (VALUES {values}) v(bkt, th))",
+        """dedges AS MATERIALIZED (
+  SELECT l.bkt, w.a AS src, w.b AS dst FROM wk w JOIN lad l ON w.w >= l.th
+)""",
+    ]
+    ctes += _bucketed_cc_ctes(rounds)
+    ctes.append(
+        "ecnt AS (SELECT bkt, count(*) AS n_edges FROM dedges GROUP BY bkt)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT lad.th AS threshold,
+       CAST(ecnt.n_edges AS BIGINT) AS n_edges,
+       CAST(sum(s.sz) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(s.sz) AS BIGINT) AS largest
+FROM sizes s JOIN ecnt ON s.bkt = ecnt.bkt JOIN lad ON s.bkt = lad.bkt
+GROUP BY lad.th, ecnt.n_edges"""
+    )
+
+
 def _ppr_sql() -> str:
     """Personalized PageRank unrolled PR_ITERS iterations on the
     supplier -> customer bipartite graph; restart (and dangling) mass
@@ -3199,17 +3236,9 @@ def q_msf(spark, sf_dir):
     rounded similarity) via Boruvka contraction; the (w, a, b) total
     order makes the forest unique, so the unrolled oracle lands on the
     identical edge set."""
-    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
     from online_centrality_spark.operators.msf import minimum_spanning_forest
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dups_blocked(emb, threshold=COS_TH - 1e-6)
-    we = pairs.select(
-        F.col("doc_a").alias("src"),
-        F.col("doc_b").alias("dst"),
-        F.round("cosine", 6).alias("w"),
-    ).filter(F.col("w") >= COS_TH)
-    return minimum_spanning_forest(we, weight_col="w")
+    return minimum_spanning_forest(_cos_wedges(spark, sf_dir), weight_col="w")
 
 
 def q_avg_neighbor_degree(spark, sf_dir):
@@ -3250,6 +3279,48 @@ def q_vocab_growth(spark, sf_dir):
     from online_centrality_spark.text.analysis import vocab_growth
 
     return vocab_growth(_t(spark, sf_dir, "documents"), buckets=20)
+
+
+def _cos_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cosine edges (src < dst, w = rounded similarity) — the
+    shared input of q_msf / q_threshold_profile."""
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups_blocked(emb, threshold=COS_TH - 1e-6)
+    return pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.round("cosine", 6).alias("w"),
+    ).filter(F.col("w") >= COS_TH)
+
+
+def q_strength_disparity(spark, sf_dir):
+    """Per-node weighted disparity Y2 = (Σw²)/s² of the user
+    interaction graph — does one partner dominate a user's activity?"""
+    from online_centrality_spark.operators import strength_disparity
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return strength_disparity(pairs)
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary occurrence rate against the corpus
+    top-1000 vocabulary — the cheap coverage/quality gate."""
+    from online_centrality_spark.text.analysis import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_k=1000)
+
+
+def q_threshold_profile(spark, sf_dir):
+    """Percolation profile of the cosine graph over a similarity
+    ladder — all rungs in one star-CC run via the stripe encoding."""
+    from online_centrality_spark.operators import threshold_profile
+
+    return threshold_profile(
+        _cos_wedges(spark, sf_dir), [0.35, 0.4, 0.45, 0.5, 0.55, 0.6]
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3354,6 +3425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_by_degree": q_clustering_by_degree,
         "activity_heatmap": q_activity_heatmap,
         "vocab_growth": q_vocab_growth,
+        "strength_disparity": q_strength_disparity,
+        "oov_rate": q_oov_rate,
+        "threshold_profile": q_threshold_profile,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5068,6 +5142,56 @@ SELECT ks.bucket,
             AS BIGINT) AS vocab_cum
 FROM ks
 """
+    sqls["strength_disparity"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS (
+  SELECT prev_user AS src, user_id AS dst
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+w AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS weight
+  FROM ppairs GROUP BY 1, 2
+),
+per AS (
+  SELECT a AS node_id, weight FROM w UNION ALL SELECT b, weight FROM w
+),
+ag AS (
+  SELECT node_id, count(*) AS k, sum(weight) AS s,
+         sum(weight * weight) AS sq
+  FROM per GROUP BY node_id
+)
+SELECT node_id, CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS s,
+       round(CAST(sq AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+         AS y2
+FROM ag
+"""
+    sqls["oov_rate"] = f"""
+WITH cdw AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS cdw FROM (
+    SELECT doc_id, unnest({DOC_TOKENS}) AS w FROM documents) t
+  GROUP BY doc_id, w
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, sum(cdw) AS cw FROM cdw GROUP BY w
+    ORDER BY cw DESC, w ASC LIMIT 1000) v
+)
+SELECT c.doc_id, CAST(sum(c.cdw) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.w IS NULL THEN c.cdw ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(CASE WHEN vocab.w IS NULL THEN c.cdw ELSE 0 END)
+             / sum(c.cdw), 6) AS oov
+FROM cdw c LEFT JOIN vocab ON c.w = vocab.w
+GROUP BY c.doc_id
+"""
+    sqls["threshold_profile"] = _threshold_profile_sql()
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

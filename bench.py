@@ -404,6 +404,18 @@ def main():
         "vocab_growth",
         lambda: entry_mod.q_vocab_growth(spark, sf_dir).count(),
     )
+    run(
+        "strength_disparity",
+        lambda: entry_mod.q_strength_disparity(spark, sf_dir).count(),
+    )
+    run(
+        "oov_rate",
+        lambda: entry_mod.q_oov_rate(spark, sf_dir).count(),
+    )
+    run(
+        "threshold_profile",
+        lambda: entry_mod.q_threshold_profile(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -1,4 +1,9 @@
-from .components import component_evolution, connected_components, label_propagation
+from .components import (
+    component_evolution,
+    connected_components,
+    label_propagation,
+    threshold_profile,
+)
 from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
 from .static_pagerank import personalized_pagerank, static_pagerank
@@ -14,7 +19,7 @@ from .wl import wl_histogram, wl_refinement
 from .splits import temporal_edge_split
 from .richclub import rich_club
 from .densest import densest_subgraph
-from .backbone import disparity_backbone, disparity_scores
+from .backbone import disparity_backbone, disparity_scores, strength_disparity
 from .persistence import edge_persistence
 from .robustness import attack_robustness
 from .bipartite import butterfly_count
@@ -75,6 +80,8 @@ __all__ = [
     "densest_subgraph",
     "disparity_backbone",
     "disparity_scores",
+    "strength_disparity",
+    "threshold_profile",
     "edge_persistence",
     "attack_robustness",
     "butterfly_count",

@@ -81,3 +81,43 @@ def disparity_backbone(pairs: DataFrame, alpha: float = 0.05) -> DataFrame:
     """The backbone: edges of :func:`disparity_scores` whose p-value
     from the better endpoint beats ``alpha``."""
     return disparity_scores(pairs).filter(F.col("alpha_min") < alpha)
+
+
+def strength_disparity(pairs: DataFrame) -> DataFrame:
+    """``(node_id, k, s, y2)`` — the weighted-graph disparity
+    Y₂(i) = Σ_j (w_ij/s_i)² per node (Barthélemy et al.): ≈ 1/k means
+    strength spread evenly over the k edges, ≈ 1 means one edge
+    dominates — the per-node companion of the disparity filter.
+
+    Same aggregation spine as :func:`disparity_scores`; Y₂ =
+    (Σw²)/s² from exact integer sums (decimal-widened squares), one
+    fixed double chain behind round(·, 6).
+    """
+    w = (
+        pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("weight"))
+    )
+    per = w.select(F.col("a").alias("node_id"), "weight").unionAll(
+        w.select(F.col("b").alias("node_id"), "weight")
+    )
+    agg = per.groupBy("node_id").agg(
+        F.count("*").alias("k"),
+        F.sum("weight").alias("s"),
+        F.sum(
+            F.col("weight").cast("decimal(14,0)") * F.col("weight").cast("decimal(14,0)")
+        ).alias("sq"),
+    )
+    return agg.select(
+        "node_id",
+        F.col("k").cast("long").alias("k"),
+        F.col("s").cast("long").alias("s"),
+        F.round(
+            F.col("sq").cast("double")
+            / (F.col("s").cast("double") * F.col("s").cast("double")),
+            6,
+        ).alias("y2"),
+    )

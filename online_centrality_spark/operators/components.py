@@ -293,6 +293,61 @@ def bucketed_component_sizes(e: DataFrame, **cc_kwargs) -> DataFrame:
     ).agg(F.count("*").alias("sz"))
 
 
+def threshold_profile(
+    wedges: DataFrame,
+    thresholds: list,
+    weight_col: str = "w",
+    **cc_kwargs,
+) -> DataFrame:
+    """``(threshold, n_edges, n_nodes, n_components, largest)`` — the
+    percolation profile of a weighted graph: component structure of the
+    subgraph ``w >= threshold`` for every rung of the ladder, revealing
+    where the giant component breaks apart as the similarity cut
+    tightens.
+
+    One star-CC run covers the whole ladder: each edge explodes into
+    the rungs it survives (bounded ``len(thresholds)``× blowup), and
+    the rung index feeds :func:`bucketed_component_sizes`'s stripe
+    encoding — exactly the `attack_robustness` shape with thresholds in
+    place of removal levels.
+    """
+    ladder = sorted(thresholds)
+    spark = wedges.sparkSession
+    lad = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(ladder)], "bkt long, th double"
+    )
+    e = wedges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col(weight_col).alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    tagged = (
+        e.crossJoin(F.broadcast(lad))
+        .filter(F.col("w") >= F.col("th"))
+        .select("bkt", "src", "dst")
+        .dropDuplicates(["bkt", "src", "dst"])
+        .persist()
+    )
+    sizes = bucketed_component_sizes(tagged, **cc_kwargs)
+    comp = sizes.groupBy("bkt").agg(
+        F.count("*").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").alias("largest"),
+    )
+    ecnt = tagged.groupBy("bkt").agg(F.count("*").alias("n_edges"))
+    return (
+        ecnt.join(comp, "bkt")
+        .join(F.broadcast(lad), "bkt")
+        .select(
+            F.col("th").alias("threshold"),
+            "n_edges",
+            "n_nodes",
+            "n_components",
+            "largest",
+        )
+    )
+
+
 def component_evolution(
     pairs: DataFrame,
     t_col: str = "t",

@@ -696,3 +696,45 @@ def vocab_growth(
         F.col("n_docs_cum").cast("long").alias("n_docs_cum"),
         F.coalesce(F.col("vocab_cum"), F.lit(0)).cast("long").alias("vocab_cum"),
     )
+
+
+def oov_rate(docs: DataFrame, text_col: str = "text", vocab_k: int = 1000) -> DataFrame:
+    """``(doc_id, n_tokens, n_oov, oov)`` — the fraction of each
+    document's token occurrences falling outside the corpus's top-``k``
+    vocabulary (count desc, word asc tiebreak — deterministic at the
+    boundary). High OOV = noise/encoding junk or genuinely novel
+    domain; a standard cheap quality gate.
+
+    The vocabulary is a TakeOrderedAndProject ``k``-row frame broadcast
+    into one left join; everything else is the per-(doc, word) groupBy.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    cdw = (
+        docs.select("doc_id", F.explode(F.expr(words)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cdw"))
+        .persist()
+    )
+    vocab = (
+        cdw.groupBy("w")
+        .agg(F.sum("cdw").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w").asc())
+        .limit(vocab_k)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    return (
+        cdw.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cdw").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_v").isNull(), F.col("cdw")).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov"),
+        )
+    )
