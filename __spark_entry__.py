@@ -3323,6 +3323,24 @@ def q_threshold_profile(spark, sf_dir):
     )
 
 
+def q_inequality_profile(spark, sf_dir):
+    """Gini coefficients of the interaction graph's degree and
+    edge-weight distributions — connection/intensity inequality."""
+    from online_centrality_spark.operators.summary import inequality_profile
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return inequality_profile(pairs)
+
+
+def q_user_diversity(spark, sf_dir):
+    """Per-user Simpson diversity over event types — behavioral breadth
+    (the companion of transition_entropy's predictability)."""
+    from online_centrality_spark.streaming.sessions import user_diversity
+
+    return user_diversity(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3428,6 +3446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strength_disparity": q_strength_disparity,
         "oov_rate": q_oov_rate,
         "threshold_profile": q_threshold_profile,
+        "inequality_profile": q_inequality_profile,
+        "user_diversity": q_user_diversity,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5192,6 +5212,70 @@ FROM cdw c LEFT JOIN vocab ON c.w = vocab.w
 GROUP BY c.doc_id
 """
     sqls["threshold_profile"] = _threshold_profile_sql()
+    sqls["inequality_profile"] = """
+WITH _seq AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_user,
+         lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_t
+  FROM events
+),
+ppairs AS (
+  SELECT prev_user AS src, user_id AS dst
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+),
+w AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS weight
+  FROM ppairs GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM w UNION ALL SELECT b FROM w) u GROUP BY n
+),
+dh AS (SELECT d AS v, count(*) AS c FROM deg GROUP BY d),
+wh AS (SELECT weight AS v, count(*) AS c FROM w GROUP BY weight),
+dgini AS (
+  SELECT 'degree' AS kind, CAST(nt AS BIGINT) AS n,
+         round(CAST(ts AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(wsum AS DOUBLE)), 6) AS gini
+  FROM (
+    SELECT any_value(nt) AS nt, any_value(wsum) AS wsum,
+           sum(v * c * (ci * 2 - c - nt)) AS ts
+    FROM (
+      SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ci,
+             (SELECT sum(c) FROM dh) AS nt,
+             (SELECT sum(v * c) FROM dh) AS wsum
+      FROM dh) x) y
+),
+wgini AS (
+  SELECT 'weight' AS kind, CAST(nt AS BIGINT) AS n,
+         round(CAST(ts AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(wsum AS DOUBLE)), 6) AS gini
+  FROM (
+    SELECT any_value(nt) AS nt, any_value(wsum) AS wsum,
+           sum(v * c * (ci * 2 - c - nt)) AS ts
+    FROM (
+      SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ci,
+             (SELECT sum(c) FROM wh) AS nt,
+             (SELECT sum(v * c) FROM wh) AS wsum
+      FROM wh) x) y
+)
+SELECT * FROM dgini UNION ALL SELECT * FROM wgini
+"""
+    sqls["user_diversity"] = """
+WITH ct AS (
+  SELECT user_id, event_type AS t, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+ag AS (
+  SELECT user_id, sum(c) AS n, count(*) AS n_types, sum(c * c) AS sq
+  FROM ct GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n_types AS BIGINT) AS n_types,
+       round(1.0 - CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS simpson
+FROM ag
+"""
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

@@ -416,6 +416,14 @@ def main():
         "threshold_profile",
         lambda: entry_mod.q_threshold_profile(spark, sf_dir).count(),
     )
+    run(
+        "inequality_profile",
+        lambda: entry_mod.q_inequality_profile(spark, sf_dir).count(),
+    )
+    run(
+        "user_diversity",
+        lambda: entry_mod.q_user_diversity(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

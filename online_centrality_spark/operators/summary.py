@@ -86,6 +86,81 @@ def clustering_by_degree(edges: DataFrame) -> DataFrame:
     )
 
 
+def _hist_gini(hist: DataFrame, v_col: str, c_col: str, kind: str):
+    """1-row ``(kind, n, gini)`` from a value histogram — the closed
+    form over sorted ranks collapses per VALUE: items at value v_i
+    with count c_i and cumulative count C_i contribute
+    ``v_i·c_i·(C_{i-1}+C_i−n)``, all int64-exact; G = Σterm/(n·W).
+    The rank window runs over the HISTOGRAM (distinct values), never
+    the items."""
+    from pyspark.sql import Window
+
+    tot = hist.agg(
+        F.sum(c_col).alias("nt"),
+        F.sum(F.col(v_col) * F.col(c_col)).alias("wsum"),
+    )
+    w = Window.orderBy(v_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(v_col).alias("v"),
+        F.col(c_col).alias("c"),
+        F.sum(c_col).over(w).alias("ci"),
+    ).crossJoin(F.broadcast(tot))
+    return (
+        cum.select(
+            "nt",
+            "wsum",
+            (
+                F.col("v")
+                * F.col("c")
+                * (F.col("ci") * 2 - F.col("c") - F.col("nt"))
+            ).alias("t"),
+        )
+        .groupBy("nt", "wsum")
+        .agg(F.sum("t").alias("ts"))
+        .select(
+            F.lit(kind).alias("kind"),
+            F.col("nt").cast("long").alias("n"),
+            F.round(
+                F.col("ts").cast("double")
+                / (F.col("nt").cast("double") * F.col("wsum").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+def inequality_profile(edges: DataFrame) -> DataFrame:
+    """Two rows ``(kind, n, gini)`` — Gini coefficients of (a) the
+    degree distribution and (b) the edge-multiplicity (weight)
+    distribution of the undirected interaction graph: how unequally
+    are connections and interaction intensity spread?
+
+    Everything after the degree/weight groupBys operates on
+    DISTINCT-VALUE histograms; the Gini closed form is exact int64
+    per histogram row (see ``_hist_gini``) with one final division.
+    """
+    w = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("weight"))
+        .persist()
+    )
+    deg = (
+        w.select(F.col("a").alias("n"))
+        .unionAll(w.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    dh = deg.groupBy("d").agg(F.count("*").alias("c"))
+    wh = w.groupBy("weight").agg(F.count("*").alias("c"))
+    return _hist_gini(dh, "d", "c", "degree").unionAll(
+        _hist_gini(wh, "weight", "c", "weight")
+    )
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """1-row ``(n_nodes, n_edges, density, mean_degree, molloy_reed,
     degree_entropy, powerlaw_alpha)``; float columns rounded to 6."""

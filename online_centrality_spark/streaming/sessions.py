@@ -369,3 +369,35 @@ def activity_heatmap(
             F.countDistinct("u").cast("long").alias("n_users"),
         )
     )
+
+
+def user_diversity(
+    events: DataFrame, user_col: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """``(user_id, n_events, n_types, simpson)`` — each user's Simpson
+    diversity index over event types, ``1 − Σ(c_i/n)²``: 0 = does one
+    thing only, → 1 = spreads evenly over many actions. The behavioral
+    breadth score that pairs with `transition_entropy`'s predictability.
+
+    Two map-side-combinable groupBys on the user key; Simpson =
+    1 − (Σc²)/n² from exact int64 sums (one fixed double chain).
+    """
+    ct = events.groupBy(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("t")
+    ).agg(F.count("*").alias("c"))
+    agg = ct.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sq").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("simpson"),
+    )
