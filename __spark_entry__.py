@@ -3341,6 +3341,23 @@ def q_user_diversity(spark, sf_dir):
     return user_diversity(_t(spark, sf_dir, "events"))
 
 
+def q_mutual_knn(spark, sf_dir):
+    """Mutual k-nearest-neighbor graph over the embeddings (k=5,
+    rounded-cosine ranking, id tiebreak) — the density-clustering graph
+    construction; exact over the blocked distributed pair source."""
+    from online_centrality_spark.similarity.ann import mutual_knn_graph
+
+    return mutual_knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between document language and source —
+    the stratification-skew diagnostic."""
+    from online_centrality_spark.text.analysis import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3448,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_profile": q_threshold_profile,
         "inequality_profile": q_inequality_profile,
         "user_diversity": q_user_diversity,
+        "mutual_knn": q_mutual_knn,
+        "cramers_v": q_cramers_v,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5275,6 +5294,58 @@ SELECT user_id, CAST(n AS BIGINT) AS n_events,
        round(1.0 - CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
          AS simpson
 FROM ag
+"""
+    sqls["mutual_knn"] = """
+WITH _v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ap AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         round(list_cosine_similarity(a.e, b.e), 6) AS c
+  FROM _v a JOIN _v b ON a.vec_id <> b.vec_id
+),
+knn AS MATERIALIZED (
+  SELECT u, v, c FROM (
+    SELECT u, v, c,
+           row_number() OVER (PARTITION BY u ORDER BY c DESC, v ASC) AS rn
+    FROM ap) r
+  WHERE rn <= 5
+)
+SELECT k1.u AS a, k1.v AS b, k1.c AS cosine
+FROM knn k1 JOIN knn k2 ON k1.u = k2.v AND k1.v = k2.u
+WHERE k1.u < k1.v
+"""
+    sqls["cramers_v"] = """
+WITH ct AS (
+  SELECT lang AS a, source AS b, count(*) AS nij
+  FROM documents GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(nij) AS r FROM ct GROUP BY a),
+cb AS (SELECT b, sum(nij) AS c FROM ct GROUP BY b),
+tot AS (SELECT sum(nij) AS n FROM ct),
+grid AS (
+  SELECT ra.r, cb.c, coalesce(ct.nij, 0) AS nij, tot.n
+  FROM ra CROSS JOIN cb
+  LEFT JOIN ct ON ra.a = ct.a AND cb.b = ct.b
+  CROSS JOIN tot
+),
+ag AS (
+  SELECT any_value(n) AS n,
+         sum(CAST(round(
+           (CAST(nij AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+           * (CAST(nij AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+           / (CAST(r AS DOUBLE) * c / n) * 1e12
+         ) AS BIGINT)) AS ts
+  FROM grid
+),
+cnts AS (
+  SELECT (SELECT count(*) FROM ra) AS n_a, (SELECT count(*) FROM cb) AS n_b
+)
+SELECT CAST(ag.n AS BIGINT) AS n_docs,
+       CAST(cnts.n_a AS BIGINT) AS n_a, CAST(cnts.n_b AS BIGINT) AS n_b,
+       CASE WHEN least(cnts.n_a, cnts.n_b) <= 1 THEN NULL
+            ELSE round(sqrt((CAST(ag.ts AS DOUBLE) / 1e12)
+                 / (CAST(ag.n AS DOUBLE) * (least(cnts.n_a, cnts.n_b) - 1))), 6)
+       END AS v
+FROM ag, cnts
 """
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (

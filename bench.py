@@ -424,6 +424,14 @@ def main():
         "user_diversity",
         lambda: entry_mod.q_user_diversity(spark, sf_dir).count(),
     )
+    run(
+        "mutual_knn",
+        lambda: entry_mod.q_mutual_knn(spark, sf_dir).count(),
+    )
+    run(
+        "cramers_v",
+        lambda: entry_mod.q_cramers_v(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

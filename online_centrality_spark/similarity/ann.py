@@ -321,3 +321,53 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
+
+
+def mutual_knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """``(a, b, cosine)`` — the mutual k-nearest-neighbor graph: an
+    edge survives iff a is in b's top-k AND b is in a's top-k (by
+    rounded cosine, id-ascending tiebreak). The standard graph
+    construction for density-based clustering — mutuality prunes the
+    hub edges that plain kNN graphs accumulate.
+
+    Exact variant over the blocked distributed pair source (threshold
+    −1 ⇒ all pairs, no driver collect / matrix broadcast); per-node
+    top-k is a window over the node's OWN candidate list. Ranking uses
+    the 6-ROUNDED cosine so the boundary decision is engine-identical;
+    at corpus scale substitute the LSH/IVF candidate sources for the
+    all-pairs stage.
+    """
+    from pyspark.sql import Window
+
+    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
+
+    pairs = embedding_near_dups_blocked(
+        embeddings, id_col=id_col, vec_col=vec_col,
+        threshold=-1.0, num_blocks=num_blocks,
+    ).select(
+        F.col("doc_a").alias("u"),
+        F.col("doc_b").alias("v"),
+        F.round("cosine", 6).alias("c"),
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("v").asc())
+    knn = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("u", "v", "c")
+        .persist()
+    )
+    rev = knn.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return (
+        knn.join(rev, ["u", "v"], "left_semi")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("c").alias("cosine"))
+    )

@@ -738,3 +738,63 @@ def oov_rate(docs: DataFrame, text_col: str = "text", vocab_k: int = 1000) -> Da
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov"),
         )
     )
+
+
+def cramers_v(
+    docs: DataFrame, a_col: str = "lang", b_col: str = "source"
+) -> DataFrame:
+    """1-row ``(n_docs, n_a, n_b, v)`` — Cramér's V association between
+    two categorical document columns (default language × source):
+    0 = independent, 1 = one determines the other. Catches skews like
+    "this source is single-language" that stratified sampling must know
+    about.
+
+    The contingency grid is (distinct a)×(distinct b) rows — built by a
+    cross join of the two margin frames so ZERO cells contribute their
+    expected-count term; χ² cell terms use the scaled-int64 sum rule.
+    """
+    ct = docs.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count("*").alias("nij"))
+    ra = ct.groupBy("a").agg(F.sum("nij").alias("r"))
+    cb = ct.groupBy("b").agg(F.sum("nij").alias("c"))
+    tot = ct.agg(
+        F.sum("nij").alias("n"),
+        F.count("*").alias("_cells"),
+    ).select("n")
+    grid = (
+        ra.crossJoin(cb)
+        .join(ct, ["a", "b"], "left")
+        .select(
+            "r", "c", F.coalesce(F.col("nij"), F.lit(0)).alias("nij")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = (F.col("nij").cast("double") - e) * (F.col("nij").cast("double") - e) / e
+    agg = grid.select(
+        "n", F.round(term * 1e12).cast("long").alias("t")
+    ).groupBy("n").agg(F.sum("t").alias("ts"))
+    counts = ra.agg(F.count("*").alias("n_a")).crossJoin(
+        cb.agg(F.count("*").alias("n_b"))
+    )
+    m = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        agg.crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.when(m <= 1, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.sqrt(
+                        (F.col("ts").cast("double") / 1e12)
+                        / (F.col("n").cast("double") * (m - F.lit(1)))
+                    ),
+                    6,
+                )
+            )
+            .alias("v"),
+        )
+    )
