@@ -3358,6 +3358,25 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(_t(spark, sf_dir, "documents"))
 
 
+def q_edge_overlap(spark, sf_dir):
+    """Per-edge neighborhood overlap (Onnela tie strength) + local
+    bridges of the cosine graph."""
+    from online_centrality_spark.operators.triangles import edge_overlap
+
+    return edge_overlap(_cos_edges(spark, sf_dir))
+
+
+def q_community_conductance(spark, sf_dir):
+    """Conductance of each LPA community of the cosine graph — the
+    per-community quality companion to modularity."""
+    from online_centrality_spark.operators.community import community_conductance
+    from online_centrality_spark.operators.components import label_propagation
+
+    edges = _cos_edges(spark, sf_dir)
+    labels = label_propagation(edges, max_iter=LPA_ROUNDS)
+    return community_conductance(edges, labels)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3467,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_diversity": q_user_diversity,
         "mutual_knn": q_mutual_knn,
         "cramers_v": q_cramers_v,
+        "edge_overlap": q_edge_overlap,
+        "community_conductance": q_community_conductance,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5347,6 +5368,66 @@ SELECT CAST(ag.n AS BIGINT) AS n_docs,
        END AS v
 FROM ag, cnts
 """
+    sqls["edge_overlap"] = f"""
+WITH {COS_EDGES_CTE},
+und AS (SELECT src AS a, dst AS b FROM cedges),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS x FROM und UNION ALL SELECT b, a FROM und
+),
+wedge AS (
+  SELECT s1.u AS a, s2.u AS b, count(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.u < s2.u
+  GROUP BY 1, 2
+),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+SELECT e.a, e.b, CAST(coalesce(w.cn, 0) AS BIGINT) AS cn,
+       CASE WHEN da.d + db.d - coalesce(w.cn, 0) - 2 <= 0 THEN NULL
+            ELSE round(coalesce(w.cn, 0)
+                 / (da.d + db.d - coalesce(w.cn, 0) - 2), 6)
+       END AS overlap,
+       CAST(CASE WHEN coalesce(w.cn, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_local_bridge
+FROM und e
+LEFT JOIN wedge w ON e.a = w.a AND e.b = w.b
+JOIN deg da ON e.a = da.u
+JOIN deg db ON e.b = db.u
+"""
+    sqls["community_conductance"] = (
+        "WITH "
+        + ",\n".join(_lpa_ctes())
+        + f""",
+labs AS MATERIALIZED (SELECT node_id, label FROM p{LPA_ROUNDS}),
+el AS MATERIALIZED (
+  SELECT e.src AS a, e.dst AS b, la.label AS la, lb.label AS lb
+  FROM cedges e JOIN labs la ON e.src = la.node_id
+                JOIN labs lb ON e.dst = lb.node_id
+),
+cut AS (
+  SELECT label, count(*) AS cut FROM (
+    SELECT la AS label FROM el WHERE la <> lb
+    UNION ALL SELECT lb FROM el WHERE la <> lb) u
+  GROUP BY label
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT src AS n FROM cedges UNION ALL SELECT dst FROM cedges) t
+  GROUP BY n
+),
+vol AS (
+  SELECT l.label, count(*) AS n_nodes, sum(coalesce(deg.d, 0)) AS vol
+  FROM labs l LEFT JOIN deg ON l.node_id = deg.n
+  GROUP BY l.label
+),
+m2 AS (SELECT count(*) * 2 AS m2 FROM cedges)
+SELECT v.label, CAST(v.n_nodes AS BIGINT) AS n_nodes,
+       CAST(v.vol AS BIGINT) AS vol,
+       CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN least(v.vol, m2.m2 - v.vol) <= 0 THEN NULL
+            ELSE round(coalesce(c.cut, 0) / least(v.vol, m2.m2 - v.vol), 6)
+       END AS conductance
+FROM vol v LEFT JOIN cut c ON v.label = c.label CROSS JOIN m2
+"""
+    )
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

@@ -432,6 +432,14 @@ def main():
         "cramers_v",
         lambda: entry_mod.q_cramers_v(spark, sf_dir).count(),
     )
+    run(
+        "edge_overlap",
+        lambda: entry_mod.q_edge_overlap(spark, sf_dir).count(),
+    )
+    run(
+        "community_conductance",
+        lambda: entry_mod.q_community_conductance(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)
