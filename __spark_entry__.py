@@ -3377,6 +3377,15 @@ def q_community_conductance(spark, sf_dir):
     return community_conductance(edges, labels)
 
 
+def q_higher_motifs(spark, sf_dir):
+    """Higher-order motif census of the cosine graph: wedges,
+    triangles, four-cycles (butterfly diagonal identity), diamonds,
+    and 4-cliques — all exact int64 subgraph counts."""
+    from online_centrality_spark.operators.triangles import higher_motifs
+
+    return higher_motifs(_cos_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3488,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v": q_cramers_v,
         "edge_overlap": q_edge_overlap,
         "community_conductance": q_community_conductance,
+        "higher_motifs": q_higher_motifs,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5428,6 +5438,50 @@ SELECT v.label, CAST(v.n_nodes AS BIGINT) AS n_nodes,
 FROM vol v LEFT JOIN cut c ON v.label = c.label CROSS JOIN m2
 """
     )
+    sqls["higher_motifs"] = f"""
+WITH {COS_EDGES_CTE},
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS x FROM und UNION ALL SELECT b, a FROM und
+),
+cn AS MATERIALIZED (
+  SELECT s1.u AS u, s2.u AS v, count(*) AS c
+  FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.u < s2.u
+  GROUP BY 1, 2
+),
+wed AS (
+  SELECT sum((d * (d - 1)) // 2) AS n_wedges FROM (
+    SELECT count(*) AS d FROM sym GROUP BY u) t
+),
+c4 AS (
+  SELECT (sum((c * (c - 1)) // 2)) // 2 AS n_four_cycles FROM cn
+),
+adj_cn AS MATERIALIZED (
+  SELECT e.a, e.b, cn.c FROM und e
+  JOIN cn ON e.a = cn.u AND e.b = cn.v
+),
+tri AS (SELECT sum(c) // 3 AS n_triangles FROM adj_cn),
+diam AS (SELECT sum((c * (c - 1)) // 2) AS n_diamonds FROM adj_cn),
+tris AS (
+  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+k4 AS (
+  SELECT count(*) AS n_k4
+  FROM tris t
+  JOIN und d1 ON d1.a = t.t1 AND d1.b > t.t3
+  JOIN und d2 ON d2.a = t.t2 AND d2.b = d1.b
+  JOIN und d3 ON d3.a = t.t3 AND d3.b = d1.b
+)
+SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST(coalesce(wed.n_wedges, 0) AS BIGINT) AS n_wedges,
+       CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(coalesce(c4.n_four_cycles, 0) AS BIGINT) AS n_four_cycles,
+       CAST(coalesce(diam.n_diamonds, 0) AS BIGINT) AS n_diamonds,
+       CAST(k4.n_k4 AS BIGINT) AS n_k4
+FROM wed, tri, c4, diam, k4
+"""
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

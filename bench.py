@@ -440,6 +440,10 @@ def main():
         "community_conductance",
         lambda: entry_mod.q_community_conductance(spark, sf_dir).count(),
     )
+    run(
+        "higher_motifs",
+        lambda: entry_mod.q_higher_motifs(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -267,3 +267,88 @@ def edge_overlap(edges: DataFrame) -> DataFrame:
             (F.col("cn") == 0).cast("long").alias("is_local_bridge"),
         )
     )
+
+
+def higher_motifs(edges: DataFrame) -> DataFrame:
+    """1-row ``(n_edges, n_wedges, n_triangles, n_four_cycles,
+    n_diamonds, n_k4)`` — the higher-order motif census of the
+    undirected simple graph (SUBGRAPH counts, not induced):
+
+    - four-cycles: each C4 is counted once per diagonal pair, so
+      ``C4 = Σ_{u<v} C(cn(u,v), 2) div 2`` over ALL vertex pairs with
+      common neighbors (the unipartite butterfly identity);
+    - diamonds (two triangles sharing an edge): ``Σ_edge C(cn_e, 2)``;
+    - K4: canonical triangles (t1<t2<t3) extended by a fourth vertex
+      ``d > t3`` adjacent to all three — each 4-clique exactly once.
+
+    Wedge/common-neighbor frames reuse the link-prediction self-join
+    spine; every combinatorial sum is exact int64 via the
+    always-even-product ``(c·(c−1)) div 2``.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+        .persist()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("x")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("x"))
+    )
+    cn = (
+        sym.join(sym.select(F.col("u").alias("v"), "x"), "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    wedges = sym.groupBy("u").agg(F.count("*").alias("d")).agg(
+        F.expr("sum((d * (d - 1)) div 2)").alias("n_wedges")
+    )
+    c4 = cn.agg(
+        F.expr("sum((c * (c - 1)) div 2) div 2").alias("n_four_cycles")
+    )
+    # triangles + diamonds live on ADJACENT pairs' common-neighbor counts
+    adj_cn = und.join(
+        cn.select(F.col("u").alias("a"), F.col("v").alias("b"), "c"),
+        ["a", "b"],
+    ).persist()
+    tri = adj_cn.agg(F.expr("sum(c) div 3").alias("n_triangles"))
+    diam = adj_cn.agg(F.expr("sum((c * (c - 1)) div 2)").alias("n_diamonds"))
+    # canonical triangle list for the K4 extension
+    s12 = und.select(F.col("a").alias("t1"), F.col("b").alias("t2"))
+    tris = (
+        s12.join(und.select(F.col("a").alias("t2"), F.col("b").alias("t3")), "t2")
+        .join(
+            und.select(F.col("a").alias("t1"), F.col("b").alias("t3")),
+            ["t1", "t3"],
+        )
+    )
+    k4 = (
+        tris.join(und.select(F.col("a").alias("t1"), F.col("b").alias("d1")), "t1")
+        .filter(F.col("d1") > F.col("t3"))
+        .join(
+            und.select(F.col("a").alias("t2"), F.col("b").alias("d1")),
+            ["t2", "d1"],
+        )
+        .join(
+            und.select(F.col("a").alias("t3"), F.col("b").alias("d1")),
+            ["t3", "d1"],
+        )
+        .agg(F.count("*").alias("n_k4"))
+    )
+    return (
+        und.agg(F.count("*").alias("n_edges"))
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .crossJoin(c4)
+        .crossJoin(diam)
+        .crossJoin(k4)
+        .select(
+            "n_edges",
+            F.coalesce(F.col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.coalesce(F.col("n_four_cycles"), F.lit(0)).cast("long").alias("n_four_cycles"),
+            F.coalesce(F.col("n_diamonds"), F.lit(0)).cast("long").alias("n_diamonds"),
+            F.coalesce(F.col("n_k4"), F.lit(0)).cast("long").alias("n_k4"),
+        )
+    )
