@@ -3386,6 +3386,14 @@ def q_higher_motifs(spark, sf_dir):
     return higher_motifs(_cos_edges(spark, sf_dir))
 
 
+def q_session_flows(spark, sf_dir):
+    """Session entry/exit event-type matrix (30-minute gap islands) —
+    the workflow's open/close fingerprint."""
+    from online_centrality_spark.streaming.sessions import session_flows
+
+    return session_flows(_t(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3498,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_overlap": q_edge_overlap,
         "community_conductance": q_community_conductance,
         "higher_motifs": q_higher_motifs,
+        "session_flows": q_session_flows,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5481,6 +5490,37 @@ SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
        CAST(coalesce(diam.n_diamonds, 0) AS BIGINT) AS n_diamonds,
        CAST(k4.n_k4 AS BIGINT) AS n_k4
 FROM wed, tri, c4, diam, k4
+"""
+    sqls["session_flows"] = """
+WITH m AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_id, event_type AS tp,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS prev_t
+  FROM events
+),
+mk AS MATERIALIZED (
+  SELECT u, t, event_id, tp,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM m
+),
+sd AS (
+  SELECT u, t, event_id, tp,
+         sum(new_s) OVER (
+           PARTITION BY u ORDER BY t, event_id ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM mk
+),
+per AS (
+  SELECT u, sid,
+         min(struct_pack(t := t, e := event_id, tp := tp)) AS lo,
+         max(struct_pack(t := t, e := event_id, tp := tp)) AS hi
+  FROM sd GROUP BY u, sid
+)
+SELECT lo.tp AS entry_type, hi.tp AS exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM per GROUP BY 1, 2
 """
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (

@@ -444,6 +444,10 @@ def main():
         "higher_motifs",
         lambda: entry_mod.q_higher_motifs(spark, sf_dir).count(),
     )
+    run(
+        "session_flows",
+        lambda: entry_mod.q_session_flows(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

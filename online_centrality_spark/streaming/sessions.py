@@ -401,3 +401,60 @@ def user_diversity(
             6,
         ).alias("simpson"),
     )
+
+
+def session_flows(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """``(entry_type, exit_type, n_sessions)`` — the session flow
+    matrix: which event type OPENS a session versus which CLOSES it,
+    the workflow's entry/exit fingerprint.
+
+    Sessions come from the gap-island pattern (new session when the gap
+    from the predecessor exceeds ``gap_minutes``; the exact-boundary
+    event stays in the session, matching ``sessionize``'s inclusive
+    merge). Entry/exit types are extracted through ``min/max(struct(t,
+    order, type))`` — a deterministic total order, never min_by with
+    ties. Both windows partition on the user key.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy("u").orderBy("t", order_col)
+    marked = (
+        events.select(
+            F.col(user_col).alias("u"),
+            t.alias("t"),
+            F.col(order_col),
+            F.col(type_col).alias("tp"),
+        )
+        .withColumn("prev_t", F.lag("t").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_t").isNull()
+                | (F.col("t") - F.col("prev_t") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per = marked.groupBy("u", "sid").agg(
+        F.min(F.struct("t", order_col, "tp")).alias("lo"),
+        F.max(F.struct("t", order_col, "tp")).alias("hi"),
+    )
+    return (
+        per.groupBy(
+            F.col("lo.tp").alias("entry_type"), F.col("hi.tp").alias("exit_type")
+        )
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )

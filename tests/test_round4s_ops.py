@@ -77,3 +77,64 @@ def test_community_conductance_perfect_split(spark):
     ldf = spark.createDataFrame(labels, "node_id long, label long")
     for r in community_conductance(df, ldf).collect():
         assert r["cut"] == 0 and r["conductance"] == 0.0
+
+
+# --------------------------------------------------------- session flows
+
+
+def test_session_flows_matches_brute(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.streaming.sessions import session_flows
+
+    rng = random.Random(131)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = 1_000_000_000_000
+        for _ in range(rng.randint(2, 25)):
+            t += rng.choice([60, 600, 2400]) * 1_000_000  # 1m / 10m / 40m
+            rows.append((u, t, eid, "abcd"[rng.randint(0, 3)]))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, event_id long, event_type string"
+    ).select(
+        "user_id", F.timestamp_micros("t_us").alias("ts"), "event_id", "event_type"
+    )
+    got = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in session_flows(df, gap_minutes=30.0).collect()
+    }
+    want = {}
+    by_u = {}
+    for u, t, e, tp in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_u.setdefault(u, []).append((t, e, tp))
+    for u, evs in by_u.items():
+        sessions, cur = [], [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if nxt[0] - prev[0] > 30 * 60 * 1_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for s in sessions:
+            key = (s[0][2], s[-1][2])
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_session_flows_counts_match_sessionize(spark):
+    from pyspark.sql import functions as F
+
+    from online_centrality_spark.streaming.sessions import session_flows, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_flow = (
+        session_flows(ev, gap_minutes=30.0)
+        .agg(F.sum("n_sessions"))
+        .collect()[0][0]
+    )
+    n_sess = sessionize(ev, gap_minutes=30.0, value_col=None).count()
+    assert n_flow == n_sess
