@@ -1108,6 +1108,44 @@ GROUP BY lad.th, ecnt.n_edges"""
     )
 
 
+def _random_failure_sql(rounds: int = 14) -> str:
+    """Random-failure ladder: node fails at pct iff portable-hash(id)
+    % 100 < pct; edges explode into the ladder prefix they survive,
+    then the shared per-bucket doubling-CC chain."""
+    lad = [0, 10, 20, 30, 40, 50]
+    values = ", ".join(f"({i}, {p})" for i, p in enumerate(lad))
+    hx = PORTABLE_HASH.format(s="CAST({c} AS VARCHAR)")
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        f"lad AS (SELECT * FROM (VALUES {values}) v(bkt, pct))",
+        f"""hund AS MATERIALIZED (
+  SELECT src, dst,
+         least({hx.format(c='src')} % 100, {hx.format(c='dst')} % 100)
+           AS hmin
+  FROM cedges
+)""",
+        """dedges AS MATERIALIZED (
+  SELECT l.bkt, e.src, e.dst FROM hund e JOIN lad l ON e.hmin >= l.pct
+)""",
+    ]
+    ctes += _bucketed_cc_ctes(rounds)
+    ctes.append(
+        "ecnt AS (SELECT bkt, count(*) AS n_edges FROM dedges GROUP BY bkt)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT CAST(lad.pct AS BIGINT) AS pct,
+       CAST(ecnt.n_edges AS BIGINT) AS n_edges,
+       CAST(sum(s.sz) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(s.sz) AS BIGINT) AS largest
+FROM sizes s JOIN ecnt ON s.bkt = ecnt.bkt JOIN lad ON s.bkt = lad.bkt
+GROUP BY lad.pct, ecnt.n_edges"""
+    )
+
+
 def _ppr_sql() -> str:
     """Personalized PageRank unrolled PR_ITERS iterations on the
     supplier -> customer bipartite graph; restart (and dangling) mass
@@ -3394,6 +3432,14 @@ def q_session_flows(spark, sf_dir):
     return session_flows(_t(spark, sf_dir, "events"))
 
 
+def q_random_failure(spark, sf_dir):
+    """Robustness under random node failure (portable-hash removal,
+    0-50% ladder) — the comparison twin to attack_robustness."""
+    from online_centrality_spark.operators import random_failure
+
+    return random_failure(_cos_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transcripts-shaped edge induction from events + temporal
     Katz + decayed indegree + indegree over the induced actor graph."""
@@ -3507,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_conductance": q_community_conductance,
         "higher_motifs": q_higher_motifs,
         "session_flows": q_session_flows,
+        "random_failure": q_random_failure,
         # (r02-green-only queries displaced below keep that row plus
         # this round's gate-replica sweep as evidence)
         "ngram_jaccard": q_ngram_jaccard,
@@ -5522,6 +5569,7 @@ SELECT lo.tp AS entry_type, hi.tp AS exit_type,
        CAST(count(*) AS BIGINT) AS n_sessions
 FROM per GROUP BY 1, 2
 """
+    sqls["random_failure"] = _random_failure_sql()
     sqls["butterflies"] = """
 WITH be AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS u, o_custkey AS r

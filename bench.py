@@ -448,6 +448,10 @@ def main():
         "session_flows",
         lambda: entry_mod.q_session_flows(spark, sf_dir).count(),
     )
+    run(
+        "random_failure",
+        lambda: entry_mod.q_random_failure(spark, sf_dir).count(),
+    )
 
     # full replay through SuperstepDriver in distributed-state mode
     # (cogroup state, partitioned score sink — no driver-held arrays)

@@ -21,7 +21,7 @@ from .richclub import rich_club
 from .densest import densest_subgraph
 from .backbone import disparity_backbone, disparity_scores, strength_disparity
 from .persistence import edge_persistence
-from .robustness import attack_robustness
+from .robustness import attack_robustness, random_failure
 from .bipartite import butterfly_count
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
@@ -84,6 +84,7 @@ __all__ = [
     "threshold_profile",
     "edge_persistence",
     "attack_robustness",
+    "random_failure",
     "butterfly_count",
     "attribute_assortativity",
     "minimum_spanning_forest",

@@ -107,3 +107,59 @@ def attack_robustness(
         "n_components",
         "largest",
     )
+
+
+def random_failure(
+    edges: DataFrame, percents: list | None = None, **cc_kwargs
+) -> DataFrame:
+    """``(pct, n_edges, n_nodes, n_components, largest)`` — robustness
+    under RANDOM node failure, the literature's comparison twin to
+    :func:`attack_robustness` (scale-free graphs shrug off random
+    failure but collapse under targeted attack).
+
+    "Random" is the portable 60-bit md5 hash of the node id taken mod
+    100: a node fails at level ``pct`` iff ``hash % 100 < pct`` — a
+    deterministic, engine-reproducible, fully MAP-SIDE rule (no
+    ranking, no shuffle to decide removal). An edge survives level
+    ``pct`` iff ``min(h_a, h_b) >= pct``, so each edge explodes into
+    exactly the ladder prefix it survives and the shared
+    stripe-encoded CC solves every level at once.
+    """
+    percents = percents if percents is not None else [0, 10, 20, 30, 40, 50]
+    ladder = sorted(percents)
+    spark = edges.sparkSession
+    lad = spark.createDataFrame(
+        [(i, int(p)) for i, p in enumerate(ladder)], "bkt long, pct long"
+    )
+    h = lambda c: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", F.least(h("a"), h("b")).alias("hmin"))
+    )
+    tagged = (
+        und.crossJoin(F.broadcast(lad))
+        .filter(F.col("hmin") >= F.col("pct"))
+        .select("bkt", F.col("a").alias("src"), F.col("b").alias("dst"))
+        .persist()
+    )
+    sizes = bucketed_component_sizes(tagged, **cc_kwargs)
+    comp = sizes.groupBy("bkt").agg(
+        F.count("*").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.max("sz").alias("largest"),
+    )
+    ecnt = tagged.groupBy("bkt").agg(F.count("*").alias("n_edges"))
+    return (
+        ecnt.join(comp, "bkt")
+        .join(F.broadcast(lad), "bkt")
+        .select("pct", "n_edges", "n_nodes", "n_components", "largest")
+    )

@@ -173,3 +173,44 @@ def test_butterfly_empty_input_all_zero(spark):
     df = spark.createDataFrame([], "src long, dst long")
     r = butterfly_count(df).collect()[0]
     assert (r["n_edges"], r["n_wedges"], r["n_butterflies"]) == (0, 0, 0)
+
+
+def test_random_failure_matches_brute(spark):
+    import hashlib
+
+    from online_centrality_spark.operators import random_failure
+
+    def h(n):
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:15], 16) % 100
+
+    import random as _random
+
+    rng = _random.Random(137)
+    edges = [(rng.randint(0, 29), rng.randint(0, 29)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["pct"]: (r["n_edges"], r["n_nodes"], r["n_components"], r["largest"])
+        for r in random_failure(df, percents=[0, 25, 50]).collect()
+    }
+    es = {(max(a, b), min(a, b)) for a, b in edges if a != b}
+    want = {}
+    for pct in (0, 25, 50):
+        alive = {(x, y) for x, y in es if h(x) >= pct and h(y) >= pct}
+        if not alive:
+            continue
+        sizes = _cc_stats(alive)
+        want[pct] = (
+            len(alive),
+            sum(sizes.values()),
+            len(sizes),
+            max(sizes.values()),
+        )
+    assert got == want
+
+
+def test_random_failure_level_zero_is_whole_graph(spark):
+    from online_centrality_spark.operators import random_failure
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "src long, dst long")
+    rows = {r["pct"]: r for r in random_failure(df, percents=[0]).collect()}
+    assert rows[0]["n_edges"] == 3 and rows[0]["n_components"] == 2
