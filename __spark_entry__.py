@@ -5176,11 +5176,11 @@ nbr AS (
 ),
 pn AS (
   SELECT deg.d,
-         CAST(round((CAST(nbr.sm AS DOUBLE) / deg.d) * 1e12) AS BIGINT) AS t
+         CAST(round((CAST(nbr.sm AS DOUBLE) / deg.d) * 1e6) AS BIGINT) AS t
   FROM deg JOIN nbr ON deg.u = nbr.u
 )
 SELECT CAST(d AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
-       round((CAST(sum(t) AS DOUBLE) / 1e12) / count(*), 6) AS knn
+       round((CAST(sum(t) AS DOUBLE) / 1e6) / count(*), 6) AS knn
 FROM pn GROUP BY d
 """
     sqls["doc_surprisal"] = f"""
@@ -5346,24 +5346,26 @@ dgini AS (
          round(CAST(ts AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(wsum AS DOUBLE)), 6) AS gini
   FROM (
     SELECT any_value(nt) AS nt, any_value(wsum) AS wsum,
-           sum(v * c * (ci * 2 - c - nt)) AS ts
+           sum(CAST(v AS HUGEINT) * c * (ci * 2 - c - nt)) AS ts
     FROM (
       SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ci,
              (SELECT sum(c) FROM dh) AS nt,
              (SELECT sum(v * c) FROM dh) AS wsum
       FROM dh) x) y
+  WHERE nt IS NOT NULL
 ),
 wgini AS (
   SELECT 'weight' AS kind, CAST(nt AS BIGINT) AS n,
          round(CAST(ts AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(wsum AS DOUBLE)), 6) AS gini
   FROM (
     SELECT any_value(nt) AS nt, any_value(wsum) AS wsum,
-           sum(v * c * (ci * 2 - c - nt)) AS ts
+           sum(CAST(v AS HUGEINT) * c * (ci * 2 - c - nt)) AS ts
     FROM (
       SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ci,
              (SELECT sum(c) FROM wh) AS nt,
              (SELECT sum(v * c) FROM wh) AS wsum
       FROM wh) x) y
+  WHERE nt IS NOT NULL
 )
 SELECT * FROM dgini UNION ALL SELECT * FROM wgini
 """
@@ -5388,6 +5390,7 @@ ap AS MATERIALIZED (
   SELECT a.vec_id AS u, b.vec_id AS v,
          round(list_cosine_similarity(a.e, b.e), 6) AS c
   FROM _v a JOIN _v b ON a.vec_id <> b.vec_id
+  WHERE NOT isnan(list_cosine_similarity(a.e, b.e))
 ),
 knn AS MATERIALIZED (
   SELECT u, v, c FROM (
@@ -5433,6 +5436,7 @@ SELECT CAST(ag.n AS BIGINT) AS n_docs,
                  / (CAST(ag.n AS DOUBLE) * (least(cnts.n_a, cnts.n_b) - 1))), 6)
        END AS v
 FROM ag, cnts
+WHERE ag.n IS NOT NULL
 """
     sqls["edge_overlap"] = f"""
 WITH {COS_EDGES_CTE},

@@ -51,16 +51,21 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         .groupBy("u")
         .agg(F.sum("dv").alias("s"))
     )
+    # terms are quantized at 1e-6 (NOT 1e-12): mean neighbor degree is
+    # UNBOUNDED, and round(x*1e12) would overflow the int64 cast once
+    # it passes ~9.2e6 — at 1e6 the envelope is mean degree < 9.2e12,
+    # beyond any graph with < 9e12 nodes. Both engines quantize
+    # identically, so parity is unaffected.
     per_node = deg.join(nbr, "u").select(
         "d",
-        F.round((F.col("s").cast("double") / F.col("d")) * 1e12)
+        F.round((F.col("s").cast("double") / F.col("d")) * 1e6)
         .cast("long")
         .alias("t"),
     )
     return per_node.groupBy(F.col("d").alias("k")).agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.round(
-            (F.sum("t").cast("double") / 1e12) / F.count("*"), 6
+            (F.sum("t").cast("double") / 1e6) / F.count("*"), 6
         ).alias("knn"),
     )
 
@@ -109,8 +114,12 @@ def _hist_gini(hist: DataFrame, v_col: str, c_col: str, kind: str):
         cum.select(
             "nt",
             "wsum",
+            # decimal-widened: the int64 product v*c*(2C-c-n) wraps
+            # silently in Spark past ~1e9-node/1e9-edge graphs while
+            # the HUGEINT oracle stays exact — decimal(38,0) keeps the
+            # integer chain exact to 1e38 in both engines
             (
-                F.col("v")
+                F.col("v").cast("decimal(38,0)")
                 * F.col("c")
                 * (F.col("ci") * 2 - F.col("c") - F.col("nt"))
             ).alias("t"),

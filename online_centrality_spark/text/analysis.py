@@ -758,10 +758,7 @@ def cramers_v(
     ).agg(F.count("*").alias("nij"))
     ra = ct.groupBy("a").agg(F.sum("nij").alias("r"))
     cb = ct.groupBy("b").agg(F.sum("nij").alias("c"))
-    tot = ct.agg(
-        F.sum("nij").alias("n"),
-        F.count("*").alias("_cells"),
-    ).select("n")
+    tot = ct.agg(F.sum("nij").alias("n"))
     grid = (
         ra.crossJoin(cb)
         .join(ct, ["a", "b"], "left")

@@ -143,10 +143,10 @@ def test_avg_neighbor_degree_matches_brute(spark):
         adj.setdefault(l, set()).add(h)
     by_k = {}
     for v, ns in adj.items():
-        t = _round_half_up(sum(len(adj[u]) for u in ns) / len(ns) * 1e12)
+        t = _round_half_up(sum(len(adj[u]) for u in ns) / len(ns) * 1e6)
         by_k.setdefault(len(ns), []).append(t)
     want = {
-        k: (len(ts), round(sum(ts) / 1e12 / len(ts), 6)) for k, ts in by_k.items()
+        k: (len(ts), round(sum(ts) / 1e6 / len(ts), 6)) for k, ts in by_k.items()
     }
     assert got == want
 

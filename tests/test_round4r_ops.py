@@ -100,3 +100,13 @@ def test_cramers_v_perfect_and_single(spark):
         "doc_id long, text string, lang string, source string",
     )
     assert cramers_v(single).collect()[0]["v"] is None  # min(R,C) = 1
+
+
+def test_mutual_knn_drops_zero_norm_vectors(spark):
+    # a zero embedding has NaN cosine to everyone: it must simply be
+    # absent from the graph (engine masks NaN sims; oracle mirrors)
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.8, 0.2]), (9, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in mutual_knn_graph(df, k=2).collect()}
+    assert all(9 not in e for e in got)
+    assert got  # the well-formed vectors still form edges
