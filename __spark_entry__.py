@@ -1031,7 +1031,12 @@ def _msf_sql(rounds: int = 10) -> str:
     covered by engine-side invariants (tools/sf01_invariants.py).
     The (w, a, b) order is encoded as the single BIGINT
     round(w*1e6)*1e10 + a*1e5 + b — order-isomorphic for the fixture's
-    vec_id < 1e5 and w in [0, 1]."""
+    vec_id < 1e5 and w in [0, 1]; both limits are now GUARDED: the
+    query calls DuckDB ``error()`` (loud gate failure, never a silently
+    wrong forest) if any node id reaches 1e5 or if the doubling closure
+    has not reached its fixpoint (m{rounds} != m{rounds-1}, the
+    monotone-operator convergence witness — no extra doubling round
+    needed)."""
     ctes = [
         f"""_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 we AS MATERIALIZED (
@@ -1061,13 +1066,28 @@ we AS MATERIALIZED (
     FROM {p} x JOIN {p} y ON x.v = y.u
     WHERE x.u <> y.v) z
   GROUP BY u, v)""")
+    ctes.append(
+        """chk_key AS (
+  SELECT CASE WHEN coalesce(max(greatest(a, b)), 0) >= 100000
+         THEN error('msf oracle: node id >= 1e5 breaks the (w,a,b) BIGINT key order')
+         ELSE 1 END AS ok FROM wk)"""
+    )
+    ctes.append(
+        f"""chk_fp AS (
+  SELECT CASE WHEN EXISTS (
+           SELECT u, v, k FROM m{rounds}
+           EXCEPT SELECT u, v, k FROM m{rounds - 1})
+         THEN error('msf oracle: minimax closure not converged in {rounds} doubling rounds')
+         ELSE 1 END AS ok)"""
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT e.a, e.b, e.w
 FROM wk e JOIN m{rounds} m ON e.a = m.u AND e.b = m.v
-WHERE m.k = e.k"""
+WHERE m.k = e.k
+  AND (SELECT ok FROM chk_key) = 1 AND (SELECT ok FROM chk_fp) = 1"""
     )
 
 

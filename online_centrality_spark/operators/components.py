@@ -301,9 +301,10 @@ def threshold_profile(
 ) -> DataFrame:
     """``(threshold, n_edges, n_nodes, n_components, largest)`` — the
     percolation profile of a weighted graph: component structure of the
-    subgraph ``w >= threshold`` for every rung of the ladder, revealing
-    where the giant component breaks apart as the similarity cut
-    tightens.
+    subgraph ``w >= threshold`` for every rung of the ladder that
+    leaves at least one edge (rungs where the cut kills every edge are
+    omitted, like :func:`attack_robustness`'s levels), revealing where
+    the giant component breaks apart as the similarity cut tightens.
 
     One star-CC run covers the whole ladder: each edge explodes into
     the rungs it survives (bounded ``len(thresholds)``× blowup), and

@@ -115,7 +115,9 @@ def random_failure(
     """``(pct, n_edges, n_nodes, n_components, largest)`` — robustness
     under RANDOM node failure, the literature's comparison twin to
     :func:`attack_robustness` (scale-free graphs shrug off random
-    failure but collapse under targeted attack).
+    failure but collapse under targeted attack). Levels whose failures
+    kill every edge are omitted (one row per level that leaves at
+    least one edge, like ``attack_robustness``).
 
     "Random" is the portable 60-bit md5 hash of the node id taken mod
     100: a node fails at level ``pct`` iff ``hash % 100 < pct`` — a
@@ -126,6 +128,13 @@ def random_failure(
     stripe-encoded CC solves every level at once.
     """
     percents = percents if percents is not None else [0, 10, 20, 30, 40, 50]
+    for p in percents:
+        # int(12.5) would silently run the 12% level; out-of-range
+        # values produce degenerate all-alive/all-dead rungs
+        if isinstance(p, bool) or int(p) != p or not (0 <= int(p) <= 100):
+            raise ValueError(
+                f"random_failure percents must be integers in [0, 100], got {p!r}"
+            )
     ladder = sorted(percents)
     spark = edges.sparkSession
     lad = spark.createDataFrame(

@@ -78,12 +78,19 @@ def clustering_by_degree(edges: DataFrame) -> DataFrame:
 
     Reuses the degree-oriented triangle counter through
     ``local_clustering`` (per-node lcc is an exact-int ratio in a fixed
-    double chain); class averages use the scaled-int64 sum rule.
+    double chain); class averages use the scaled-int64 sum rule. Nodes
+    whose SIMPLE-graph degree is 0 (self-loop-only endpoints — present
+    in ``local_clustering``'s raw-edge node universe with degree
+    coalesced to 0) are excluded: a k=0 degree class has no defined
+    clustering and the oracle's simple-edge node universe never emits
+    it.
     """
     from .triangles import local_clustering
 
-    per = local_clustering(edges).select(
-        "degree", F.round(F.col("lcc") * 1e12).cast("long").alias("t")
+    per = (
+        local_clustering(edges)
+        .filter(F.col("degree") >= 1)
+        .select("degree", F.round(F.col("lcc") * 1e12).cast("long").alias("t"))
     )
     return per.groupBy(F.col("degree").alias("k")).agg(
         F.count("*").cast("long").alias("n_nodes"),
