@@ -78,16 +78,38 @@ def _sym_adjacency(edges: DataFrame, directed: bool):
     return adj.persist(), nodes
 
 
-def _all_pairs_frontiers(adj, nodes, max_rounds: int, tag: str):
+def _resolve_targets(nodes: DataFrame, targets) -> DataFrame:
+    """Resolve the BFS source set: ``None`` -> every node (exact
+    all-sources), ``int k`` -> the k smallest node ids (the same
+    deterministic pivot rule as ``betweenness_from_pivots`` — a
+    distributed top-k, no global sort task), DataFrame -> its
+    ``node_id`` column intersected with the graph's nodes."""
+    if targets is None:
+        return nodes
+    if isinstance(targets, int):
+        if targets <= 0:
+            raise ValueError(f"targets must be positive, got {targets}")
+        return nodes.orderBy("node_id").limit(targets)
+    return (
+        targets.select("node_id")
+        .distinct()
+        .join(nodes, "node_id", "left_semi")
+    )
+
+
+def _all_pairs_frontiers(adj, seeds, max_rounds: int, tag: str):
     """Shared all-sources level-synchronous BFS envelope: yields
     ``(depth, frontier)`` where the frontier is exactly the (target,
-    node) pairs at shortest distance ``depth``. State is the quadratic
-    (target, node) visited relation — the price of exact all-pairs hop
-    metrics; frontiers shrink monotonically as components saturate.
+    node) pairs at shortest distance ``depth``, for every target in
+    ``seeds``. With seeds = all nodes, state is the quadratic (target,
+    node) visited relation — the price of exact all-pairs hop metrics;
+    with a k-node target sample (the 10^12-edge escape hatch) state is
+    k rows per node, the ``betweenness_from_pivots`` envelope.
+    Frontiers shrink monotonically as components saturate.
     One shuffle join + one anti-join per depth, lineage cut per round.
     Raises instead of yielding a truncated relation when ``max_rounds``
     is hit (the engine's standard fixpoint discipline)."""
-    visited = nodes.select(
+    visited = seeds.select(
         F.col("node_id").alias("target"), F.col("node_id").alias("node")
     ).localCheckpoint(eager=True)
     frontier = visited
@@ -111,19 +133,24 @@ def eccentricity(
     edges: DataFrame,
     directed: bool = False,
     max_rounds: int = 10_000,
+    targets: DataFrame | int | None = None,
 ) -> DataFrame:
     """(node_id, ecc) — max hop distance from each node to any node it
     can reach (its connected component in the undirected default).
 
     All-sources BFS (:func:`_all_pairs_frontiers`); the targets that
     still gained nodes this round bump their eccentricity to the
-    current depth. For approximate radii at 10^12 edges, sample targets
-    (the loop is unchanged, seeded by a frontier filter)."""
+    current depth. ``targets`` (int k = the k smallest node ids, or a
+    node_id frame — the ``betweenness_from_pivots`` pivot rule) is the
+    10^12-edge escape hatch: EXACT eccentricities for just the sampled
+    nodes, BFS state k rows per node instead of n^2; max over a target
+    sample lower-bounds the diameter, min upper-bounds the radius."""
     adj, nodes = _sym_adjacency(edges, directed)
-    ecc = nodes.select("node_id", F.lit(0).cast("long").alias("ecc"))
+    seeds = _resolve_targets(nodes, targets)
+    ecc = seeds.select("node_id", F.lit(0).cast("long").alias("ecc"))
     ecc = ecc.localCheckpoint(eager=True)
     for depth, frontier in _all_pairs_frontiers(
-        adj, nodes, max_rounds, "eccentricity"
+        adj, seeds, max_rounds, "eccentricity"
     ):
         grew = frontier.select(F.col("target").alias("node_id")).distinct()
         ecc = (
@@ -143,6 +170,7 @@ def closeness_centrality(
     edges: DataFrame,
     directed: bool = False,
     max_rounds: int = 10_000,
+    targets: DataFrame | int | None = None,
 ) -> DataFrame:
     """(node_id, reach, total_dist, closeness) — per-component exact
     closeness: ``reach`` = nodes reachable from v (excluding v),
@@ -152,12 +180,16 @@ def closeness_centrality(
     Same envelope as :func:`eccentricity`, but instead of a per-round
     score join it emits each round's tiny ``(target, gained-count,
     depth)`` aggregate and folds them in ONE final union + groupBy —
-    no per-round update join at all. For approximate closeness at
-    10^12 edges, seed the loop with a target sample."""
+    no per-round update join at all. ``targets`` (int k = the k
+    smallest node ids, or a node_id frame) is the 10^12-edge escape
+    hatch: one row per sampled node with its EXACT closeness (each
+    sampled BFS still reaches the node's whole component), state k
+    rows per node instead of n^2."""
     adj, nodes = _sym_adjacency(edges, directed)
+    seeds = _resolve_targets(nodes, targets)
     per_depth: list[DataFrame] = []
     for depth, frontier in _all_pairs_frontiers(
-        adj, nodes, max_rounds, "closeness"
+        adj, seeds, max_rounds, "closeness"
     ):
         per_depth.append(
             frontier.groupBy("target")
@@ -166,7 +198,7 @@ def closeness_centrality(
             .localCheckpoint(eager=True)
         )
     if not per_depth:
-        return nodes.select(
+        return seeds.select(
             "node_id",
             F.lit(0).cast("long").alias("reach"),
             F.lit(0).cast("long").alias("total_dist"),
@@ -180,7 +212,7 @@ def closeness_centrality(
         F.sum(F.col("cnt") * F.col("depth")).cast("long").alias("total_dist"),
     )
     return (
-        nodes.join(stats, "node_id", "left")
+        seeds.join(stats, "node_id", "left")
         .fillna(0, ["reach", "total_dist"])
         .select(
             "node_id",
@@ -201,6 +233,7 @@ def hop_distribution(
     directed: bool = False,
     eff_quantile: float = 0.9,
     max_rounds: int = 10_000,
+    targets: DataFrame | int | None = None,
 ) -> DataFrame:
     """(d, n_pairs, cum_frac, eff_diameter) — the exact hop-distance
     distribution of the graph: how many ordered reachable pairs sit at
@@ -213,12 +246,22 @@ def hop_distribution(
     one scalar count per round; the rounds fold in a single union over
     the (diameter-bounded) depth frame, where the cumulative window is
     explicitly safe. The cumulative fraction is a single division of
-    exact integer sums, so engines agree bit-for-bit before rounding."""
+    exact integer sums, so engines agree bit-for-bit before rounding.
+
+    ``targets`` (int k = the k smallest node ids, or a node_id frame)
+    is the 10^12-edge escape hatch: pairs are counted from the sampled
+    sources only (state k rows per node), ``n_pairs`` is the exact
+    sampled count, and an extra ``est_pairs`` column carries the
+    Eppstein–Wang-style ``n/k``-rescaled estimate of the full count;
+    ``cum_frac`` / ``eff_diameter`` are ratios, invariant under the
+    rescale. The exact path (targets=None) keeps its 4-column schema."""
     adj, nodes = _sym_adjacency(edges, directed)
+    seeds = _resolve_targets(nodes, targets)
+    sampled = targets is not None
     spark = edges.sparkSession
     per_depth: list[DataFrame] = []
     for depth, frontier in _all_pairs_frontiers(
-        adj, nodes, max_rounds, "hop_distribution"
+        adj, seeds, max_rounds, "hop_distribution"
     ):
         per_depth.append(
             frontier.agg(F.count("*").alias("n_pairs")).select(
@@ -226,9 +269,13 @@ def hop_distribution(
             )
         )
     if not per_depth:
-        return spark.createDataFrame(
-            [], "d long, n_pairs long, cum_frac double, eff_diameter long"
-        )
+        schema = "d long, n_pairs long, cum_frac double, eff_diameter long"
+        if sampled:
+            schema = (
+                "d long, n_pairs long, est_pairs double, cum_frac double,"
+                " eff_diameter long"
+            )
+        return spark.createDataFrame([], schema)
     hd = per_depth[0]
     for g in per_depth[1:]:
         hd = hd.unionByName(g)
@@ -250,7 +297,26 @@ def hop_distribution(
     eff = c.filter(F.col("raw_frac") >= F.lit(eff_quantile)).agg(
         F.min("d").alias("eff_diameter")
     )
-    return c.crossJoin(F.broadcast(eff)).select(
+    out = c.crossJoin(F.broadcast(eff))
+    if sampled:
+        # n/k rescale: two 1-row scalar aggregates broadcast onto the
+        # diameter-bounded depth frame
+        scale = (
+            nodes.agg(F.count("*").alias("n_nodes"))
+            .crossJoin(F.broadcast(seeds.agg(F.count("*").alias("k_targets"))))
+        )
+        return out.crossJoin(F.broadcast(scale)).select(
+            "d",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs")
+                * (F.col("n_nodes").cast("double") / F.col("k_targets")),
+                6,
+            ).alias("est_pairs"),
+            F.round("raw_frac", 6).alias("cum_frac"),
+            "eff_diameter",
+        )
+    return out.select(
         "d",
         "n_pairs",
         F.round("raw_frac", 6).alias("cum_frac"),

@@ -329,6 +329,11 @@ def mutual_knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_blocks: int = 8,
+    candidates: str = "exact",
+    min_cosine: float | None = None,
+    num_tables: int = 24,
+    num_planes: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """``(a, b, cosine)`` — the mutual k-nearest-neighbor graph: an
     edge survives iff a is in b's top-k AND b is in a's top-k (by
@@ -336,25 +341,73 @@ def mutual_knn_graph(
     construction for density-based clustering — mutuality prunes the
     hub edges that plain kNN graphs accumulate.
 
-    Exact variant over the blocked distributed pair source (threshold
-    −1 ⇒ all pairs, no driver collect / matrix broadcast); per-node
-    top-k is a window over the node's OWN candidate list. Ranking uses
-    the 6-ROUNDED cosine so the boundary decision is engine-identical;
-    at corpus scale substitute the LSH/IVF candidate sources for the
-    all-pairs stage.
+    ``min_cosine`` restricts the RANKED pair universe to rounded
+    cosine >= min_cosine (mutual top-k within the near-dup candidate
+    regime — the dedup-clustering use of this graph).
+
+    ``candidates="exact"`` (the oracle path) scores every pair through
+    the blocked distributed source (threshold −1 ⇒ all pairs, no
+    driver collect / matrix broadcast) — inherently O(n²·d) compute.
+    ``candidates="lsh"`` is the corpus-scale path (VERDICT r04
+    next-round #4): candidate pairs come from the deterministic
+    hyperplane-LSH buckets (:func:`~online_centrality_spark.dedup.
+    embedding.embedding_near_dups_lsh`), so NO all-pairs stage exists
+    in the plan (pinned by tests/test_plan_shapes.py); per-node top-k
+    then runs over the node's LSH candidate list. LSH mode REQUIRES
+    ``min_cosine``: hyperplane collision probability decays toward
+    uninformative at low cosine, so recall toward unrestricted top-k
+    (which on diffuse embeddings ranks pairs down to cosine ~0.25)
+    cannot be bounded — exactly the regime the exact path exists for.
+    Above the floor the engine's established envelope applies
+    (``embedding_near_dups_lsh`` at 24×4 tables: recall 1.0 at
+    cosine >= 0.4 on all test fixtures), and the fixture suite asserts
+    the LSH graph EQUALS the exact ``min_cosine`` graph, so the driver
+    oracle is shared between both paths.
+
+    Per-node top-k is a window over the node's OWN candidate list.
+    Ranking uses the 6-ROUNDED cosine (filter applied on the SAME
+    rounded value) so the boundary decision is engine-identical.
     """
     from pyspark.sql import Window
 
-    from online_centrality_spark.dedup.embedding import embedding_near_dups_blocked
+    if candidates == "exact":
+        from online_centrality_spark.dedup.embedding import (
+            embedding_near_dups_blocked,
+        )
 
-    pairs = embedding_near_dups_blocked(
-        embeddings, id_col=id_col, vec_col=vec_col,
-        threshold=-1.0, num_blocks=num_blocks,
-    ).select(
+        src = embedding_near_dups_blocked(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            threshold=-1.0, num_blocks=num_blocks,
+        )
+    elif candidates == "lsh":
+        if min_cosine is None:
+            raise ValueError(
+                "candidates='lsh' requires min_cosine: hyperplane-LSH "
+                "recall is unbounded for low-cosine neighbors, so "
+                "unrestricted mutual top-k needs the exact path"
+            )
+        from online_centrality_spark.dedup.embedding import (
+            embedding_near_dups_lsh,
+        )
+
+        # pre-filter eps below the floor; the authoritative boundary
+        # decision is the rounded filter below, same as the exact path
+        src = embedding_near_dups_lsh(
+            embeddings, id_col=id_col, vec_col=vec_col,
+            threshold=min_cosine - 1e-6, num_tables=num_tables,
+            num_planes=num_planes, max_bucket_size=max_bucket_size,
+        )
+    else:
+        raise ValueError(
+            f"candidates must be 'exact' or 'lsh', got {candidates!r}"
+        )
+    pairs = src.select(
         F.col("doc_a").alias("u"),
         F.col("doc_b").alias("v"),
         F.round("cosine", 6).alias("c"),
     )
+    if min_cosine is not None:
+        pairs = pairs.filter(F.col("c") >= min_cosine)
     sym = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
     )

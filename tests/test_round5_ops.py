@@ -84,3 +84,143 @@ def test_msf_oracle_guards_fire():
     )
     with pytest.raises(Exception, match="not converged"):
         con2.sql(trunc).fetchall()
+
+
+# ------------------------------------------------- sampled BFS family
+
+
+def _cycle(spark, n=12):
+    return _edges(spark, [(i, (i + 1) % n) for i in range(n)])
+
+
+def test_closeness_sampled_exact_on_sample(spark):
+    """targets=k computes EXACT closeness for the k smallest node ids —
+    identical rows to the all-sources run filtered to the sample."""
+    from online_centrality_spark.operators.bfs import closeness_centrality
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (7, 8)],  # cycle+tail+island
+    )
+    exact = {
+        r["node_id"]: (r["reach"], r["total_dist"], r["closeness"])
+        for r in closeness_centrality(e).collect()
+    }
+    samp = closeness_centrality(e, targets=3).collect()
+    assert sorted(r["node_id"] for r in samp) == [1, 2, 3]
+    for r in samp:
+        assert (r["reach"], r["total_dist"], r["closeness"]) == exact[r["node_id"]]
+
+
+def test_eccentricity_sampled_exact_on_sample(spark):
+    from online_centrality_spark.operators.bfs import eccentricity
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    exact = {r["node_id"]: r["ecc"] for r in eccentricity(e).collect()}
+    samp = eccentricity(e, targets=2).collect()
+    assert sorted(r["node_id"] for r in samp) == [1, 2]
+    for r in samp:
+        assert r["ecc"] == exact[r["node_id"]]
+
+
+def test_targets_dataframe_intersects_graph_nodes(spark):
+    from online_centrality_spark.operators.bfs import eccentricity
+
+    e = _edges(spark, [(1, 2), (2, 3)])
+    tgt = spark.createDataFrame([(2,), (99,)], "node_id long")  # 99 not in graph
+    out = eccentricity(e, targets=tgt).collect()
+    assert [r["node_id"] for r in out] == [2]
+    assert out[0]["ecc"] == 1
+
+
+def test_hop_distribution_sampled_estimator(spark):
+    """On a vertex-transitive graph (cycle) every source sees the same
+    distance profile, so the n/k-rescaled sampled estimate EQUALS the
+    exact distribution; cum_frac and eff_diameter are scale-invariant."""
+    from online_centrality_spark.operators.bfs import hop_distribution
+
+    e = _cycle(spark, 12)
+    exact = {r["d"]: r for r in hop_distribution(e).collect()}
+    samp = hop_distribution(e, targets=3).collect()
+    assert {r["d"] for r in samp} == set(exact)
+    for r in samp:
+        x = exact[r["d"]]
+        assert abs(r["est_pairs"] - x["n_pairs"]) < 1e-6
+        assert abs(r["cum_frac"] - x["cum_frac"]) < 1e-9
+        assert r["eff_diameter"] == x["eff_diameter"]
+        assert r["n_pairs"] * 4 == x["n_pairs"]  # k=3 of n=12 sources
+
+
+def test_hop_distribution_sampled_estimator_tolerance(spark):
+    """On a non-transitive graph the sampled estimate is within a loose
+    tolerance of exact (unbiased over source choice, not exact)."""
+    from online_centrality_spark.operators.bfs import hop_distribution
+
+    pairs = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+    e = _edges(spark, pairs)
+    exact_total = sum(r["n_pairs"] for r in hop_distribution(e).collect())
+    samp = hop_distribution(e, targets=7).collect()
+    est_total = sum(r["est_pairs"] for r in samp)
+    assert abs(est_total - exact_total) / exact_total < 0.35
+
+
+def test_bfs_targets_validation(spark):
+    import pytest as _pt
+
+    from online_centrality_spark.operators.bfs import closeness_centrality
+
+    e = _edges(spark, [(1, 2)])
+    with _pt.raises(ValueError, match="positive"):
+        closeness_centrality(e, targets=0)
+
+
+# ------------------------------------------------- mutual-kNN LSH path
+
+
+def test_mutual_knn_lsh_equals_exact_on_sf(spark):
+    """Recall 1.0 at the 0.4 floor: the LSH candidate path produces the
+    IDENTICAL mutual-kNN graph to the exact blocked path, so the two
+    driver queries can share oracle semantics."""
+    from online_centrality_spark.similarity.ann import mutual_knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = mutual_knn_graph(emb, k=5, min_cosine=0.4).collect()
+    lsh = mutual_knn_graph(
+        emb, k=5, candidates="lsh", min_cosine=0.4, num_tables=24, num_planes=4
+    ).collect()
+    key = lambda r: (r["a"], r["b"])  # noqa: E731
+    assert sorted(map(key, exact)) == sorted(map(key, lsh))
+    ec = {key(r): r["cosine"] for r in exact}
+    for r in lsh:
+        assert abs(ec[key(r)] - r["cosine"]) < 1e-9
+    assert len(exact) > 0  # non-vacuous
+
+
+def test_mutual_knn_lsh_requires_floor(spark):
+    import pytest as _pt
+
+    from online_centrality_spark.similarity.ann import mutual_knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pt.raises(ValueError, match="min_cosine"):
+        mutual_knn_graph(emb, k=5, candidates="lsh")
+    with _pt.raises(ValueError, match="exact.*lsh"):
+        mutual_knn_graph(emb, k=5, candidates="ivf")
+
+
+def test_mutual_knn_lsh_plan_has_no_all_pairs_stage(spark):
+    """The blocked all-pairs source is an applyInPandas over block
+    pairs (FlatMapGroupsInPandas); LSH mode must not contain it."""
+    from online_centrality_spark.similarity.ann import mutual_knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh_plan = (
+        mutual_knn_graph(emb, k=5, candidates="lsh", min_cosine=0.4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in lsh_plan
+    exact_plan = (
+        mutual_knn_graph(emb, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in exact_plan  # marker is real
