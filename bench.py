@@ -1,13 +1,14 @@
 """Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE COMPACT JSON line as the LAST line of stdout:
+Prints ONE COMPACT JSON line as the LAST line of stdout — SCALARS ONLY
+plus the 9-row round-1 subset map (driver parse contract; the r03/r04
+driver captures truncated an oversized final line, so the full per-row
+map now lives ONLY in BENCH/last_run_stats.json and the last line is
+kept under ~1 KB by construction):
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {row: best sec}, "sf": ..., "probes": {...},
-     "edges_per_sec_superstep": ...}
-Full per-row trial stats (spread, all trials) go to
-BENCH/last_run_stats.json — NOT stdout: the r03 driver capture
-truncated the head of an oversized final line, so the machine-readable
-summary stays small by contract.
+     "value_r01_subset": ..., "queries": {<the 9 r01 rows>: sec},
+     "n_queries": ..., "sf": ..., "cpus": ..., "probes": {...},
+     "edges_per_sec_superstep": ..., ..., "stats_file": "..."}
 
 The headline superstep metric replays a deterministically replicated
 copy of the induced event edge stream (disjoint per-replica node
@@ -19,13 +20,21 @@ dynamics. Replica count via $BENCH_REPLICAS (default 512 → ~50M edges
 at sf0.1); $BENCH_QUERIES restricts to a comma-separated subset (used
 by tools/bench_scaling.py); $BENCH_WALK_BLOCK tunes the cache block.
 
-Noise robustness: every row runs $BENCH_TRIALS times (default 3; the
-heavy full-replay rows $BENCH_HEAVY_TRIALS, default 2) with
-``spark.catalog.clearCache()`` between trials; ``queries`` reports the
-BEST trial (the number least contaminated by this VM's documented
-±20%-3x host noise) and ``query_stats`` reports per-row
-{best, spread, trials} so round-over-round deltas outside the spread
-are signal, inside it are noise.
+Noise robustness, two layers:
+- every row runs $BENCH_TRIALS times (default 3; the heavy full-replay
+  rows $BENCH_HEAVY_TRIALS, default 2) with ``clearCache`` between
+  trials; ``queries`` reports the BEST trial and the stats file keeps
+  per-row {best, spread, trials, probe}.
+- PROBE-GATED RETRY (VERDICT r04 #5): a ~4 s hardware probe is stamped
+  at suite start/end and every $BENCH_PROBE_EVERY rows (default 20).
+  Rows whose governing probe sits below the documented healthy floor
+  (burn >= 134 Mops OR stream >= 45 it/s — BENCH/BASELINE.md bands)
+  are re-run once after the suite if a later probe shows the host
+  healthy again (up to $BENCH_RETRY_ATTEMPTS fresh probes,
+  $BENCH_RETRY_WAIT s apart), merging best-of; rows that never saw a
+  healthy phase keep their probe annotation in the stats file so the
+  driver record is self-explaining instead of inheriting DRAM-phase
+  noise as a "regression".
 """
 
 from __future__ import annotations
@@ -46,6 +55,17 @@ from online_centrality_spark.benchmark import (  # noqa: E402
     bench_tk_superstep,
     bench_tpr_distributed,
     build_replicated_edges,
+)
+
+# documented healthy-phase floors (BENCH/BASELINE.md): a probe below
+# BOTH bands marks a degraded DRAM phase
+HEALTHY_BURN_MOPS = 134.0
+HEALTHY_STREAM_ITERS = 45.0
+
+R01_SUBSET = (
+    "tk_superstep_walk", "edge_induction", "decayed_indegree",
+    "static_pagerank30", "connected_components", "triangle_counts",
+    "minhash_lsh", "ann_lsh_topk", "ngram_jaccard",
 )
 
 
@@ -69,8 +89,9 @@ def _probe_stream(n):
 def hw_probe(nproc: int = 8) -> dict:
     """~4 s hardware phase probe (same kernels as tools/bench_scaling.py):
     pure-Python compute Mops/s and DRAM-streaming iters/s. Emitted at
-    suite start and end so a run landing in one of this VM's documented
-    slow phases (3-16x DRAM swings) is self-evident in the record."""
+    suite start/end and every few rows so a run landing in one of this
+    VM's documented slow phases (3-16x DRAM swings) is self-evident in
+    the record AND retryable once the phase passes."""
     import multiprocessing as mp
 
     N = 20_000_000
@@ -85,16 +106,228 @@ def hw_probe(nproc: int = 8) -> dict:
     return {"burn_mops": round(burn, 1), "stream_iters": round(stream, 2)}
 
 
+def probe_healthy(p: dict | None) -> bool:
+    if p is None:
+        return True  # probes disabled: never gate
+    return (
+        p["burn_mops"] >= HEALTHY_BURN_MOPS
+        or p["stream_iters"] >= HEALTHY_STREAM_ITERS
+    )
+
+
+def _entry_row(qname):
+    import __spark_entry__ as entry_mod
+
+    fn = getattr(entry_mod, f"q_{qname}")
+    return lambda spark, sf_dir: fn(spark, sf_dir).count()
+
+
+def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
+    """Ordered row table: (name, fn(spark, sf_dir), n_trials, replay_key).
+    replay_key is None for plain rows; for full-replay rows it names the
+    edges/sec extra their best trial feeds."""
+
+    def minhash(spark, sf_dir):
+        from online_centrality_spark.dedup.minhash import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=16, num_bands=4
+        ).count()
+
+    def ann_lsh(spark, sf_dir):
+        from online_centrality_spark.similarity.ann import lsh_topk
+
+        return lsh_topk(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200),
+            k=10,
+        ).count()
+
+    def emb_lsh(spark, sf_dir):
+        # bucketed near-dup path: candidates from 24x4 hyperplane
+        # buckets, JVM cosine verify, hub buckets capped
+        from online_centrality_spark.dedup.embedding import embedding_near_dups_lsh
+
+        return embedding_near_dups_lsh(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.4, num_tables=24, num_planes=4, max_bucket_size=2000,
+        ).count()
+
+    def emb_blocked(spark, sf_dir):
+        # exact distributed near-dups: one Arrow task per block pair,
+        # no driver collect — the pair source feeding the graph queries
+        from online_centrality_spark.dedup.embedding import (
+            embedding_near_dups_blocked,
+        )
+
+        return embedding_near_dups_blocked(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold=0.4, num_blocks=8,
+        ).count()
+
+    def ngram(spark, sf_dir):
+        # scale path: cap shingle doc-frequency (the exact uncapped
+        # variant is the sf0.01 correctness query)
+        from online_centrality_spark.dedup.ngram import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            n=2, threshold=0.2, max_doc_freq=500,
+        ).count()
+
+    rows: list[tuple] = []
+
+    def add(name, fn=None, n=None):
+        rows.append((name, fn or _entry_row(name), n or trials_n, None))
+
+    # headline: distributed temporal-walk superstep throughput
+    replicas = int(os.environ.get("BENCH_REPLICAS", "512"))
+    rows.append((
+        "tk_superstep_walk",
+        lambda s, d: bench_tk_superstep(s, d, replicas),
+        trials_n,
+        "edges_per_sec_superstep",
+    ))
+    add("edge_induction")
+    add("decayed_indegree")
+    rows.append((
+        "static_pagerank30", _entry_row("static_pagerank"), trials_n, None,
+    ))
+    add("connected_components")
+    add("triangle_counts")
+    add("minhash_lsh", minhash)
+    add("ann_lsh_topk", ann_lsh)
+    add("embedding_dedup_lsh", emb_lsh)
+    add("embedding_dedup_blocked", emb_blocked)
+    add("ngram_jaccard", ngram)
+    # round-3 link-graph extensions
+    add("scc")
+    add("temporal_motifs")
+    add("random_walks")
+    # round-4 additions
+    add("eigenvector")
+    # closeness / temporal_reachability / hop_distribution are O(n*m)
+    # all-sources sweeps — ~2 min each at sf0.1, so they run only when
+    # asked (recorded with probe stamps in BENCH/BASELINE.md); the
+    # SAMPLED closeness estimator below is the always-on scale path
+    if heavy_extras:
+        add("closeness", n=1)
+        add("temporal_reachability", n=1)
+        add("hop_distribution", n=1)
+    add("mis")
+    # salsa: 12 lineage-cut rounds, one checkpoint per round; one trial
+    # keeps the suite lean (spread is phase-dominated)
+    add("salsa", n=1)
+    add("bpe_merges")
+    add("funnel")
+    add("event_trigrams")
+    add("two_hop_reach")
+    add("negative_sampling")
+    add("asof_value")
+    add("zipf_profile")
+    add("khop_features")
+    add("wl_refinement")
+    add("embedding_outliers")
+    add("grouped_split")
+    add("temporal_split")
+    add("rich_club")
+    add("burstiness")
+    add("component_evolution")
+    add("densest_subgraph")
+    add("disparity_backbone")
+    add("edge_persistence")
+    add("attack_robustness")
+    add("butterflies")
+    add("attribute_assortativity")
+    add("graph_summary")
+    add("domain_divergence")
+    add("transition_entropy")
+    add("doc_novelty")
+    add("cohort_retention")
+    add("spam_mass")
+    add("msf", n=1)
+    add("avg_neighbor_degree")
+    add("doc_surprisal")
+    add("clustering_by_degree")
+    add("activity_heatmap")
+    add("vocab_growth")
+    add("strength_disparity")
+    add("oov_rate")
+    add("threshold_profile")
+    add("inequality_profile")
+    add("user_diversity")
+    add("mutual_knn")
+    # round-5 scale paths: LSH-candidate mutual-kNN (no all-pairs
+    # stage) and the sampled-target closeness estimator (k=32 sources,
+    # state k rows per node instead of n^2)
+    add("mutual_knn_lsh")
+    add("closeness_sampled")
+    add("cramers_v")
+    add("edge_overlap")
+    add("community_conductance")
+    add("higher_motifs")
+    add("session_flows")
+    add("random_failure")
+    # full replays through the distributed-state drivers (cogroup
+    # state, partitioned score sink — no driver-held arrays)
+    rows.append((
+        "tk_driver_distributed",
+        lambda s, d: bench_tk_driver_distributed(s, d, replicas),
+        heavy_n,
+        "edges_per_sec_driver_dist",
+    ))
+    rows.append((
+        "tpr_distributed",
+        lambda s, d: bench_tpr_distributed(s, d, replicas),
+        heavy_n,
+        "edges_per_sec_tpr_dist",
+    ))
+    rows.append((
+        "did_distributed",
+        lambda s, d: bench_did_distributed(s, d, replicas),
+        heavy_n,
+        "edges_per_sec_did_dist",
+    ))
+    return rows
+
+
+def compact_line(timings, stats, extras, sf, cpus, probe_start, probe_end,
+                 stats_file="BENCH/last_run_stats.json"):
+    """The LAST-stdout-line record: scalars + the 9-row r01 subset map.
+    Everything per-row lives in the stats file — tested < 1 KB so the
+    driver's tail capture can never truncate it again."""
+    return {
+        "metric": "headline engine queries wallclock, best-of-N per row "
+        "(full per-row map in the stats file)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        # apples-to-apples subtotal over the round-1 query set
+        "value_r01_subset": round(
+            sum(timings.get(q, 0.0) for q in R01_SUBSET), 3
+        ),
+        "queries": {q: timings[q] for q in R01_SUBSET if q in timings},
+        "n_queries": len(timings),
+        "sf": sf,
+        "cpus": cpus,
+        "probes": {"start": probe_start, "end": probe_end},
+        **extras,
+        "stats_file": stats_file,
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
-    replicas = int(os.environ.get("BENCH_REPLICAS", "512"))
     trials_n = int(os.environ.get("BENCH_TRIALS", "3"))
     heavy_n = int(os.environ.get("BENCH_HEAVY_TRIALS", "2"))
+    probe_every = int(os.environ.get("BENCH_PROBE_EVERY", "20"))
+    retry_attempts = int(os.environ.get("BENCH_RETRY_ATTEMPTS", "2"))
+    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT", "60"))
     only = os.environ.get("BENCH_QUERIES")
     only = set(only.split(",")) if only else None
+    probes_on = os.environ.get("BENCH_PROBES", "1") != "0"
 
-    probe_start = hw_probe() if os.environ.get("BENCH_PROBES", "1") != "0" else None
+    probe_start = hw_probe() if probes_on else None
 
     from online_centrality_spark.session import get_spark
 
@@ -112,415 +345,104 @@ def main():
         },
     )
 
-    import __spark_entry__ as entry_mod
-
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     extras: dict[str, float] = {}
 
-    def record(name, trial_times):
-        best = min(trial_times)
-        timings[name] = round(best, 3)
-        stats[name] = {
-            "best": round(best, 3),
-            "spread": round(max(trial_times) - best, 3),
-            "trials": [round(t, 3) for t in trial_times],
-        }
-
-    def run(name, fn, n=None):
-        if only and name not in only:
-            return
-        ts = []
-        for _ in range(n or trials_n):
-            spark.catalog.clearCache()
-            t = time.time()
-            fn()
-            ts.append(time.time() - t)
-        record(name, ts)
-
-    def run_replay(name, fn, rate_key, n):
-        """Heavy full-replay rows: fn() -> (elapsed, n_edges, info).
-        Best trial drives both the row time and the edges/sec extra."""
-        if only is not None and name not in only:
-            return
+    def execute(name, fn, n, replay_key, probe):
+        """Run a row's trials; returns nothing, merges into the record.
+        Replay fns return (elapsed, n_edges, info); plain fns return a
+        count."""
         results = []
         for _ in range(n):
             spark.catalog.clearCache()
-            results.append(fn())
-        best = min(results, key=lambda r: r[0])
-        record(name, [r[0] for r in results])
-        extras[rate_key] = round(best[1] / best[0], 1)
-        extras.update(best[2])
-        return best
-
-    # headline: distributed temporal-walk superstep throughput
-    if only is None or "tk_superstep_walk" in only:
-        best = run_replay(
-            "tk_superstep_walk",
-            lambda: bench_tk_superstep(spark, sf_dir, replicas),
-            "edges_per_sec_superstep",
-            trials_n,
+            t = time.time()
+            r = fn(spark, sf_dir)
+            elapsed = time.time() - t
+            if replay_key is not None:
+                elapsed = r[0]
+            results.append((elapsed, r))
+        best_t = min(e for e, _ in results)
+        prev = stats.get(name)
+        merged = sorted(
+            [round(e, 3) for e, _ in results]
+            + (prev["trials"] if prev else [])
         )
-        extras["superstep_edges"] = best[1]
+        timings[name] = merged[0]
+        stats[name] = {
+            "best": merged[0],
+            "spread": round(merged[-1] - merged[0], 3),
+            "trials": merged,
+        }
+        if probe is not None:
+            stats[name]["probe"] = probe
+            stats[name]["probe_healthy"] = probe_healthy(probe)
+        if replay_key is not None and (prev is None or best_t <= prev["best"]):
+            best = min((r for r in results), key=lambda r: r[0])
+            extras[replay_key] = round(best[1][1] / best[1][0], 1)
+            extras.update(best[1][2])
+            if name == "tk_superstep_walk":
+                extras["superstep_edges"] = best[1][1]
 
-    run("edge_induction", lambda: entry_mod.q_edge_induction(spark, sf_dir).count())
-    run(
-        "decayed_indegree",
-        lambda: entry_mod.q_decayed_indegree(spark, sf_dir).count(),
-    )
-    run(
-        "static_pagerank30",
-        lambda: entry_mod.q_static_pagerank(spark, sf_dir).count(),
-    )
-    run(
-        "connected_components",
-        lambda: entry_mod.q_connected_components(spark, sf_dir).count(),
-    )
-    run(
-        "triangle_counts",
-        lambda: entry_mod.q_triangle_counts(spark, sf_dir).count(),
-    )
-    run(
-        "minhash_lsh",
-        lambda: __import__(
-            "online_centrality_spark.dedup.minhash", fromlist=["x"]
-        ).minhash_lsh_candidates(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=16, num_bands=4
-        ).count(),
-    )
-    run(
-        "ann_lsh_topk",
-        lambda: __import__(
-            "online_centrality_spark.similarity.ann", fromlist=["x"]
-        ).lsh_topk(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200),
-            k=10,
-        ).count(),
-    )
-    # embedding near-dups via the bucketed LSH path (no full-matrix
-    # broadcast): candidates from 24x4 hyperplane buckets, JVM cosine
-    # verify, hub buckets capped
-    run(
-        "embedding_dedup_lsh",
-        lambda: __import__(
-            "online_centrality_spark.dedup.embedding", fromlist=["x"]
-        ).embedding_near_dups_lsh(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            threshold=0.4,
-            num_tables=24,
-            num_planes=4,
-            max_bucket_size=2000,
-        ).count(),
-    )
-    # exact distributed near-dups: one Arrow task per block pair, no
-    # driver collect — the pair source feeding the 14 graph queries
-    run(
-        "embedding_dedup_blocked",
-        lambda: __import__(
-            "online_centrality_spark.dedup.embedding", fromlist=["x"]
-        ).embedding_near_dups_blocked(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-            threshold=0.4,
-            num_blocks=8,
-        ).count(),
-    )
-    # scale path: cap shingle doc-frequency (drops ultra-common bigrams
-    # whose candidate fan-out is quadratic; the exact uncapped variant is
-    # the sf0.01 correctness query)
-    run(
-        "ngram_jaccard",
-        lambda: __import__(
-            "online_centrality_spark.dedup.ngram", fromlist=["x"]
-        ).ngram_jaccard_pairs(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"),
-            n=2,
-            threshold=0.2,
-            max_doc_freq=500,
-        ).count(),
-    )
-
-    # round-3 link-graph extensions over the user-interaction digraph /
-    # cosine graph: distributed SCC coloring, δ-bucketed temporal
-    # motifs, deterministic DeepWalk corpus
-    run("scc", lambda: entry_mod.q_scc(spark, sf_dir).count())
-    run(
-        "temporal_motifs",
-        lambda: entry_mod.q_temporal_motifs(spark, sf_dir).count(),
-    )
-    run(
-        "random_walks",
-        lambda: entry_mod.q_random_walks(spark, sf_dir).count(),
-    )
-
-    # round-4 additions: spectral / BFS-envelope centralities, temporal
-    # reachability, Luby MIS, neighborhood reach, negative sampling,
-    # as-of state attach, Zipf corpus profile
-    run("eigenvector", lambda: entry_mod.q_eigenvector(spark, sf_dir).count())
-    # closeness / temporal_reachability are O(n*m) all-sources sweeps —
-    # ~2 min each at sf0.1, so they run only when asked (recorded with
-    # probe stamps in BENCH/BASELINE.md) to keep the per-round suite lean
-    if os.environ.get("BENCH_HEAVY_EXTRAS") == "1" or (
+    heavy_extras = os.environ.get("BENCH_HEAVY_EXTRAS") == "1" or bool(
         only and {"closeness", "temporal_reachability", "hop_distribution"} & only
-    ):
-        run("closeness", lambda: entry_mod.q_closeness(spark, sf_dir).count(), n=1)
-        run(
-            "temporal_reachability",
-            lambda: entry_mod.q_temporal_reachability(spark, sf_dir).count(),
-            n=1,
-        )
-        run(
-            "hop_distribution",
-            lambda: entry_mod.q_hop_distribution(spark, sf_dir).count(),
-            n=1,
-        )
-    run("mis", lambda: entry_mod.q_mis(spark, sf_dir).count())
-    # 12 lineage-cut rounds (one checkpoint per round, pre-weighted edge
-    # list — 2.7x the per-half-step variant in same-window A/B); one
-    # trial keeps the suite lean (spread is phase-dominated)
-    run("salsa", lambda: entry_mod.q_salsa(spark, sf_dir).count(), n=1)
-    run(
-        "bpe_merges",
-        lambda: entry_mod.q_bpe_merges(spark, sf_dir).count(),
     )
-    run("funnel", lambda: entry_mod.q_funnel(spark, sf_dir).count())
-    run(
-        "event_trigrams",
-        lambda: entry_mod.q_event_trigrams(spark, sf_dir).count(),
-    )
-    run(
-        "two_hop_reach",
-        lambda: entry_mod.q_two_hop_reach(spark, sf_dir).count(),
-    )
-    run(
-        "negative_sampling",
-        lambda: entry_mod.q_negative_sampling(spark, sf_dir).count(),
-    )
-    run("asof_value", lambda: entry_mod.q_asof_value(spark, sf_dir).count())
-    run(
-        "zipf_profile",
-        lambda: entry_mod.q_zipf_profile(spark, sf_dir).count(),
-    )
-    # round-4 tail: GNN-style feature propagation, WL fingerprint,
-    # per-label embedding outliers, leakage-safe grouped split
-    run(
-        "khop_features",
-        lambda: entry_mod.q_khop_features(spark, sf_dir).count(),
-    )
-    run(
-        "wl_refinement",
-        lambda: entry_mod.q_wl_refinement(spark, sf_dir).count(),
-    )
-    run(
-        "embedding_outliers",
-        lambda: entry_mod.q_embedding_outliers(spark, sf_dir).count(),
-    )
-    run(
-        "grouped_split",
-        lambda: entry_mod.q_grouped_split(spark, sf_dir).count(),
-    )
-    run(
-        "temporal_split",
-        lambda: entry_mod.q_temporal_split(spark, sf_dir).count(),
-    )
-    run(
-        "rich_club",
-        lambda: entry_mod.q_rich_club(spark, sf_dir).count(),
-    )
-    run(
-        "burstiness",
-        lambda: entry_mod.q_burstiness(spark, sf_dir).count(),
-    )
-    run(
-        "component_evolution",
-        lambda: entry_mod.q_component_evolution(spark, sf_dir).count(),
-    )
-    run(
-        "densest_subgraph",
-        lambda: entry_mod.q_densest_subgraph(spark, sf_dir).count(),
-    )
-    run(
-        "disparity_backbone",
-        lambda: entry_mod.q_disparity_backbone(spark, sf_dir).count(),
-    )
-    run(
-        "edge_persistence",
-        lambda: entry_mod.q_edge_persistence(spark, sf_dir).count(),
-    )
-    run(
-        "attack_robustness",
-        lambda: entry_mod.q_attack_robustness(spark, sf_dir).count(),
-    )
-    run(
-        "butterflies",
-        lambda: entry_mod.q_butterflies(spark, sf_dir).count(),
-    )
-    run(
-        "attribute_assortativity",
-        lambda: entry_mod.q_attribute_assortativity(spark, sf_dir).count(),
-    )
-    run(
-        "graph_summary",
-        lambda: entry_mod.q_graph_summary(spark, sf_dir).count(),
-    )
-    run(
-        "domain_divergence",
-        lambda: entry_mod.q_domain_divergence(spark, sf_dir).count(),
-    )
-    run(
-        "transition_entropy",
-        lambda: entry_mod.q_transition_entropy(spark, sf_dir).count(),
-    )
-    run(
-        "doc_novelty",
-        lambda: entry_mod.q_doc_novelty(spark, sf_dir).count(),
-    )
-    run(
-        "cohort_retention",
-        lambda: entry_mod.q_cohort_retention(spark, sf_dir).count(),
-    )
-    run(
-        "spam_mass",
-        lambda: entry_mod.q_spam_mass(spark, sf_dir).count(),
-    )
-    run("msf", lambda: entry_mod.q_msf(spark, sf_dir).count(), n=1)
-    run(
-        "avg_neighbor_degree",
-        lambda: entry_mod.q_avg_neighbor_degree(spark, sf_dir).count(),
-    )
-    run(
-        "doc_surprisal",
-        lambda: entry_mod.q_doc_surprisal(spark, sf_dir).count(),
-    )
-    run(
-        "clustering_by_degree",
-        lambda: entry_mod.q_clustering_by_degree(spark, sf_dir).count(),
-    )
-    run(
-        "activity_heatmap",
-        lambda: entry_mod.q_activity_heatmap(spark, sf_dir).count(),
-    )
-    run(
-        "vocab_growth",
-        lambda: entry_mod.q_vocab_growth(spark, sf_dir).count(),
-    )
-    run(
-        "strength_disparity",
-        lambda: entry_mod.q_strength_disparity(spark, sf_dir).count(),
-    )
-    run(
-        "oov_rate",
-        lambda: entry_mod.q_oov_rate(spark, sf_dir).count(),
-    )
-    run(
-        "threshold_profile",
-        lambda: entry_mod.q_threshold_profile(spark, sf_dir).count(),
-    )
-    run(
-        "inequality_profile",
-        lambda: entry_mod.q_inequality_profile(spark, sf_dir).count(),
-    )
-    run(
-        "user_diversity",
-        lambda: entry_mod.q_user_diversity(spark, sf_dir).count(),
-    )
-    run(
-        "mutual_knn",
-        lambda: entry_mod.q_mutual_knn(spark, sf_dir).count(),
-    )
-    run(
-        "cramers_v",
-        lambda: entry_mod.q_cramers_v(spark, sf_dir).count(),
-    )
-    run(
-        "edge_overlap",
-        lambda: entry_mod.q_edge_overlap(spark, sf_dir).count(),
-    )
-    run(
-        "community_conductance",
-        lambda: entry_mod.q_community_conductance(spark, sf_dir).count(),
-    )
-    run(
-        "higher_motifs",
-        lambda: entry_mod.q_higher_motifs(spark, sf_dir).count(),
-    )
-    run(
-        "session_flows",
-        lambda: entry_mod.q_session_flows(spark, sf_dir).count(),
-    )
-    run(
-        "random_failure",
-        lambda: entry_mod.q_random_failure(spark, sf_dir).count(),
-    )
+    rows = _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras)
+    if only is not None:
+        rows = [r for r in rows if r[0] in only]
 
-    # full replay through SuperstepDriver in distributed-state mode
-    # (cogroup state, partitioned score sink — no driver-held arrays)
-    run_replay(
-        "tk_driver_distributed",
-        lambda: bench_tk_driver_distributed(spark, sf_dir, replicas),
-        "edges_per_sec_driver_dist",
-        heavy_n,
-    )
+    current_probe = probe_start
+    row_probe: dict[str, dict | None] = {}
+    for i, (name, fn, n, replay_key) in enumerate(rows):
+        if probes_on and i > 0 and i % probe_every == 0:
+            current_probe = hw_probe()
+        row_probe[name] = current_probe
+        execute(name, fn, n, replay_key, current_probe)
 
-    # distributed-state Temporal PageRank (per-closure ordered fold)
-    run_replay(
-        "tpr_distributed",
-        lambda: bench_tpr_distributed(spark, sf_dir, replicas),
-        "edges_per_sec_tpr_dist",
-        heavy_n,
-    )
+    probe_end = hw_probe() if probes_on else None
 
-    # distributed-state decayed indegree (segment-explode batch read-out)
-    run_replay(
-        "did_distributed",
-        lambda: bench_did_distributed(spark, sf_dir, replicas),
-        "edges_per_sec_did_dist",
-        heavy_n,
-    )
-
-    probe_end = hw_probe() if probe_start is not None else None
+    # ---- probe-gated retry: re-run degraded-phase rows once healthy ----
+    retried: list[str] = []
+    if probes_on:
+        flagged = [
+            (name, fn, n, rk)
+            for (name, fn, n, rk) in rows
+            if not probe_healthy(row_probe.get(name))
+        ]
+        if flagged:
+            fresh = probe_end
+            attempts = 0
+            while not probe_healthy(fresh) and attempts < retry_attempts:
+                time.sleep(retry_wait)
+                fresh = hw_probe()
+                attempts += 1
+            if probe_healthy(fresh):
+                for name, fn, n, rk in flagged:
+                    execute(name, fn, 1 if n > 1 else n, rk, fresh)
+                    retried.append(name)
+                probe_end = hw_probe() if probes_on else None
+            # else: rows keep probe_healthy=false annotations — the
+            # record is self-explaining, not silently noisy
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    result = {
-        "metric": "headline engine queries wallclock, best-of-N per row "
-        "(row list in BENCH/last_run_stats.json)",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        # apples-to-apples subtotal over the round-1 query set (the
-        # heavy replay rows were added in rounds 2-3; comparing totals
-        # across rounds must not read suite growth as regression)
-        "value_r01_subset": round(
-            sum(
-                timings.get(q, 0.0)
-                for q in (
-                    "tk_superstep_walk", "edge_induction", "decayed_indegree",
-                    "static_pagerank30", "connected_components",
-                    "triangle_counts", "minhash_lsh", "ann_lsh_topk",
-                    "ngram_jaccard",
-                )
-            ),
-            3,
-        ),
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cpus": int(cpus),
-        # hardware phase stamps: compare to BENCH/BASELINE.md's quiet-host
-        # readings — a row outside its recorded band with a depressed
-        # probe here is host noise, not a code regression
-        "probes": {"start": probe_start, "end": probe_end},
-        **extras,
-    }
+    sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    result = compact_line(
+        timings, stats, extras, sf, int(cpus), probe_start, probe_end
+    )
     full = dict(result)
+    full["queries"] = timings  # the full map — file only, never stdout
     full["query_stats"] = stats
     full["trials"] = trials_n
     full["heavy_trials"] = heavy_n
+    full["retried_rows"] = retried
     try:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/last_run_stats.json", "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass  # read-only checkout: stdout summary still complete
-    # the compact summary is the LAST stdout line (driver parse contract)
+    # the compact summary is the LAST stdout line (driver parse
+    # contract; size pinned < 1 KB by tests/test_bench_contract.py)
     print(json.dumps(result))
 
 

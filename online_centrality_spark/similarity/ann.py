@@ -331,7 +331,7 @@ def mutual_knn_graph(
     num_blocks: int = 8,
     candidates: str = "exact",
     min_cosine: float | None = None,
-    num_tables: int = 24,
+    num_tables: int = 64,
     num_planes: int = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -358,11 +358,13 @@ def mutual_knn_graph(
     uninformative at low cosine, so recall toward unrestricted top-k
     (which on diffuse embeddings ranks pairs down to cosine ~0.25)
     cannot be bounded — exactly the regime the exact path exists for.
-    Above the floor the engine's established envelope applies
-    (``embedding_near_dups_lsh`` at 24×4 tables: recall 1.0 at
-    cosine >= 0.4 on all test fixtures), and the fixture suite asserts
-    the LSH graph EQUALS the exact ``min_cosine`` graph, so the driver
-    oracle is shared between both paths.
+    Above the floor the measured envelope applies: at the 0.4 floor,
+    64×4 tables give recall 1.0 on every SF fixture (24×4 was measured
+    at 0.987 at sf0.1 — 12 of 920 pairs missed — so the default is the
+    table count with VERIFIED exact recall, per-pair miss < 2e-5); the
+    fixture suite and tools/sf01_invariants.py assert the LSH graph
+    EQUALS the exact ``min_cosine`` graph, so the driver oracle is
+    shared between both paths.
 
     Per-node top-k is a window over the node's OWN candidate list.
     Ranking uses the 6-ROUNDED cosine (filter applied on the SAME
@@ -408,9 +410,20 @@ def mutual_knn_graph(
     )
     if min_cosine is not None:
         pairs = pairs.filter(F.col("c") >= min_cosine)
-    sym = pairs.unionAll(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "c")
-    )
+    # one-pass symmetrization: a union of two reads would execute the
+    # whole candidate pipeline (blocked matmuls / LSH bucket join +
+    # verify) TWICE — explode each undirected pair into its two
+    # directions inside the same scan instead
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v"), F.col("c")),
+                F.struct(
+                    F.col("v").alias("u"), F.col("u").alias("v"), F.col("c")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v", "e.c")
     w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("v").asc())
     knn = (
         sym.withColumn("rn", F.row_number().over(w))

@@ -28,17 +28,31 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     value_col: str | None = "value",
+    type_col: str | None = None,
+    order_col: str = "event_id",
 ) -> DataFrame:
     """One row per (user, session): events within ``gap_minutes`` of
     their predecessor (inclusive at the exact boundary — Spark merges
     session windows whose bounds touch) belong to the same session.
 
     Returns ``(user, session_start_us, session_end_us, n_events[,
-    total_value])`` with the bounds as epoch microseconds of the first
-    and last event (engine-portable — not the padded window end, which
-    would bake the gap parameter into the output).
+    total_value][, entry_type, exit_type])`` with the bounds as epoch
+    microseconds of the first and last event (engine-portable — not the
+    padded window end, which would bake the gap parameter into the
+    output).
+
+    ``type_col`` additionally extracts the session's OPENING and
+    CLOSING event types via ``min/max(struct(t, order, type))`` — the
+    same deterministic total order as :func:`session_flows`. Because
+    the extraction is a plain aggregate inside the session_window
+    groupBy, it STREAMS with a watermark exactly like the rest of the
+    call, which is what makes the flow matrix streamable: each closed
+    session is emitted exactly once in append mode, so the downstream
+    ``groupBy(entry_type, exit_type).count()`` folds mergeably across
+    micro-batches (tests/test_streaming.py).
     """
     gap = f"{int(gap_minutes * 60)} seconds"
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     aggs = [
         F.count("*").alias("n_events"),
         # cast: parquet NTZ -> TIMESTAMP is a pure type change and
@@ -48,13 +62,30 @@ def sessionize(
     ]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("total_value"))
-    return (
+    if type_col is not None:
+        aggs.append(
+            F.min(F.struct(t_us.alias("t"), F.col(order_col), F.col(type_col)))
+            .alias("_lo")
+        )
+        aggs.append(
+            F.max(F.struct(t_us.alias("t"), F.col(order_col), F.col(type_col)))
+            .alias("_hi")
+        )
+    out = (
         events.groupBy(
             F.col(user_col), F.session_window(F.col(ts_col), gap)
         )
         .agg(*aggs)
         .drop("session_window")
     )
+    if type_col is not None:
+        out = out.withColumns(
+            {
+                "entry_type": F.col(f"_lo.{type_col}"),
+                "exit_type": F.col(f"_hi.{type_col}"),
+            }
+        ).drop("_lo", "_hi")
+    return out
 
 
 def session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:

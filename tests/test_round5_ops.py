@@ -186,7 +186,7 @@ def test_mutual_knn_lsh_equals_exact_on_sf(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = mutual_knn_graph(emb, k=5, min_cosine=0.4).collect()
     lsh = mutual_knn_graph(
-        emb, k=5, candidates="lsh", min_cosine=0.4, num_tables=24, num_planes=4
+        emb, k=5, candidates="lsh", min_cosine=0.4, num_tables=64, num_planes=4
     ).collect()
     key = lambda r: (r["a"], r["b"])  # noqa: E731
     assert sorted(map(key, exact)) == sorted(map(key, lsh))

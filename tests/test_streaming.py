@@ -297,3 +297,158 @@ def test_streaming_sessionize_append_matches_batch_closed_sessions(
             b["n_events"],
             b["session_end_us"],
         )
+
+
+def test_streaming_session_stats_folds_over_closed_sessions(
+    spark, transcript_files
+):
+    """SURVEY §2.8's claim for `sessionize (+ session_stats)`: the same
+    calls stream with a watermark. In append mode every CLOSED session
+    is emitted exactly once, so `session_stats` applied unchanged to
+    the accumulated closed-session relation (a foreachBatch sink)
+    equals the batch stats over the same session set."""
+    from online_centrality_spark.streaming.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    src, _ = transcript_files
+    batches = []
+
+    def sink(bdf, _bid):
+        batches.append(bdf.toPandas())
+
+    stream_in = spark.readStream.schema(TSCHEMA).parquet(str(src))
+    q = (
+        sessionize(
+            stream_in.withWatermark("ts", "1 minute"),
+            user_col="conv_id",
+            gap_minutes=0.5,
+            value_col=None,
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    assert len(closed), "no session closed under the watermark"
+    # exactly-once emission is what makes the downstream fold mergeable
+    assert not closed.duplicated(["conv_id", "session_start_us"]).any()
+
+    got = (
+        session_stats(spark.createDataFrame(closed), user_col="conv_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    bs = sessionize(
+        spark.read.schema(TSCHEMA).parquet(str(src)),
+        user_col="conv_id",
+        gap_minutes=0.5,
+        value_col=None,
+    ).toPandas()
+    keys = set(
+        map(tuple, closed[["conv_id", "session_start_us"]].values.tolist())
+    )
+    bs = bs[
+        [
+            (c, s) in keys
+            for c, s in zip(bs["conv_id"], bs["session_start_us"])
+        ]
+    ]
+    assert len(bs) == len(closed)  # closed sessions ARE batch sessions
+    want = (
+        session_stats(spark.createDataFrame(bs), user_col="conv_id")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
+
+
+def test_streaming_session_flow_matrix_folds_over_closed_sessions(
+    spark, transcript_files
+):
+    """The flow matrix streams through `sessionize(type_col=...)`: the
+    entry/exit extraction is an aggregate INSIDE the session_window
+    groupBy (so it watermarks like the rest of the call), and the
+    (entry, exit) count fold over closed sessions is a mergeable sum
+    across micro-batches. Cross-checked against the batch
+    `session_flows` operator on the same events."""
+    from online_centrality_spark.streaming.sessions import (
+        session_flows,
+        sessionize,
+    )
+
+    src, _ = transcript_files
+    batches = []
+
+    def sink(bdf, _bid):
+        batches.append(bdf.toPandas())
+
+    stream_in = spark.readStream.schema(TSCHEMA).parquet(str(src))
+    q = (
+        sessionize(
+            stream_in.withWatermark("ts", "1 minute"),
+            user_col="conv_id",
+            gap_minutes=0.5,
+            value_col=None,
+            type_col="role",
+            order_col="turn_idx",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    assert len(closed)
+    assert not closed.duplicated(["conv_id", "session_start_us"]).any()
+
+    # batch twin: sessionize-with-types over all events equals the
+    # session_flows operator's matrix (semantic parity of the two
+    # entry/exit extractions: same struct total order, same inclusive
+    # gap boundary)
+    full = sessionize(
+        spark.read.schema(TSCHEMA).parquet(str(src)),
+        user_col="conv_id",
+        gap_minutes=0.5,
+        value_col=None,
+        type_col="role",
+        order_col="turn_idx",
+    ).toPandas()
+    flows_op = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in session_flows(
+            spark.read.schema(TSCHEMA).parquet(str(src)),
+            user_col="conv_id",
+            ts_col="ts",
+            order_col="turn_idx",
+            type_col="role",
+            gap_minutes=0.5,
+        ).collect()
+    }
+    from collections import Counter
+
+    flows_full = Counter(zip(full["entry_type"], full["exit_type"]))
+    assert dict(flows_full) == flows_op
+
+    # streamed closed sessions fold to the batch matrix restricted to
+    # the same session set
+    keys = set(
+        map(tuple, closed[["conv_id", "session_start_us"]].values.tolist())
+    )
+    fsub = full[
+        [
+            (c, s) in keys
+            for c, s in zip(full["conv_id"], full["session_start_us"])
+        ]
+    ]
+    want = Counter(zip(fsub["entry_type"], fsub["exit_type"]))
+    got = Counter(zip(closed["entry_type"], closed["exit_type"]))
+    assert got == want

@@ -18,6 +18,9 @@ independent operators:
   4. walks_follow_edges — every consecutive random-walk step is a real
                         digraph edge and step-0 node == walk_id
                         (corpus validity at sf0.1).
+  ... plus the round-4 robustness/evolution/densest/msf invariants and
+  the round-5 pair: closeness_sampled vs independent single-source BFS,
+  and mutual_knn_lsh == the exact blocked-path graph at the 0.4 floor.
 
 Usage:  python tools/sf01_invariants.py [sf_dir]
 Prints one JSON line; exit code 1 if any invariant fails.
@@ -258,6 +261,92 @@ def main():
         assert round(sum(r["w"] for r in rows), 6) == nx_weight
 
     check("msf_weight_matches_networkx", msf_weight_matches_networkx)
+
+    # round 5: closeness_sampled's oracle is the same quadratic minimax
+    # closure (sf0.01-gated), so at sf0.1 each sampled row must agree
+    # with the independent single-source bfs_distances operator
+    def closeness_sampled_matches_bfs():
+        from online_centrality_spark.operators import bfs_distances
+
+        cos = entry_mod._cos_edges(spark, sf_dir).persist()
+        rows = {
+            r.node_id: r
+            for r in entry_mod.q_closeness_sampled(spark, sf_dir).collect()
+        }
+        assert len(rows) == 32, len(rows)
+        for v in sorted(rows)[:6]:
+            d = (
+                bfs_distances(cos, v)
+                .filter(F.col("dist").isNotNull() & (F.col("dist") > 0))
+                .agg(
+                    F.count("*").alias("reach"),
+                    F.sum("dist").alias("total"),
+                )
+                .collect()[0]
+            )
+            r = rows[v]
+            assert r.reach == d["reach"], (v, r.reach, d["reach"])
+            assert r.total_dist == d["total"], (v, r.total_dist, d["total"])
+            want = round(d["reach"] / d["total"], 6) if d["total"] else 0.0
+            assert abs(r.closeness - want) < 1e-9, (v, r.closeness, want)
+        cos.unpersist()
+
+    check("closeness_sampled_matches_bfs", closeness_sampled_matches_bfs)
+
+    # round 5: mutual_knn_lsh's recall-1.0 claim, engine-side at sf0.1 —
+    # the LSH-candidate graph must EQUAL the exact blocked-path graph
+    # restricted to the same 0.4 floor
+    def mutual_knn_lsh_matches_exact():
+        from online_centrality_spark.similarity.ann import mutual_knn_graph
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        exact = {
+            (r.a, r.b): r.cosine
+            for r in mutual_knn_graph(emb, k=5, min_cosine=0.4).collect()
+        }
+        lsh = {
+            (r.a, r.b): r.cosine
+            for r in entry_mod.q_mutual_knn_lsh(spark, sf_dir).collect()
+        }
+        assert exact, "vacuous: no pairs above the 0.4 floor"
+        assert set(exact) == set(lsh), (
+            f"missing={list(set(exact) - set(lsh))[:5]} "
+            f"extra={list(set(lsh) - set(exact))[:5]}"
+        )
+        for k2, v in exact.items():
+            assert abs(lsh[k2] - v) < 1e-9, (k2, lsh[k2], v)
+
+    check("mutual_knn_lsh_matches_exact", mutual_knn_lsh_matches_exact)
+
+    # round 5: embedding_dedup_lsh's exact-recall claim at sf0.1 (its
+    # gate row runs at sf0.01; this caught the 24x4 -> 64x4 envelope
+    # correction: 24x4 missed 12 of 920 sf0.1 pairs)
+    def embedding_dedup_lsh_matches_blocked():
+        from online_centrality_spark.dedup.embedding import (
+            embedding_near_dups_blocked,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ex = {
+            (r.doc_a, r.doc_b)
+            for r in embedding_near_dups_blocked(
+                emb, threshold=0.4 - 1e-6
+            ).collect()
+            if round(r.cosine, 6) >= 0.4
+        }
+        ls = {
+            (r[0], r[1])
+            for r in entry_mod.q_embedding_dedup_lsh(spark, sf_dir).collect()
+        }
+        assert ex and ex == ls, (
+            f"n_exact={len(ex)} n_lsh={len(ls)} "
+            f"missing={list(ex - ls)[:5]} extra={list(ls - ex)[:5]}"
+        )
+
+    check(
+        "embedding_dedup_lsh_matches_blocked",
+        embedding_dedup_lsh_matches_blocked,
+    )
 
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
