@@ -3556,6 +3556,68 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Distinct active user-days per event type via a 256-register
+    HyperLogLog built from portable md5 bits (register = 2 hex chars,
+    rho = leading zero bits of the next 52) — the mergeable-sketch
+    answer to COUNT(DISTINCT) at 100 TB: executors max-merge registers
+    map-side and shuffle <= 256 rows per group regardless of input.
+    The exact count rides along to certify the estimate; sf0.001 lands
+    in the linear-counting branch, sf0.01+ in the raw-HLL branch, so
+    the gate exercises both."""
+    from online_centrality_spark.text.sketches import hll_distinct
+
+    return hll_distinct(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "CAST(user_id AS STRING) || ':' || date_format(CAST(ts AS DATE), 'yyyy-MM-dd')",
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding 64-token context windows (16-token overlap) over every
+    document — the chunking pass between cleaning and packing in an
+    LLM data pipeline. Pure scan-stage explode: zero shuffles."""
+    from online_centrality_spark.text.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=64, overlap=16
+    )
+
+
+def q_training_mix(spark, sf_dir):
+    """The composed training-data pipeline: exact dedup -> quality
+    floor (quality >= 0.5, >= 10 words) -> 64-token chunking -> per
+    (lang, source) mixture report (docs kept, chunks, total tokens).
+    Three verified operators end-to-end; the only shuffles are the
+    dedup hash groupBy and the final rollup."""
+    from online_centrality_spark.dedup.exact import exact_dedup
+    from online_centrality_spark.text.analysis import quality_score
+    from online_centrality_spark.text.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    uniq = exact_dedup(docs)
+    kept = quality_score(uniq).filter(
+        (F.col("quality") >= 0.5) & (F.col("n_words") >= 10)
+    )
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=64, overlap=16)
+    # collapse to one row per doc BEFORE the metadata join (map-side
+    # combinable; the join then carries n_docs rows, never n_chunks)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_tok").alias("doc_tokens")
+    )
+    meta = kept.select("doc_id", "lang", "source")
+    return (
+        per_doc.join(meta, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("doc_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
@@ -3720,6 +3782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "redact_pii": q_redact_pii,
         "topk_per_language": q_topk_per_language,
+        # -- round-5 additions (below the window: replica-sweep evidence) --
+        "hll_distinct": q_hll_distinct,
+        "chunk_documents": q_chunk_documents,
+        "training_mix": q_training_mix,
     }
 
 
@@ -5866,5 +5932,114 @@ SELECT split, count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        CAST(sum(n_chars) AS BIGINT) AS n_chars
 FROM tagged GROUP BY split
+"""
+    # round-5 additions ------------------------------------------------
+    from online_centrality_spark.text.sketches import HLL_NUMERATOR
+
+    # the identical HLL: register = first 2 md5 hex chars, rho = leading
+    # zero bits of the next 13 (52 bits) + 1; exact-BIGINT register sum
+    sqls["hll_distinct"] = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS val
+  FROM events
+),
+parts AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(val), 1, 2)) AS BIGINT) AS reg,
+         substr(md5(val), 3, 13) AS tail
+  FROM v
+),
+rho AS (
+  SELECT event_type, reg,
+    CASE WHEN length(regexp_extract(tail, '^(0*)', 1)) = 13 THEN 53
+    ELSE 4 * length(regexp_extract(tail, '^(0*)', 1))
+       + CASE substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1)
+           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+           ELSE 0 END + 1 END AS rho
+  FROM parts
+),
+regs AS (SELECT event_type, reg, max(rho) AS r FROM rho GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*) AS present,
+         CAST(sum(CAST(1 AS BIGINT) << (53 - r)) AS BIGINT) AS s_present
+  FROM regs GROUP BY 1
+),
+est0 AS (
+  SELECT event_type, 256 - present AS zeros,
+         {HLL_NUMERATOR!r} / CAST(s_present + (256 - present) * 9007199254740992 AS DOUBLE) AS e_raw
+  FROM agg
+),
+est AS (
+  SELECT event_type,
+         round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+               THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END, 4) AS n_est
+  FROM est0
+),
+ex AS (SELECT event_type, count(DISTINCT val) AS n_exact FROM v GROUP BY 1)
+SELECT e.event_type, x.n_exact, e.n_est,
+       round((e.n_est - x.n_exact) / x.n_exact, 6) AS rel_err
+FROM est e JOIN ex x USING (event_type)
+"""
+    # 64-token windows, stride 48 (= size - overlap)
+    _chunk_cte = """
+base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM {src}
+),
+b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 1),
+ks AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END)) AS k
+  FROM b2
+)"""
+    sqls["chunk_documents"] = f"""
+WITH {_chunk_cte.format(src="documents")}
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+       CAST(least(64, n - k * 48) AS INT) AS n_tok,
+       array_to_string(toks[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+FROM ks
+"""
+    sqls["training_mix"] = f"""
+WITH keepids AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+),
+uniq AS (SELECT d.* FROM documents d JOIN keepids USING (doc_id)),
+qbase AS (
+  SELECT doc_id, lang, source, text,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    len(regexp_extract_all(lower(text), '{en_sw}')) AS sw,
+    list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            w -> length(w))) AS word_chars
+  FROM uniq
+),
+scored AS (
+  SELECT doc_id, lang, source, text, n_words,
+    least(n_words / 100.0, 1.0) * 0.25
+    + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.25
+    + least((CASE WHEN n_words > 0 THEN CAST(sw AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.25
+    + (CASE WHEN n_words > 0 AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+             AND CAST(word_chars AS DOUBLE) / n_words <= 8.0
+       THEN 1.0 ELSE 0.5 END) * 0.25 AS quality
+  FROM qbase
+),
+kept AS (
+  SELECT doc_id, lang, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM scored WHERE quality >= 0.5 AND n_words >= 10
+),
+c2 AS (SELECT doc_id, lang, source, len(toks) AS n FROM kept WHERE len(toks) >= 1),
+ks AS (
+  SELECT doc_id, lang, source, n,
+         unnest(range(0, 1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END)) AS k
+  FROM c2
+),
+ch AS (SELECT doc_id, lang, source, least(64, n - k * 48) AS n_tok FROM ks)
+SELECT lang, source, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM ch GROUP BY 1, 2
 """
     return sqls

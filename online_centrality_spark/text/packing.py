@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..dedup.common import portable_hash
+from ..dedup.common import TOKEN_RE, portable_hash
 from .analysis import token_count
 
 #: modulus for the deterministic sampling decision
@@ -226,3 +226,55 @@ def grouped_split(
         h < F.lit(int(test_fraction * SAMPLE_MOD)), F.lit(splits[1])
     ).otherwise(F.lit(splits[0]))
     return docs.withColumn("split", tag)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding fixed-token-window chunking — the context-window cutter
+    every LLM training pipeline runs between cleaning and packing.
+
+    Emits (id, chunk_idx, n_tok, chunk_text): windows of ``size`` tokens
+    advancing by ``size - overlap``, the trailing window shorter but
+    never empty (a doc with <= size tokens is one chunk; the last chunk
+    starts at the final stride position, so every token is covered and
+    consecutive chunks share exactly ``overlap`` tokens).
+
+    Scale shape: a pure per-row explode in the scan stage — zero
+    shuffles, zero Python; chunking 100 TB is a projection whose output
+    row count is ~n_tokens/stride per document.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"need 0 <= overlap < size, got size={size} overlap={overlap}"
+        )
+    step = size - overlap
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+            ).alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= 1)
+    )
+    extra = F.expr(
+        f"CASE WHEN _n > {size} THEN CAST((_n - {size} + {step - 1}) DIV {step} AS INT) ELSE 0 END"
+    )
+    out = base.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), extra)))
+    start = F.col("chunk_idx") * step + 1
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(size), F.col("_n") - F.col("chunk_idx") * step)
+        .cast("int")
+        .alias("n_tok"),
+        F.concat_ws(" ", F.slice("_toks", start, F.lit(size))).alias(
+            "chunk_text"
+        ),
+    )

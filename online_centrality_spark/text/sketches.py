@@ -107,3 +107,101 @@ def cms_heavy_hitters(
         .groupBy("token", "n_true")
         .agg(F.min("c").alias("n_est"))
     )
+
+
+# --- HyperLogLog distinct-count sketch (engine-portable) -------------------
+#
+# Flajolet et al.'s HLL with m = 256 registers, built entirely from the
+# md5 hex digest so a plain-SQL oracle reproduces the sketch (and hence
+# the estimate) bit-for-bit: register = first 2 hex chars, rho = leading
+# zero BITS of the next 13 hex chars (52 bits) + 1. The register table
+# is mergeable by max() across corpus shards — at 100 TB each executor
+# partial-aggregates its registers map-side and the shuffle moves at
+# most m rows per (group, partition), independent of input size.
+# Register sums use the exact-integer trick (sum 2^(53-rho) as BIGINT,
+# never a float sum) so partitioning cannot perturb the estimate.
+
+HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: alpha * m^2 * 2^53 — numerator over the exact BIGINT register sum
+#: S = sum_j 2^(53 - M_j); embedded as the same double literal in the
+#: SQL oracle so the one division is IEEE-identical across engines.
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+_TWO53 = 1 << 53
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_expr: str
+) -> DataFrame:
+    """(group..., reg, r) — the 256-register HLL sketch per group.
+
+    ``value_expr`` is a SQL string producing the counted value (cast to
+    string before hashing). Mergeable across shards via max(r).
+    """
+    base = df.selectExpr(*group_cols, f"md5(CAST(({value_expr}) AS STRING)) AS _h")
+    parts = base.select(
+        *group_cols,
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("int").alias("reg"),
+        F.substring("_h", 3, 13).alias("_tail"),
+    )
+    z = F.length(F.regexp_extract("_tail", "^(0*)", 1))
+    first = F.expr(
+        "substring(_tail, length(regexp_extract(_tail, '^(0*)', 1)) + 1, 1)"
+    )
+    lz = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when((first >= "4") & (first <= "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 13, F.lit(53)).otherwise(z * 4 + lz + 1)
+    return (
+        parts.withColumn("rho", rho)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_expr: str
+) -> DataFrame:
+    """(group..., n_exact, n_est, rel_err) — HLL estimate next to the
+    exact distinct count that certifies it.
+
+    Linear counting (m * ln(m / zero_registers)) takes over below the
+    standard 2.5m threshold — the sf0.001 fixtures land there while
+    sf0.01+ exercise the raw-HLL branch. A pure-sketch deployment drops
+    the exact side and answers from the m-row register table alone.
+    """
+    regs = hll_registers(df, group_cols, value_expr)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).alias("s_present"),
+    )
+    zeros = F.lit(HLL_M) - F.col("present")
+    s_total = (F.col("s_present") + zeros.cast("long") * F.lit(_TWO53)).cast(
+        "double"
+    )
+    e_raw = F.lit(HLL_NUMERATOR) / s_total
+    est = F.round(
+        F.when(
+            (e_raw <= 2.5 * HLL_M) & (zeros > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+        ).otherwise(e_raw),
+        4,
+    )
+    exact = df.selectExpr(
+        *group_cols, f"CAST(({value_expr}) AS STRING) AS _v"
+    ).groupBy(*group_cols).agg(F.countDistinct("_v").alias("n_exact"))
+    return (
+        agg.withColumn("n_est", est)
+        .join(exact, group_cols)
+        .select(
+            *group_cols,
+            "n_exact",
+            "n_est",
+            F.round(
+                (F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )

@@ -224,3 +224,129 @@ def test_mutual_knn_lsh_plan_has_no_all_pairs_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "FlatMapGroupsInPandas" in exact_plan  # marker is real
+
+
+# ------------------------------------------------- round-5 new operators
+
+
+def test_hll_registers_mergeable(spark):
+    """max-merging per-shard register tables == the whole-corpus sketch
+    (the property that makes HLL shuffle-bounded at 100 TB)."""
+    from online_centrality_spark.text.sketches import hll_registers
+
+    rows = [("g", f"v{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = {
+        (r["reg"],): r["r"]
+        for r in hll_registers(df, ["g"], "v").collect()
+    }
+    a = hll_registers(df.filter(F.length("v") <= 3), ["g"], "v")
+    b = hll_registers(df.filter(F.length("v") > 3), ["g"], "v")
+    merged = {
+        (r["reg"],): r["r"]
+        for r in a.unionByName(b)
+        .groupBy("g", "reg")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    assert merged == whole
+
+
+def test_hll_estimate_within_envelope(spark):
+    """Raw-HLL branch: relative error within 4 standard errors
+    (1.04/sqrt(256) = 6.5% -> 26%) at n = 5000 >> 2.5m."""
+    from online_centrality_spark.text.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"item{i}") for i in range(5000)], "g string, v string"
+    )
+    row = hll_distinct(df, ["g"], "v").collect()[0]
+    assert row["n_exact"] == 5000
+    assert abs(row["rel_err"]) < 0.26
+
+
+def test_hll_linear_counting_small_n(spark):
+    """n << m lands in the linear-counting branch, which is near-exact
+    there (collision-free registers -> m*ln(m/(m-n)) ~ n)."""
+    from online_centrality_spark.text.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(20)], "g string, v string"
+    )
+    row = hll_distinct(df, ["g"], "v").collect()[0]
+    assert row["n_exact"] == 20
+    assert abs(row["n_est"] - 20) <= 2
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from online_centrality_spark.text.packing import chunk_documents
+
+    text = " ".join(f"t{i:03d}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, size=4, overlap=1).orderBy("chunk_idx").collect()
+    # stride 3: starts at tokens 0,3,6 then the 9-token tail chunk
+    chunks = [r["chunk_text"].split(" ") for r in out]
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+    assert [r["n_tok"] for r in out] == [4, 4, 4]
+    assert chunks[0] == ["t000", "t001", "t002", "t003"]
+    assert chunks[1][0] == "t003"  # exactly `overlap` shared tokens
+    assert chunks[2] == ["t006", "t007", "t008", "t009"]
+    # every token covered
+    assert set().union(*chunks) == {f"t{i:03d}" for i in range(10)}
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from online_centrality_spark.text.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "!!!")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, size=64, overlap=16).collect()
+    assert len(out) == 1  # the all-punctuation doc has no tokens
+    assert out[0]["doc_id"] == 1 and out[0]["n_tok"] == 2
+
+
+def test_chunk_documents_validates_params(spark):
+    from online_centrality_spark.text.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, size=8, overlap=-1)
+
+
+def test_training_mix_dedups_and_filters(spark):
+    """The composed pipeline drops exact duplicates and quality-floor
+    failures before chunking."""
+    import __spark_entry__ as entry
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "into the quiet forest to find some food for the long winter"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good, "en", "web"),
+            (2, good, "en", "web"),  # exact duplicate of 1
+            (3, "zzz", "en", "web"),  # fails the n_words floor
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    from online_centrality_spark.dedup.exact import exact_dedup
+    from online_centrality_spark.text.analysis import quality_score
+    from online_centrality_spark.text.packing import chunk_documents
+
+    uniq = exact_dedup(df)
+    assert uniq.count() == 2  # duplicate collapsed
+    kept = quality_score(uniq).filter(
+        (F.col("quality") >= 0.5) & (F.col("n_words") >= 10)
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert ids == {1}
+    chunks = chunk_documents(kept.select("doc_id", "text"), size=16, overlap=4)
+    n_tok = sum(r["n_tok"] for r in chunks.collect())
+    n_words = kept.collect()[0]["n_words"]
+    # overlap tokens are counted once per chunk boundary crossed
+    n_chunks = chunks.count()
+    assert n_tok == n_words + 4 * (n_chunks - 1)
