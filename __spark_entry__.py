@@ -470,17 +470,31 @@ FROM {src_frame} n LEFT JOIN c ON n.node_id = c.node_id"""
     )
 
 
-def _hopdist_sql(rounds: int = 6, q: float = 0.9) -> str:
+def _hopdist_sql(
+    rounds: int = 6, q: float = 0.9, targets: int | None = None
+) -> str:
     """Hop-distribution oracle: the same min-plus doubling closure as
     :func:`_ecc_sql`, grouped by distance; the cumulative fraction is a
     single float division of exact integer sums, so both engines agree
     bit-for-bit before rounding, and the effective-diameter threshold
-    filter is therefore deterministic."""
+    filter is therefore deterministic. ``targets`` restricts sources to
+    the k smallest node ids (the engine's pivot rule) and adds the
+    ``est_pairs`` n/k rescale column, mirroring the sampled engine
+    path."""
     ctes = [
         COS_EDGES_CTE.strip(),
         SYM_CTE.strip(),
         "h0 AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS d FROM sym)",
     ]
+    pair_frame = f"h{rounds}"
+    if targets is not None:
+        ctes.insert(
+            2,
+            f"piv AS (SELECT node_id FROM cnodes ORDER BY node_id LIMIT {targets})",
+        )
+        pair_frame = (
+            f"(SELECT h.* FROM h{rounds} h JOIN piv ON h.src = piv.node_id)"
+        )
     for i in range(1, rounds + 1):
         p, c = f"h{i - 1}", f"h{i}"
         ctes.append(
@@ -493,22 +507,34 @@ def _hopdist_sql(rounds: int = 6, q: float = 0.9) -> str:
   ) u GROUP BY src, dst
 )"""
         )
+    est_col = ""
+    if targets is not None:
+        est_col = (
+            ",\nsc AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM cnodes)"
+            " / (SELECT count(*) FROM piv) AS scale)"
+        )
+    sel_est = (
+        "round(c.n_pairs * sc.scale, 6) AS est_pairs,\n       "
+        if targets is not None
+        else ""
+    )
+    from_est = " CROSS JOIN sc" if targets is not None else ""
     return (
         "WITH "
         + ",\n".join(ctes)
         + f""",
 hd AS (SELECT d, CAST(count(*) AS BIGINT) AS n_pairs
-       FROM h{rounds} GROUP BY d),
+       FROM {pair_frame} GROUP BY d),
 tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hd),
 c AS (SELECT d, n_pairs,
              CAST(sum(n_pairs) OVER (ORDER BY d) AS DOUBLE) / tot.t
                AS raw_frac
       FROM hd CROSS JOIN tot),
-ed AS (SELECT min(d) AS eff FROM c WHERE raw_frac >= {q})
+ed AS (SELECT min(d) AS eff FROM c WHERE raw_frac >= {q}){est_col}
 SELECT CAST(c.d AS BIGINT) AS d, c.n_pairs,
-       round(c.raw_frac, 6) AS cum_frac,
+       {sel_est}round(c.raw_frac, 6) AS cum_frac,
        CAST(ed.eff AS BIGINT) AS eff_diameter
-FROM c CROSS JOIN ed"""
+FROM c CROSS JOIN ed{from_est}"""
     )
 
 
@@ -2954,6 +2980,18 @@ def q_hop_distribution(spark, sf_dir):
     return hop_distribution(_cos_edges(spark, sf_dir))
 
 
+def q_hopdist_sampled(spark, sf_dir):
+    """The sampled-target twin of hop_distribution (round 5): per-depth
+    pair counts from the 32 smallest node ids only — BFS state k rows
+    per node instead of n^2 — plus the Eppstein–Wang n/k ``est_pairs``
+    rescale; cum_frac / eff_diameter are ratios, invariant under the
+    rescale. With closeness_sampled this gives the sampled-BFS family
+    two driver-checkable witnesses."""
+    from online_centrality_spark.operators.bfs import hop_distribution
+
+    return hop_distribution(_cos_edges(spark, sf_dir), targets=32)
+
+
 def q_funnel(spark, sf_dir):
     """Strict-order conversion funnel view -> click -> purchase with
     earliest-completion semantics; one min-agg + one user-keyed join
@@ -3786,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "chunk_documents": q_chunk_documents,
         "training_mix": q_training_mix,
+        "hopdist_sampled": q_hopdist_sampled,
     }
 
 
@@ -4950,6 +4989,7 @@ FROM daily
     sqls["closeness"] = _closeness_sql()
     sqls["closeness_sampled"] = _closeness_sql(targets=32)
     sqls["hop_distribution"] = _hopdist_sql()
+    sqls["hopdist_sampled"] = _hopdist_sql(targets=32)
     sqls["funnel"] = """
 WITH s0 AS (
   SELECT user_id, min(epoch_us(ts)) AS t_done

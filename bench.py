@@ -262,6 +262,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     # state k rows per node instead of n^2)
     add("mutual_knn_lsh")
     add("closeness_sampled")
+    add("hopdist_sampled")
     # round-5 pipeline additions: mergeable HLL sketch, scan-stage
     # chunking, and the composed dedup->quality->chunk mixture report
     add("hll_distinct")
