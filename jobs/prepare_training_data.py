@@ -41,6 +41,8 @@ def build_pipeline(
     default_rate: float = 1.0,
     budget: int = 512,
     test_fraction: float = 0.0,
+    chunk_size: int = 0,
+    chunk_overlap: int = 16,
 ):
     """Return (kept_docs, packed) DataFrames for the prep pipeline."""
     from pyspark.sql import functions as F
@@ -118,6 +120,35 @@ def build_pipeline(
     else:
         to_pack = sampled
 
+    # 4.7 (optional) context-window chunking: chunks become the packed
+    # units (the real pipeline ordering — cut windows, then bin them).
+    # unit_id = doc_id * 2^16 + chunk_idx keeps the packing order
+    # doc-major/window-minor; chunk_idx < 65536 holds for any document
+    # under ~3M tokens at the default stride.
+    if chunk_size > 0:
+        from online_centrality_spark.text import chunk_documents
+
+        chunks = chunk_documents(
+            to_pack, size=chunk_size, overlap=chunk_overlap
+        )
+        units = chunks.select(
+            (F.col("doc_id") * 65536 + F.col("chunk_idx")).alias("unit_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        packed = (
+            pack_sequences(units, budget=budget, id_col="unit_id")
+            .join(units, "unit_id")  # re-attach the window text
+            .select(
+                F.expr("unit_id DIV 65536").alias("doc_id"),
+                F.expr("CAST(unit_id % 65536 AS INT)").alias("chunk_idx"),
+                F.col("text").alias("chunk_text"),
+                "n_tokens",
+                "bin",
+                "bin_offset",
+            )
+        )
+        return sampled, packed
+
     # 5. token-budget sequence packing (train split only when a holdout
     # is requested — the holdout ships unpacked, like an eval set)
     packed = pack_sequences(to_pack, budget=budget)
@@ -138,6 +169,14 @@ def main():
         help="leakage-safe holdout rate (hashes source, not doc_id); "
         "0 disables the split stage",
     )
+    ap.add_argument(
+        "--chunk-size",
+        type=int,
+        default=0,
+        help="context-window size in tokens; >0 cuts sliding windows "
+        "before packing (chunks become the packed units)",
+    )
+    ap.add_argument("--chunk-overlap", type=int, default=16)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -147,9 +186,17 @@ def main():
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     sampled, packed = build_pipeline(spark, docs, pair_method=args.pair_method,
                                      budget=args.budget,
-                                     test_fraction=args.test_fraction)
+                                     test_fraction=args.test_fraction,
+                                     chunk_size=args.chunk_size,
+                                     chunk_overlap=args.chunk_overlap)
+    # chunk-grain rows carry their window text; doc-grain rows the doc's
+    meta_cols = (
+        ["doc_id", "lang_pred", "quality"]
+        if args.chunk_size > 0
+        else ["doc_id", "text", "lang_pred", "quality"]
+    )
     out = (
-        sampled.select("doc_id", "text", "lang_pred", "quality")
+        sampled.select(*meta_cols)
         .join(packed, "doc_id")
         .withColumn(
             "bin_group", (F.col("bin") / args.bins_per_file).cast("long")

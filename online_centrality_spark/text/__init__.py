@@ -8,6 +8,7 @@ from .analysis import (
     token_count,
 )
 from .packing import (
+    chunk_documents,
     domain_mixture_weights,
     grouped_split,
     hash_sample,
@@ -26,4 +27,5 @@ __all__ = [
     "repetition_rules",
     "domain_mixture_weights",
     "grouped_split",
+    "chunk_documents",
 ]

@@ -101,3 +101,29 @@ def test_holdout_split_is_leakage_safe(spark):
     assert packed_ids.isdisjoint(test_ids)
     train_ids = set(spdf.loc[spdf["split"] == "train", "doc_id"])
     assert packed_ids == train_ids
+
+
+def test_chunked_pipeline_units_and_reassembly(spark):
+    """chunk_size > 0: chunks become the packed units; every kept doc's
+    windows appear with doc-major/window-minor ordering preserved by
+    the unit-id packing, and the window text survives to the sink."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled, packed = build_pipeline(
+        spark, docs, budget=BUDGET, chunk_size=32, chunk_overlap=8
+    )
+    pk = packed.toPandas()
+    assert set(pk.columns) == {
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens", "bin", "bin_offset",
+    }
+    assert (pk["n_tokens"] > 0).all()
+    assert pk["chunk_text"].str.len().gt(0).all()
+    # chunk windows never exceed the requested size
+    assert pk["chunk_text"].str.split(" ").map(len).le(32).all()
+    # unit ordering: within a doc, higher chunk_idx packs at equal-or-
+    # later position (bin, bin_offset) — doc-major, window-minor
+    pk = pk.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pos = pk["bin"] * BUDGET + pk["bin_offset"]
+    same_doc = pk["doc_id"].eq(pk["doc_id"].shift())
+    assert (pos.diff()[same_doc] >= 0).all()
+    # every sampled doc contributed at least one window
+    assert set(pk["doc_id"]) == set(sampled.toPandas()["doc_id"])
