@@ -452,3 +452,43 @@ def test_streaming_session_flow_matrix_folds_over_closed_sessions(
     want = Counter(zip(fsub["entry_type"], fsub["exit_type"]))
     got = Counter(zip(closed["entry_type"], closed["exit_type"]))
     assert got == want
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The HLL register table is a plain max-agg, so the SAME call
+    streams in complete mode: after both micro-batches the streamed
+    sketch (and hence any estimate derived from it) equals the batch
+    sketch over the union — the mergeable-sketch property, live."""
+    from online_centrality_spark.text.sketches import hll_registers
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    schema = "event_type string, user_id long"
+    b1 = pd.DataFrame(
+        [("click", i) for i in range(300)], columns=["event_type", "user_id"]
+    )
+    b2 = pd.DataFrame(
+        [("click", i) for i in range(200, 500)],
+        columns=["event_type", "user_id"],
+    )
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        hll_registers(stream_in, ["event_type"], "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hll_sink").toPandas()
+    batch = hll_registers(
+        spark.read.parquet(str(src)), ["event_type"], "user_id"
+    ).toPandas()
+    key = ["event_type", "reg"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert got[key + ["r"]].equals(batch[key + ["r"]])
