@@ -389,17 +389,26 @@ FROM ({union}) m GROUP BY n"""
     )
 
 
-def _ecc_sql(rounds: int = 6) -> str:
+def _ecc_sql(rounds: int = 6, targets: int | None = None) -> str:
     """Eccentricity oracle: min-plus doubling over the symmetric cosine
     edges (covers any shortest path of up to 2^rounds hops — far beyond
     the similarity graph's diameter); ecc(v) = max d over reached pairs,
     0 for isolated-within-graph nodes (none exist: nodes come from
-    edges)."""
+    edges). ``targets`` restricts sources to the k smallest node ids
+    (the engine's deterministic pivot rule) — exact on the sample, so
+    the restriction is a plain filter on the closure."""
     ctes = [
         COS_EDGES_CTE.strip(),
         SYM_CTE.strip(),
         "h0 AS MATERIALIZED (SELECT a AS src, b AS dst, 1 AS d FROM sym)",
     ]
+    src_frame = "cnodes"
+    if targets is not None:
+        ctes.insert(
+            2,
+            f"piv AS (SELECT node_id FROM cnodes ORDER BY node_id LIMIT {targets})",
+        )
+        src_frame = "piv"
     for i in range(1, rounds + 1):
         p, c = f"h{i - 1}", f"h{i}"
         ctes.append(
@@ -418,7 +427,7 @@ def _ecc_sql(rounds: int = 6) -> str:
         + f""",
 e AS (SELECT src AS node_id, max(d) AS ecc FROM h{rounds} GROUP BY src)
 SELECT n.node_id, CAST(coalesce(e.ecc, 0) AS BIGINT) AS ecc
-FROM cnodes n LEFT JOIN e ON n.node_id = e.node_id"""
+FROM {src_frame} n LEFT JOIN e ON n.node_id = e.node_id"""
     )
 
 
@@ -2992,6 +3001,18 @@ def q_hopdist_sampled(spark, sf_dir):
     return hop_distribution(_cos_edges(spark, sf_dir), targets=32)
 
 
+def q_ecc_sampled(spark, sf_dir):
+    """The sampled-target twin of eccentricity — completing the
+    all-sources BFS family's escape-hatch symmetry (closeness_sampled /
+    hopdist_sampled / ecc_sampled): EXACT eccentricities for the 32
+    smallest node ids, BFS state k rows per node instead of n^2; their
+    max lower-bounds the diameter, their min upper-bounds the radius.
+    Oracle = the min-plus closure restricted to the same source set."""
+    from online_centrality_spark.operators import eccentricity
+
+    return eccentricity(_cos_edges(spark, sf_dir), targets=32)
+
+
 def q_funnel(spark, sf_dir):
     """Strict-order conversion funnel view -> click -> purchase with
     earliest-completion semantics; one min-agg + one user-keyed join
@@ -3825,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "training_mix": q_training_mix,
         "hopdist_sampled": q_hopdist_sampled,
+        "ecc_sampled": q_ecc_sampled,
     }
 
 
@@ -4990,6 +5012,7 @@ FROM daily
     sqls["closeness_sampled"] = _closeness_sql(targets=32)
     sqls["hop_distribution"] = _hopdist_sql()
     sqls["hopdist_sampled"] = _hopdist_sql(targets=32)
+    sqls["ecc_sampled"] = _ecc_sql(targets=32)
     sqls["funnel"] = """
 WITH s0 AS (
   SELECT user_id, min(epoch_us(ts)) AS t_done

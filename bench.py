@@ -263,6 +263,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("mutual_knn_lsh")
     add("closeness_sampled")
     add("hopdist_sampled")
+    add("ecc_sampled")
     # round-5 pipeline additions: mergeable HLL sketch, scan-stage
     # chunking, and the composed dedup->quality->chunk mixture report
     add("hll_distinct")
