@@ -3013,6 +3013,19 @@ def q_ecc_sampled(spark, sf_dir):
     return eccentricity(_cos_edges(spark, sf_dir), targets=32)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    exact within-cluster cosine pruning — the corpus-scale semantic
+    dedup whose quadratic stage is bounded at O(n^2/k); keep rule is
+    the deterministic lowest-id-neighbor rule, so the oracle is the
+    shared unrolled-Lloyd CTE chain + one pair join."""
+    from online_centrality_spark.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=10, iters=4, threshold=0.4
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Strict-order conversion funnel view -> click -> purchase with
     earliest-completion semantics; one min-agg + one user-keyed join
@@ -3847,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "hopdist_sampled": q_hopdist_sampled,
         "ecc_sampled": q_ecc_sampled,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -5013,6 +5027,11 @@ FROM daily
     sqls["hop_distribution"] = _hopdist_sql()
     sqls["hopdist_sampled"] = _hopdist_sql(targets=32)
     sqls["ecc_sampled"] = _ecc_sql(targets=32)
+    from online_centrality_spark.similarity import semantic_dedup_sql
+
+    sqls["semantic_dedup"] = semantic_dedup_sql(
+        k=10, iters=4, dim=64, threshold=0.4
+    )
     sqls["funnel"] = """
 WITH s0 AS (
   SELECT user_id, min(epoch_us(ts)) AS t_done

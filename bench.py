@@ -264,6 +264,9 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("closeness_sampled")
     add("hopdist_sampled")
     add("ecc_sampled")
+    # round-5 batch 3: SemDeDup (kmeans clusters -> within-cluster
+    # cosine pruning, the O(n^2/k) corpus-scale semantic dedup)
+    add("semantic_dedup")
     # round-5 pipeline additions: mergeable HLL sketch, scan-stage
     # chunking, and the composed dedup->quality->chunk mixture report
     add("hll_distinct")

@@ -1,5 +1,15 @@
 from .ann import brute_force_topk, ivf_topk, lsh_topk
 from .kmeans import kmeans, kmeans_sql
 from .outliers import embedding_outliers
+from .semdedup import semantic_dedup, semantic_dedup_sql
 
-__all__ = ["brute_force_topk", "ivf_topk", "lsh_topk", "kmeans", "kmeans_sql", "embedding_outliers"]
+__all__ = [
+    "brute_force_topk",
+    "ivf_topk",
+    "lsh_topk",
+    "kmeans",
+    "kmeans_sql",
+    "embedding_outliers",
+    "semantic_dedup",
+    "semantic_dedup_sql",
+]

@@ -135,11 +135,13 @@ def kmeans(
     return result
 
 
-def kmeans_sql(
+def _kmeans_ctes(
     k: int = 10, iters: int = 4, dim: int = 64, round_decimals: int = 9
-) -> str:
-    """Exact DuckDB twin: the same seeds/fold/tie-break/rounding rules,
-    iterations unrolled into a MATERIALIZED CTE chain."""
+) -> list[str]:
+    """The unrolled Lloyd CTE chain (pts, c0, a1..a{iters}, c1..) —
+    shared by :func:`kmeans_sql` and the SemDeDup oracle
+    (:func:`..similarity.semdedup.semantic_dedup_sql`); the final
+    assignment lives in ``a{iters}``."""
     dist = (
         f"list_reduce(list_transform(range(1, {dim + 1}), "
         f"j -> (p.v[j] - c.v[j]) * (p.v[j] - c.v[j])), (a, b) -> a + b)"
@@ -174,7 +176,15 @@ def kmeans_sql(
   ) m ON o.cl = m.cl
 )"""
             )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def kmeans_sql(
+    k: int = 10, iters: int = 4, dim: int = 64, round_decimals: int = 9
+) -> str:
+    """Exact DuckDB twin: the same seeds/fold/tie-break/rounding rules,
+    iterations unrolled into a MATERIALIZED CTE chain."""
+    body = ",\n".join(_kmeans_ctes(k, iters, dim, round_decimals))
     return (
         f"WITH {body}\n"
         f"SELECT vec_id, CAST(cl AS INT) AS cluster, round(d, 6) AS sq_dist "

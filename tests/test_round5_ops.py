@@ -350,3 +350,46 @@ def test_training_mix_dedups_and_filters(spark):
     # overlap tokens are counted once per chunk boundary crossed
     n_chunks = chunks.count()
     assert n_tok == n_words + 4 * (n_chunks - 1)
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Two well-separated embedding clusters, exact dups inside each:
+    the lowest-id member of every within-cluster near-dup neighborhood
+    survives; cross-cluster twins are NOT deduped (the SemDeDup
+    contract — only cluster-mates are compared)."""
+    from online_centrality_spark.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),   # seed A (seeds = k lowest ids)
+        (2, [0.0, 1.0, 0.0]),   # seed B
+        (3, [0.0, 0.0, 1.0]),   # seed C — no neighbors, kept
+        (4, [1.0, 0.01, 0.0]),  # cluster A, near-dup of 1 -> dup_of=1
+        (5, [0.99, 0.02, 0.0]), # cluster A, near 1 AND 4 -> dup_of=1 (min)
+        (11, [0.0, 1.0, 0.01]), # cluster B, near-dup of 2 -> dup_of=2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semantic_dedup(df, k=3, iters=2, threshold=0.9).collect()
+    }
+    assert out[1] == (True, -1)
+    assert out[2] == (True, -1)
+    assert out[3] == (True, -1)
+    assert out[4] == (False, 1)
+    assert out[5] == (False, 1)
+    assert out[11] == (False, 2)
+
+
+def test_semantic_dedup_respects_cluster_boundary(spark):
+    """An exact twin assigned to a different cluster is not compared:
+    with k=n every document is its own cluster and everything is kept."""
+    from online_centrality_spark.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i) * 1e-6]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=4, iters=1, threshold=0.99).collect()
+    assert all(r["keep"] for r in out)
+    assert {r["cluster"] for r in out} == {0, 1, 2, 3}
