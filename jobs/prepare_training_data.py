@@ -8,6 +8,8 @@ like jobs/replay_job.py):
       -> exact dedup        (content fingerprint, keep min id)
       -> near-dup clusters  (n-gram Jaccard or MinHash-LSH pairs ->
                              connected components -> canonical doc)
+      -> semantic dedup     (optional: SemDeDup kmeans clusters ->
+                             within-cluster cosine pruning)
       -> quality/language   (JVM column expressions)
       -> stratified sample  (deterministic md5-bucket keep rates)
       -> holdout split      (optional: leakage-safe, hashes SOURCE so
@@ -43,6 +45,9 @@ def build_pipeline(
     test_fraction: float = 0.0,
     chunk_size: int = 0,
     chunk_overlap: int = 16,
+    embeddings=None,
+    semantic_threshold: float = 0.0,
+    semantic_k: int = 10,
 ):
     """Return (kept_docs, packed) DataFrames for the prep pipeline."""
     from pyspark.sql import functions as F
@@ -85,6 +90,23 @@ def build_pipeline(
         "doc_id",
         "left_semi",
     )
+
+    # 2.5 (optional) SemDeDup: kmeans the embedding space, drop docs
+    # with a lower-id near-dup cluster-mate. Docs WITHOUT an embedding
+    # row pass through (left-anti on the drop list, not a semi on the
+    # keep list), so a partial embedding run never silently shrinks the
+    # corpus. The quadratic stage is within-cluster only (O(n^2/k)).
+    if embeddings is not None and semantic_threshold > 0.0:
+        from online_centrality_spark.similarity import semantic_dedup
+
+        sem = semantic_dedup(
+            embeddings, k=semantic_k, threshold=semantic_threshold
+        )
+        docs2 = docs2.join(
+            sem.filter(~F.col("keep")).select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
 
     # 3. PII scrub (emails/phones/IPs -> typed tokens), then language +
     #    quality annotation — all pure JVM expressions in the scan stage
@@ -177,6 +199,14 @@ def main():
         "before packing (chunks become the packed units)",
     )
     ap.add_argument("--chunk-overlap", type=int, default=16)
+    ap.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.0,
+        help="SemDeDup cosine floor; >0 enables the embedding-cluster "
+        "dedup stage (reads <sf-dir>/embeddings.parquet)",
+    )
+    ap.add_argument("--semantic-k", type=int, default=10)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -184,11 +214,19 @@ def main():
     spark = SparkSession.builder.appName("prepare_training_data").getOrCreate()
     t0 = time.time()
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    emb = (
+        spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        if args.semantic_threshold > 0.0
+        else None
+    )
     sampled, packed = build_pipeline(spark, docs, pair_method=args.pair_method,
                                      budget=args.budget,
                                      test_fraction=args.test_fraction,
                                      chunk_size=args.chunk_size,
-                                     chunk_overlap=args.chunk_overlap)
+                                     chunk_overlap=args.chunk_overlap,
+                                     embeddings=emb,
+                                     semantic_threshold=args.semantic_threshold,
+                                     semantic_k=args.semantic_k)
     # chunk-grain rows carry their window text; doc-grain rows the doc's
     meta_cols = (
         ["doc_id", "lang_pred", "quality"]

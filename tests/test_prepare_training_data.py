@@ -127,3 +127,36 @@ def test_chunked_pipeline_units_and_reassembly(spark):
     assert (pos.diff()[same_doc] >= 0).all()
     # every sampled doc contributed at least one window
     assert set(pk["doc_id"]) == set(sampled.toPandas()["doc_id"])
+
+
+def test_semantic_dedup_stage(spark):
+    """The optional SemDeDup stage drops exactly the semantic_dedup
+    drop list (ids present in embeddings), and docs WITHOUT an
+    embedding row always pass through (left-anti contract)."""
+    from online_centrality_spark.similarity import semantic_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base, _ = build_pipeline(spark, docs, budget=BUDGET)
+    semed, _ = build_pipeline(
+        spark, docs, budget=BUDGET,
+        embeddings=emb, semantic_threshold=0.4,
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    sem_ids = {r["doc_id"] for r in semed.select("doc_id").collect()}
+    dropped = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, k=10, threshold=0.4)
+        .filter(~F.col("keep"))
+        .collect()
+    }
+    assert sem_ids == base_ids - dropped
+    # embedding-less docs pass through: restrict embeddings to half the
+    # id space and confirm the other half is untouched
+    half = emb.filter(F.col("vec_id") < 250)
+    semed2, _ = build_pipeline(
+        spark, docs, budget=BUDGET,
+        embeddings=half, semantic_threshold=0.4,
+    )
+    sem2_ids = {r["doc_id"] for r in semed2.select("doc_id").collect()}
+    assert {i for i in base_ids if i >= 250} <= sem2_ids
