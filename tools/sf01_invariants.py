@@ -348,6 +348,50 @@ def main():
         embedding_dedup_lsh_matches_blocked,
     )
 
+    # round 5 batch 3: SemDeDup keep rule vs an independent driver-side
+    # numpy oracle (full cosine matrix + the greedy lowest-id rule) —
+    # 2000 vectors at sf0.1, tool-side collect is fine here
+    def semantic_dedup_matches_numpy():
+        import numpy as np
+
+        from online_centrality_spark.similarity import kmeans, semantic_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        got = {
+            r.vec_id: (r.cluster, r.keep, r.dup_of)
+            for r in semantic_dedup(emb, k=10, iters=4, threshold=0.4).collect()
+        }
+        cl = {
+            r.vec_id: r.cluster for r in kmeans(emb, k=10, iters=4).collect()
+        }
+        rows = sorted(
+            (r.vec_id, list(r.embedding)) for r in emb.collect()
+        )
+        ids = np.array([i for i, _ in rows])
+        m = np.array([v for _, v in rows], dtype=np.float64)
+        sims = np.round(
+            (m @ m.T)
+            / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :]),
+            6,
+        )
+        n_dropped = 0
+        for j, vid in enumerate(ids):
+            assert got[vid][0] == cl[vid], (vid, got[vid][0], cl[vid])
+            lower = [
+                int(ids[i])
+                for i in range(len(ids))
+                if ids[i] < vid and cl[int(ids[i])] == cl[vid]
+                and sims[i, j] >= 0.4
+            ]
+            if lower:
+                n_dropped += 1
+                assert got[vid][1:] == (False, min(lower)), (vid, got[vid])
+            else:
+                assert got[vid][1:] == (True, -1), (vid, got[vid])
+        assert n_dropped > 0, "vacuous: no semantic dups at sf0.1"
+
+    check("semantic_dedup_matches_numpy", semantic_dedup_matches_numpy)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
