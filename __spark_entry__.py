@@ -479,6 +479,75 @@ FROM {src_frame} n LEFT JOIN c ON n.node_id = c.node_id"""
     )
 
 
+def _anf_sql(trials: int = 32, rounds: int = 10, q: float = 0.9) -> str:
+    """ANF oracle: the engine's FM sketch rebuilt relationally in long
+    form — (node, trial, word) rows, ``bit_or`` groupBy per round over
+    the self-loop-augmented symmetric edge list. Bit indices reuse the
+    md5 leading-zero-bits scheme (hll oracle precedent); the readout
+    ``bit_count(word & ~(word + 1))`` and the shift * TAB[f] mean
+    decomposition are pure integer / IEEE-base ops, and per-node
+    estimates are summed as round(est * 1e6) BIGINTs — so the oracle
+    matches the engine bit-for-bit, not just statistically."""
+    bit = (
+        "least(4 * length(regexp_extract(tail, '^(0*)', 1)) + "
+        "CASE substr(tail, length(regexp_extract(tail, '^(0*)', 1)) + 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END, 51)"
+    )
+    tab = ", ".join(f"({f}, {2.0 ** (f / trials)!r})" for f in range(trials))
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        f"tab(f, v) AS (VALUES {tab})",
+        (
+            "eplus AS MATERIALIZED (SELECT a, b FROM sym "
+            "UNION ALL SELECT node_id, node_id FROM cnodes)"
+        ),
+        (
+            "init AS (SELECT c.node_id AS node, t.t, "
+            "substr(md5(CAST(c.node_id AS VARCHAR) || '#anf' || "
+            "CAST(t.t AS VARCHAR)), 1, 13) AS tail "
+            f"FROM cnodes c CROSS JOIN range({trials}) t(t))"
+        ),
+        (
+            "m0 AS MATERIALIZED (SELECT node, t, "
+            f"CAST(1 AS BIGINT) << CAST({bit} AS INT) AS word FROM init)"
+        ),
+    ]
+    for h in range(1, rounds + 1):
+        ctes.append(
+            f"m{h} AS MATERIALIZED (SELECT e.a AS node, p.t, "
+            f"bit_or(p.word) AS word "
+            f"FROM eplus e JOIN m{h - 1} p ON p.node = e.b GROUP BY 1, 2)"
+        )
+    per_h = "\nUNION ALL\n".join(
+        f"""SELECT {h} AS h, count(*) AS nodes,
+       CAST(sum(CAST(round(((CAST((CAST(1 AS BIGINT) << CAST(sumr // {trials} AS INT)) AS DOUBLE)
+         * tab.v) / 0.77351) * 1000000.0) AS BIGINT)) AS BIGINT) AS pairs_scaled
+FROM (SELECT node, sum(bit_count(word & ~(word + 1))) AS sumr
+      FROM m{h} GROUP BY 1) s JOIN tab ON tab.f = s.sumr % {trials}"""
+        for h in range(0, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+hd AS MATERIALIZED (
+{per_h}
+),
+mx AS (SELECT max(pairs_scaled) AS mps FROM hd),
+eff AS (SELECT min(h) AS eff_diameter FROM hd, mx
+        WHERE CAST(pairs_scaled AS DOUBLE) / CAST(mps AS DOUBLE) >= {q})
+SELECT hd.h, hd.nodes,
+       round(CAST(hd.pairs_scaled AS DOUBLE) / 1000000.0, 4) AS pairs_est,
+       round(CAST(hd.pairs_scaled AS DOUBLE) / CAST(mx.mps AS DOUBLE), 6)
+         AS cum_frac,
+       eff.eff_diameter
+FROM hd, mx, eff"""
+    )
+
+
 def _hopdist_sql(
     rounds: int = 6, q: float = 0.9, targets: int | None = None
 ) -> str:
@@ -2989,6 +3058,19 @@ def q_hop_distribution(spark, sf_dir):
     return hop_distribution(_cos_edges(spark, sf_dir))
 
 
+def q_anf_reach(spark, sf_dir):
+    """Approximate neighbourhood function of the cosine graph (round 5):
+    Flajolet-Martin OR-sketches, 32 trials, a FIXED 10-round schedule
+    (>= the graph's eccentricity bound at every tested SF, so the
+    sketches are converged) — the linear-per-round 10^12-edge twin of
+    the exact hop_distribution. The md5 bit scheme, integer OR merges,
+    shift*TAB mean decomposition and scaled-int64 estimate sums make
+    every number bit-reproducible by the plain-SQL oracle."""
+    from online_centrality_spark.operators.anf import anf_reach
+
+    return anf_reach(_cos_edges(spark, sf_dir), trials=32, max_rounds=10)
+
+
 def q_hopdist_sampled(spark, sf_dir):
     """The sampled-target twin of hop_distribution (round 5): per-depth
     pair counts from the 32 smallest node ids only — BFS state k rows
@@ -3696,10 +3778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver evidence they still lack (VERDICT r04 next-round #2) —
     (1) the 24 round-4 queries that overflowed the r04 window and have
     ZERO driver rows (judge-re-verified 24/24, but the driver's own
-    record must cover them), (2) the 8 new round-5 queries
+    record must cover them), (2) the 9 new round-5 queries
     (closeness_sampled, mutual_knn_lsh, hll_distinct, chunk_documents,
-    training_mix, hopdist_sampled, ecc_sampled, semantic_dedup),
-    (3) 18 r04-green-once rows to fill the 50. Every displaced query
+    training_mix, hopdist_sampled, ecc_sampled, semantic_dedup,
+    anf_reach), (3) 17 r04-green-once rows to fill the 50. Every displaced query
     below the line carries at least one prior driver-green row plus
     this round's gate-replica sweep (BENCH/verify_entry_r05.txt), so
     after this round EVERY contract query is driver-proven at least
@@ -3739,6 +3821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopdist_sampled": q_hopdist_sampled,
         "ecc_sampled": q_ecc_sampled,
         "semantic_dedup": q_semantic_dedup,
+        "anf_reach": q_anf_reach,
         # -- (3) r04-green-once fillers to complete the 50 --------------
         "modularity": q_modularity,
         "random_walks": q_random_walks,
@@ -3757,11 +3840,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mis": q_mis,
         "temporal_reachability": q_temporal_reachability,
-        "eigenvector": q_eigenvector,
         # ---- 50-entry driver window ends here ------------------------
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
+        "eigenvector": q_eigenvector,
         "closeness": q_closeness,
         "asof_value": q_asof_value,
         "activity_rollup": q_activity_rollup,
@@ -5025,6 +5108,7 @@ FROM daily
     sqls["closeness"] = _closeness_sql()
     sqls["closeness_sampled"] = _closeness_sql(targets=32)
     sqls["hop_distribution"] = _hopdist_sql()
+    sqls["anf_reach"] = _anf_sql()
     sqls["hopdist_sampled"] = _hopdist_sql(targets=32)
     sqls["ecc_sampled"] = _ecc_sql(targets=32)
     from online_centrality_spark.similarity import semantic_dedup_sql

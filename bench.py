@@ -272,6 +272,9 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("hll_distinct")
     add("chunk_documents")
     add("training_mix")
+    # round-5 batch 4: FM-sketch neighbourhood function (the linear-
+    # per-round twin of the exact hop_distribution)
+    add("anf_reach")
     add("cramers_v")
     add("edge_overlap")
     add("community_conductance")

@@ -393,3 +393,143 @@ def test_semantic_dedup_respects_cluster_boundary(spark):
     out = semantic_dedup(df, k=4, iters=1, threshold=0.99).collect()
     assert all(r["keep"] for r in out)
     assert {r["cluster"] for r in out} == {0, 1, 2, 3}
+
+
+# ------------------------------------------------------------------- ANF
+
+
+def _anf_fixture_edges(spark, n=150, m=420, seed=5):
+    import random
+
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    return _edges(spark, sorted(pairs))
+
+
+def test_anf_tracks_exact_ball_mass(spark):
+    """FM estimates certify against the exact per-radius ball masses:
+    converged total within the r=32 error envelope, effective diameter
+    within one hop, estimates monotone in h."""
+    nx = pytest.importorskip("networkx")
+    from online_centrality_spark.operators.anf import anf_reach
+
+    edges = _anf_fixture_edges(spark)
+    out = sorted(anf_reach(edges, trials=32).collect(), key=lambda r: r.h)
+
+    g = nx.Graph((r.src, r.dst) for r in edges.collect())
+    dists = dict(nx.all_pairs_shortest_path_length(g))
+    max_d = max(d for row in dists.values() for d in row.values())
+    exact = {
+        h: sum(1 for row in dists.values() for d in row.values() if d <= h)
+        for h in range(max_d + 1)
+    }
+
+    ests = [r.pairs_est for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:]))  # monotone
+    # converged mass: the FM mean with 32 trials lands well inside 35%
+    assert out[-1].pairs_est == pytest.approx(exact[max_d], rel=0.35)
+    # effective diameter within one hop of the exact 90% radius
+    exact_eff = min(
+        h for h, c in exact.items() if c >= 0.9 * exact[max_d]
+    )
+    assert abs(out[-1].eff_diameter - exact_eff) <= 1
+    # fixpoint reached: last two radii carry identical sketch mass
+    assert out[-1].pairs_est == out[-2].pairs_est
+
+
+def test_anf_fixed_rounds_is_fixpoint_prefix(spark):
+    """max_rounds=k reproduces the first k+1 rows of the fixpoint run
+    (pairs_est is per-round deterministic; only the cum_frac
+    denominator depends on how far the run went)."""
+    from online_centrality_spark.operators.anf import anf_reach
+
+    edges = _anf_fixture_edges(spark, n=60, m=110)
+    full = {r.h: r.pairs_est for r in anf_reach(edges, trials=16).collect()}
+    part = {
+        r.h: r.pairs_est
+        for r in anf_reach(edges, trials=16, max_rounds=2).collect()
+    }
+    assert set(part) == {0, 1, 2}
+    for h, v in part.items():
+        assert v == full[h]
+
+
+def test_anf_partitioning_invariance(spark):
+    """Scaled-int64 estimate sums: the numbers cannot move when the
+    input partitioning does."""
+    from online_centrality_spark.operators.anf import anf_reach
+
+    edges = _anf_fixture_edges(spark, n=60, m=110)
+    a = anf_reach(edges.repartition(1), trials=16, max_rounds=3).collect()
+    b = anf_reach(edges.repartition(13), trials=16, max_rounds=3).collect()
+    key = lambda r: r.h  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_anf_empty_and_selfloop_inputs(spark):
+    from online_centrality_spark.operators.anf import anf_reach
+
+    empty = _edges(spark, [])
+    out = anf_reach(empty, trials=8)
+    assert out.columns == [
+        "h", "nodes", "pairs_est", "cum_frac", "eff_diameter",
+    ]
+    assert out.count() == 0
+    loops = _edges(spark, [(3, 3)])
+    assert anf_reach(loops, trials=8).count() == 0
+
+
+def test_anf_round_plan_moves_only_the_aggregate(spark):
+    """The per-round plan pin: E' is shuffled once at build, so a round
+    (join + bit_or groupBy) contains exactly ONE Exchange — the
+    map-side-combined aggregate — when AQE/broadcast can't hide it."""
+    from online_centrality_spark.operators.anf import fm_node_sketches
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        edges = _anf_fixture_edges(spark, n=40, m=60)
+        e = edges.filter(F.col("src") != F.col("dst"))
+        adj = (
+            e.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        nodes = adj.select(F.col("src").alias("node_id")).distinct()
+        eplus = (
+            adj.unionByName(
+                nodes.select(
+                    F.col("node_id").alias("src"),
+                    F.col("node_id").alias("dst"),
+                )
+            )
+            .repartition("dst")
+            .localCheckpoint(eager=True)
+        )
+        sk = (
+            fm_node_sketches(nodes, 8)
+            .repartition("node_id")
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            eplus.join(sk, eplus["dst"] == sk["node_id"])
+            .groupBy(eplus["src"].alias("node_id"))
+            .agg(*[F.bit_or(f"c{t}").alias(f"c{t}") for t in range(8)])
+        )
+        plan = nxt._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert "partial_bit_or" in plan  # map-side combine
+        assert "BatchEvalPython" not in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
