@@ -2460,6 +2460,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Directed containment near-dups (round 5): fraction of doc_a's
+    distinct word bigrams that also occur in doc_b — the asymmetric
+    Broder coefficient that catches a short doc quoted inside a much
+    longer one (invisible to symmetric Jaccard). Same shingle-hash
+    candidate join as ngram_jaccard; both ordered directions derive
+    from the single undirected co-count row (in-row explode, no second
+    shuffle)."""
+    from online_centrality_spark.dedup.ngram import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(docs, n=2, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("containment", 6).alias("containment")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup end stage over the documents table: n-gram Jaccard pairs ->
     connected components (large-star/small-star) -> one canonical doc
@@ -3878,6 +3895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_assortativity": q_attribute_assortativity,
         "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "conversation_stats": q_conversation_stats,
@@ -4891,6 +4909,31 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+"""
+    sqls["ngram_containment"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({grams2}) AS gram FROM documents
+),
+hs AS (SELECT doc_id, {PORTABLE_HASH.format(s="gram")} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM hs a JOIN hs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+),
+directed AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / na AS c FROM j
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, CAST(i AS DOUBLE) / nb AS c FROM j
+)
+SELECT doc_a, doc_b, round(c, 6) AS containment
+FROM directed WHERE c >= 0.5
 """
     sqls["dedup_clusters"] = _dedup_clusters_sql()
     gram_hash_i = PORTABLE_HASH.format(s="gram || '#' || CAST(i AS VARCHAR)")

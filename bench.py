@@ -175,6 +175,15 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
             n=2, threshold=0.2, max_doc_freq=500,
         ).count()
 
+    def ngram_cont(spark, sf_dir):
+        # directed containment twin of ngram_jaccard; same df cap
+        from online_centrality_spark.dedup.ngram import ngram_containment_pairs
+
+        return ngram_containment_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            n=2, threshold=0.5, max_doc_freq=500,
+        ).count()
+
     rows: list[tuple] = []
 
     def add(name, fn=None, n=None):
@@ -275,6 +284,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     # round-5 batch 4: FM-sketch neighbourhood function (the linear-
     # per-round twin of the exact hop_distribution)
     add("anf_reach")
+    # round-5 batch 5: directed containment dedup (df-capped scale path)
+    add("ngram_containment", ngram_cont)
     add("cramers_v")
     add("edge_overlap")
     add("community_conductance")

@@ -1,6 +1,11 @@
 from .exact import exact_dedup, exact_duplicate_groups
 from .minhash import minhash_lsh_candidates, minhash_signatures
-from .ngram import decontaminate, ngram_jaccard_pairs, shingles
+from .ngram import (
+    decontaminate,
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+)
 from .simhash import simhash_fingerprints, simhash_near_dups
 from .embedding import (
     embedding_near_dups,
@@ -18,6 +23,7 @@ __all__ = [
     "exact_duplicate_groups",
     "shingles",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "decontaminate",
     "minhash_signatures",
     "minhash_lsh_candidates",

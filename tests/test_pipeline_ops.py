@@ -81,6 +81,54 @@ def test_ngram_jaccard(spark, docs_df):
     assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
 
 
+def test_ngram_containment(spark, docs_df):
+    from online_centrality_spark.dedup import ngram_containment_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs_df, threshold=0.0).collect()
+    }
+    sh = {i: py_shingles(t) for i, t in DOCS}
+    for i in sh:
+        for j in sh:
+            if i != j and sh[i] & sh[j]:
+                want = len(sh[i] & sh[j]) / len(sh[i])
+                assert got[(i, j)] == pytest.approx(want, abs=1e-12)
+    # every candidate pair appears in BOTH directions
+    assert all((b, a) in got for a, b in got)
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted inside a much
+    longer one scores near-zero Jaccard but 1.0 containment in the
+    short->long direction (and only that direction)."""
+    import pandas as pd
+
+    from online_centrality_spark.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    para = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"word{i} filler{i} token{i}" for i in range(60))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, para), (1, filler + " " + para + " " + filler)],
+            columns=["doc_id", "text"],
+        )
+    )
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert jac[(0, 1)] < 0.1  # symmetric measure: invisible
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    }
+    assert cont == {(0, 1): pytest.approx(1.0)}  # directed: caught, one way
+
+
 def test_minhash_signatures_and_lsh(spark, docs_df):
     k = 8
     sig = minhash_signatures(docs_df, k=k).collect()
