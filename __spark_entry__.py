@@ -2059,6 +2059,26 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling (round 5): Efraimidis–Spirakis A-ES
+    order sampling, k=20 per source stratum with inclusion probability
+    proportional to n_chars. key = ln(u)/w over a deterministic
+    md5-uniform — same sample in Spark, DuckDB, and any rerun; the key
+    is a scan-stage expression and the selection one partitioned top-k
+    window."""
+    from online_centrality_spark.text import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", k=20, stratum_col="source")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("sample_key", 9).alias("sample_key"),
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic stratified sampling for data mixing: per-language
     keep rates over md5-hash buckets — identical keep set in Spark,
@@ -3898,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4801,6 +4822,23 @@ SELECT doc_id, n_tokens,
 FROM c
 """
     id_hash = PORTABLE_HASH.format(s="CAST(doc_id AS VARCHAR)")
+    u_hash = PORTABLE_HASH.format(s="CAST(doc_id AS VARCHAR) || '#0'")
+    sqls["weighted_sample"] = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+    ({u_hash} % 1000000 + 1) / 1000001.0 AS u
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, source, n_chars, ln(u) / n_chars AS skey,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ln(u) / n_chars DESC, doc_id ASC) AS rn
+  FROM w
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       round(skey, 9) AS sample_key, CAST(rn AS INT) AS sample_rank
+FROM k WHERE rn <= 20
+"""
     sqls["hash_sample"] = f"""
 WITH h AS (SELECT doc_id, text,
   {hit_cols}

@@ -285,7 +285,9 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     # per-round twin of the exact hop_distribution)
     add("anf_reach")
     # round-5 batch 5: directed containment dedup (df-capped scale path)
+    # and A-ES quality-weighted sampling (scan-stage key + top-k window)
     add("ngram_containment", ngram_cont)
+    add("weighted_sample")
     add("cramers_v")
     add("edge_overlap")
     add("community_conductance")

@@ -13,6 +13,7 @@ from .packing import (
     grouped_split,
     hash_sample,
     pack_sequences,
+    weighted_sample,
 )
 
 __all__ = [
@@ -23,6 +24,7 @@ __all__ = [
     "redact_pii",
     "pack_sequences",
     "hash_sample",
+    "weighted_sample",
     "gopher_rules",
     "repetition_rules",
     "domain_mixture_weights",

@@ -156,6 +156,60 @@ def hash_sample(
     return docs.filter(h < cut)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES order sampling): draw ``k`` documents per stratum
+    (or globally) with inclusion probability proportional to
+    ``weight_col`` — the quality-weighted subsampling stage of
+    training-data assembly (sample high-quality docs preferentially
+    without hard-thresholding the corpus).
+
+    Each doc gets key = ln(u) / w where u is a DETERMINISTIC
+    hash-uniform in (0, 1) (portable md5 of ``id#seed`` — same sample
+    every run and every engine); the k largest keys per stratum are
+    the sample. Rows with non-positive weight are excluded.
+
+    Scale shape: the key is a pure scan-stage expression. Stratified
+    mode is one partitioned top-k window (hash shuffle on the stratum,
+    rank truncation); global mode is sort+limit, which Spark executes
+    as TakeOrderedAndProject — per-partition heaps of k rows, never a
+    full sort. Adds ``sample_key`` and per-stratum ``sample_rank``.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        (
+            portable_hash(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+            )
+            % SAMPLE_MOD
+            + 1
+        )
+        / F.lit(float(SAMPLE_MOD + 1))
+    )
+    keyed = docs.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key", F.log(u) / F.col(weight_col)
+    )
+    order = [F.col("sample_key").desc(), F.col(id_col).asc()]
+    if stratum_col is None:
+        out = keyed.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(*order)
+        out = keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
+            F.col("sample_rank") <= k
+        )
+        return out
+    return out.withColumn("sample_rank", F.row_number().over(w))
+
+
 def domain_mixture_weights(
     docs: DataFrame,
     stratum_col: str,

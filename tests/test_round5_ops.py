@@ -533,3 +533,80 @@ def test_anf_round_plan_moves_only_the_aggregate(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (A-ES order sampling)
+# ---------------------------------------------------------------------------
+
+
+def _ws_docs(spark, n=400):
+    import pandas as pd
+
+    # two planted weight classes: heavy docs weigh 50x the light ones
+    # i % 8 < 2 hits both parities, so each stratum gets 25% heavy docs
+    rows = [
+        (i, "s%d" % (i % 2), 5000 if i % 8 < 2 else 100) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    )
+
+
+def test_weighted_sample_deterministic_and_ranked(spark):
+    from online_centrality_spark.text import weighted_sample
+
+    docs = _ws_docs(spark)
+    a = weighted_sample(docs, "n_chars", k=15, stratum_col="source")
+    b = weighted_sample(docs, "n_chars", k=15, stratum_col="source")
+    ra = sorted((r["source"], r["sample_rank"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["source"], r["sample_rank"], r["doc_id"]) for r in b.collect())
+    assert ra == rb  # same sample on every run
+    per = {}
+    for s, rk, _ in ra:
+        per.setdefault(s, []).append(rk)
+    assert set(per) == {"s0", "s1"}
+    assert all(sorted(v) == list(range(1, 16)) for v in per.values())
+    # different seed -> different sample
+    c = weighted_sample(docs, "n_chars", k=15, stratum_col="source", seed=7)
+    rc = sorted((r["source"], r["sample_rank"], r["doc_id"]) for r in c.collect())
+    assert rc != ra
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from online_centrality_spark.text import weighted_sample
+
+    docs = _ws_docs(spark)  # 25% heavy docs carrying ~94% of total weight
+    got = weighted_sample(docs, "n_chars", k=30, stratum_col="source").collect()
+    heavy = sum(1 for r in got if r["n_chars"] == 5000)
+    # E[heavy] ~ 0.94 * 60; a uniform sampler would give ~15
+    assert heavy >= 40, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pandas as pd
+
+    from online_centrality_spark.text import weighted_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a", 10), (1, "a", 0), (2, "a", -5), (3, "a", 10)],
+            columns=["doc_id", "source", "w"],
+        )
+    )
+    got = weighted_sample(docs, "w", k=10, stratum_col="source").collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 3]
+
+
+def test_weighted_sample_global_mode_is_takeordered(spark):
+    from online_centrality_spark.text import weighted_sample
+
+    docs = _ws_docs(spark)
+    out = weighted_sample(docs, "n_chars", k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sorted(r["sample_rank"] for r in rows) == list(range(1, 11))
+    # scale pin: global selection must be per-partition top-k heaps,
+    # never a full sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
