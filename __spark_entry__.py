@@ -2558,6 +2558,19 @@ def q_embedding_dedup_lsh(spark, sf_dir):
     )
 
 
+def q_cluster_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per kmeans cluster
+    (round 5): the O(n·k) cluster-quality diagnostic for the
+    kmeans/SemDeDup stages — a = own-centroid distance, b = nearest
+    other centroid, s = (b-a)/max(a,b); per-cluster mean via the
+    scaled-int64 sum rule. One scan-stage projection against the
+    centroid literal + one map-side groupBy."""
+    from online_centrality_spark.similarity import cluster_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_silhouette(emb, k=10, iters=4)
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means (MLlib-shaped): zero-shuffle literal-
     centroid assignment projection + one map-side-combinable
@@ -3919,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
+        "cluster_silhouette": q_cluster_silhouette,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -5019,6 +5033,9 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
     from online_centrality_spark.similarity import kmeans_sql
 
     sqls["kmeans"] = kmeans_sql(k=10, iters=4, dim=64)
+    from online_centrality_spark.similarity import silhouette_sql
+
+    sqls["cluster_silhouette"] = silhouette_sql(k=10, iters=4, dim=64)
     sqls["weighted_kendall"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
 le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),

@@ -288,6 +288,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     # and A-ES quality-weighted sampling (scan-stage key + top-k window)
     add("ngram_containment", ngram_cont)
     add("weighted_sample")
+    add("cluster_silhouette")
     add("cramers_v")
     add("edge_overlap")
     add("community_conductance")

@@ -110,16 +110,23 @@ def kmeans(
     pts = items.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
+    centroids = _lloyd_centroids(pts, k, iters, id_col, arrow, round_decimals)
+    result = _assign(pts, centroids, id_col, arrow).select(
+        id_col, "cluster", F.round("sq_dist", 6).alias("sq_dist")
+    )
+    pts.unpersist()
+    return result
+
+
+def _lloyd_centroids(
+    pts: DataFrame, k, iters, id_col, arrow, round_decimals
+) -> list[list[float]]:
+    """Final centroids after ``iters - 1`` mean updates (seeds = the
+    ``k`` lowest-id vectors). Only the k×dim matrix reaches the driver."""
     seeds = pts.orderBy(id_col).limit(k).collect()
     centroids = [list(r["v"]) for r in seeds]
-    dim = len(centroids[0])
-    for it in range(iters):
+    for _ in range(iters - 1):
         assigned = _assign(pts, centroids, id_col, arrow)
-        if it == iters - 1:
-            result = assigned.select(
-                id_col, "cluster", F.round("sq_dist", 6).alias("sq_dist")
-            )
-            break
         means = (
             assigned.join(pts, id_col)
             .select("cluster", F.posexplode("v").alias("pos", "x"))
@@ -131,8 +138,73 @@ def kmeans(
         for r in means:
             new_c[r["cluster"]][r["pos"]] = round(r["m"], round_decimals)
         centroids = new_c
+    return centroids
+
+
+def cluster_silhouette(
+    items: DataFrame,
+    k: int = 10,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over the Lloyd assignment —
+    the cluster-quality diagnostic for the kmeans/SemDeDup stages.
+    s(i) = (b - a) / max(a, b) with a = distance to the OWN final
+    centroid and b = the nearest OTHER centroid (Hruschka et al.'s
+    centroid-based variant: the O(n·k) form used at corpus scale,
+    where the classic O(n²) pairwise silhouette is off the table).
+
+    Returns ``(cluster, n, silhouette)``; silhouette near 1 = compact
+    and isolated, near 0 = boundary-dwelling, negative = likely
+    mis-assigned. Per-point terms are fixed double chains over the
+    bitwise-reproducible distance folds; the per-cluster MEAN follows
+    the scaled-int64 sum rule (round(s·1e12) summed exactly), so the
+    answer is partitioning- and engine-independent.
+
+    Scale shape: one scan-stage projection against the k×dim centroid
+    literal (zero shuffle) + one map-side-combinable groupBy on the
+    cluster id. Requires k >= 2 (b is undefined for a single cluster).
+    """
+    if k < 2:
+        raise ValueError("cluster_silhouette requires k >= 2")
+    pts = items.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist()
+    centroids = _lloyd_centroids(pts, k, iters, id_col, False, round_decimals)
+    d_col, best = _assign_cols(centroids)
+    per = (
+        pts.select(id_col, d_col)
+        .withColumn("_b", best)
+        .select(
+            id_col,
+            F.col("_b.c").alias("cluster"),
+            F.sqrt(F.col("_b.d")).alias("a"),
+            F.sqrt(
+                F.expr(
+                    "array_min(zip_with(_d, sequence(0, size(_d) - 1), "
+                    "(x, i) -> IF(i = _b.c, CAST('Infinity' AS DOUBLE), x)))"
+                )
+            ).alias("b"),
+        )
+        .withColumn(
+            "s",
+            F.when(F.greatest("a", "b") == 0.0, F.lit(0.0)).otherwise(
+                (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            ),
+        )
+    )
+    out = (
+        per.select("cluster", F.round(F.col("s") * 1e12).cast("long").alias("t"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round((F.sum("t") / F.count("*")) / 1e12, 6).alias("silhouette"),
+        )
+    )
     pts.unpersist()
-    return result
+    return out
 
 
 def _kmeans_ctes(
@@ -190,3 +262,45 @@ def kmeans_sql(
         f"SELECT vec_id, CAST(cl AS INT) AS cluster, round(d, 6) AS sq_dist "
         f"FROM a{iters}"
     )
+
+
+def silhouette_sql(
+    k: int = 10, iters: int = 4, dim: int = 64, round_decimals: int = 9
+) -> str:
+    """Exact DuckDB twin of :func:`cluster_silhouette`: the shared
+    unrolled-Lloyd CTE chain, then a = the rn-1 distance and b = the
+    rn-2 distance per vec (ordered by (d, cl) — rn 2 is by construction
+    the nearest OTHER cluster), the same per-row s-chain, and the same
+    scaled-int64 mean."""
+    ctes = _kmeans_ctes(k, iters, dim, round_decimals)
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"j -> (p.v[j] - c.v[j]) * (p.v[j] - c.v[j])), (a, b) -> a + b)"
+    )
+    body = ",\n".join(ctes[: 2 + 2 * (iters - 1)])  # pts, c0 .. c{iters-1}
+    return f"""WITH {body},
+alld AS (
+  SELECT p.vec_id, c.cl, {dist} AS d
+  FROM pts p CROSS JOIN c{iters - 1} c
+),
+rk AS (
+  SELECT vec_id, cl, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+  FROM alld
+),
+ab AS (
+  SELECT r1.vec_id, r1.cl, sqrt(r1.d) AS a, sqrt(r2.d) AS b
+  FROM (SELECT * FROM rk WHERE rn = 1) r1
+  JOIN (SELECT * FROM rk WHERE rn = 2) r2 USING (vec_id)
+),
+s AS (
+  SELECT cl,
+         CAST(round(
+           (CASE WHEN greatest(a, b) = 0 THEN 0.0
+                 ELSE (b - a) / greatest(a, b) END) * 1e12
+         ) AS BIGINT) AS t
+  FROM ab
+)
+SELECT CAST(cl AS INT) AS cluster, count(*) AS n,
+       round((sum(t) / count(*)) / 1e12, 6) AS silhouette
+FROM s GROUP BY cl"""

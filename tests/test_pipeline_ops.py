@@ -868,3 +868,59 @@ def test_cms_heavy_hitters(spark, docs_df):
     tiny = cms_heavy_hitters(docs_df, width=4, depth=2, k=10).toPandas()
     assert (tiny["n_est"] >= tiny["n_true"]).all()
     assert (tiny["n_est"] > tiny["n_true"]).any()
+
+
+def test_cluster_silhouette_planted_and_numpy_parity(spark):
+    """Well-separated planted clusters score near 1; every per-cluster
+    mean matches a from-scratch numpy simplified-silhouette rebuild."""
+    from online_centrality_spark.similarity import cluster_silhouette, kmeans
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        r["cluster"]: (r["n"], r["silhouette"])
+        for r in cluster_silhouette(df, k=3, iters=5).collect()
+    }
+    assert sum(n for n, _ in got.values()) == 30
+    assert all(s > 0.9 for _, s in got.values()), got
+
+    # numpy rebuild against the SAME final centroids (recovered from the
+    # engine's own assignment: cluster means of the planted points after
+    # convergence equal the engine's rounded means to float tolerance)
+    asg = kmeans(df, k=3, iters=5).toPandas().sort_values("vec_id")
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    cl = asg.cluster.to_numpy()
+    cents = np.stack([X[cl == c].mean(axis=0) for c in sorted(set(cl))])
+    d = np.sqrt(((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    a = d[np.arange(len(X)), cl]
+    dd = d.copy()
+    dd[np.arange(len(X)), cl] = np.inf
+    b = dd.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for c in sorted(set(cl)):
+        want = s[cl == c].mean()
+        assert got[c][1] == pytest.approx(want, abs=1e-5)
+
+
+def test_cluster_silhouette_requires_k2(spark):
+    from online_centrality_spark.similarity import cluster_silhouette
+
+    with pytest.raises(ValueError):
+        cluster_silhouette(spark.range(1), k=1)
+
+
+def test_cluster_silhouette_plan_is_scan_plus_one_agg(spark):
+    """Scale pin: the silhouette frame is a scan-stage projection plus
+    ONE hash-aggregate exchange — no join, no Python."""
+    from online_centrality_spark.similarity import cluster_silhouette
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cluster_silhouette(df, k=3, iters=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
