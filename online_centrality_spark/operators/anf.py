@@ -39,7 +39,7 @@ reachability; this extends the same graph inputs the exact trio reads
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Magic constant of the Flajolet-Martin estimator: E[2^R] ~= phi * n.
@@ -212,10 +212,8 @@ def anf_reach(
     hd = spark.createDataFrame(
         per_h, "h long, nodes long, pairs_scaled long"
     )
-    w_all = Window.orderBy("h").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = hd.select(
+    top = hd.agg(F.max("pairs_scaled").alias("top"))
+    c = hd.crossJoin(F.broadcast(top)).select(
         "h",
         "nodes",
         F.round(F.col("pairs_scaled").cast("double") / 1e6, 4).alias(
@@ -224,7 +222,7 @@ def anf_reach(
         # exact-integer ratio: both engines agree bit-for-bit pre-round
         (
             F.col("pairs_scaled").cast("double")
-            / F.max("pairs_scaled").over(w_all).cast("double")
+            / F.col("top").cast("double")
         ).alias("raw_frac"),
     )
     eff = c.filter(F.col("raw_frac") >= F.lit(eff_quantile)).agg(
