@@ -2352,6 +2352,22 @@ def q_scc_condensation(spark, sf_dir):
     )
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie macro-structure of the user-interaction digraph
+    (round 5): every node classified as CORE / IN / OUT / TUBE /
+    TENDRIL_IN / TENDRIL_OUT / OTHER / DISCONNECTED relative to the
+    giant SCC. Engine: one FW-BW SCC run plus six frontier-BFS
+    reachability sweeps (shrinking frontier anti-joined against the
+    marked set each round), then one pass of node-keyed flag joins;
+    the oracle rebuilds the identical partition from the recursive-CTE
+    transitive closure with the same class-precedence CASE."""
+    from online_centrality_spark.operators import bowtie_decomposition
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return bowtie_decomposition(dg)
+
+
 def q_reciprocity(spark, sf_dir):
     """Edge reciprocity of the user-interaction digraph (1 row): the
     fraction of directed edges whose reverse edge also exists. Shared
@@ -3933,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "cluster_silhouette": q_cluster_silhouette,
+        "bowtie": q_bowtie,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4601,6 +4618,79 @@ FROM dedges e
 JOIN scc ls ON e.src = ls.node_id
 JOIN scc ld ON e.dst = ld.node_id
 WHERE ls.component <> ld.component
+"""
+    sqls["bowtie"] = f"""
+WITH RECURSIVE {digraph_cte},
+-- explicit DISTINCT: under WITH RECURSIVE DuckDB does not dedup the
+-- plain UNION of a non-recursive CTE (the scc oracle hides the same
+-- duplication behind its GROUP BY)
+dnodes AS (
+  SELECT DISTINCT node_id FROM (
+    SELECT src AS node_id FROM dedges UNION ALL SELECT dst FROM dedges)
+),
+reach(s, d) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN dedges e ON r.d = e.src
+),
+mutual AS (
+  SELECT a.s AS v, a.d AS u FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+),
+scc AS MATERIALIZED (
+  SELECT n.node_id, least(n.node_id, coalesce(min(m.u), n.node_id)) AS component
+  FROM dnodes n LEFT JOIN mutual m ON n.node_id = m.v
+  GROUP BY n.node_id
+),
+giant AS (
+  SELECT component FROM scc GROUP BY component
+  ORDER BY count(*) DESC, component ASC LIMIT 1
+),
+core AS MATERIALIZED (
+  SELECT node_id FROM scc WHERE component = (SELECT component FROM giant)
+),
+fwd AS (  -- reaches the core (core included)
+  SELECT node_id FROM core
+  UNION
+  SELECT r.s FROM reach r JOIN core c ON r.d = c.node_id
+),
+bwd AS (  -- reachable from the core (core included)
+  SELECT node_id FROM core
+  UNION
+  SELECT r.d FROM reach r JOIN core c ON r.s = c.node_id
+),
+innodes AS MATERIALIZED (
+  SELECT node_id FROM fwd WHERE node_id NOT IN (SELECT node_id FROM core)
+),
+outnodes AS MATERIALIZED (
+  SELECT node_id FROM bwd WHERE node_id NOT IN (SELECT node_id FROM core)
+),
+from_in AS (
+  SELECT node_id FROM innodes
+  UNION
+  SELECT r.d FROM reach r JOIN innodes i ON r.s = i.node_id
+),
+to_out AS (
+  SELECT node_id FROM outnodes
+  UNION
+  SELECT r.s FROM reach r JOIN outnodes o ON r.d = o.node_id
+),
+sym AS (SELECT src AS a, dst AS b FROM dedges UNION SELECT dst, src FROM dedges),
+ureach(v) AS (  -- undirected reachability from the core
+  SELECT node_id FROM core
+  UNION
+  SELECT s.b FROM ureach u JOIN sym s ON s.a = u.v
+)
+SELECT n.node_id,
+  CASE WHEN n.node_id IN (SELECT node_id FROM core) THEN 'CORE'
+       WHEN n.node_id IN (SELECT node_id FROM innodes) THEN 'IN'
+       WHEN n.node_id IN (SELECT node_id FROM outnodes) THEN 'OUT'
+       WHEN n.node_id IN (SELECT node_id FROM from_in)
+        AND n.node_id IN (SELECT node_id FROM to_out) THEN 'TUBE'
+       WHEN n.node_id IN (SELECT node_id FROM from_in) THEN 'TENDRIL_IN'
+       WHEN n.node_id IN (SELECT node_id FROM to_out) THEN 'TENDRIL_OUT'
+       WHEN n.node_id IN (SELECT v FROM ureach) THEN 'OTHER'
+       ELSE 'DISCONNECTED' END AS bowtie_class
+FROM dnodes n
 """
     sqls["reciprocity"] = f"""
 WITH {digraph_cte}

@@ -24,6 +24,7 @@ from .persistence import edge_persistence
 from .robustness import attack_robustness, random_failure
 from .bipartite import butterfly_count
 from .anf import anf_reach, fm_node_sketches
+from .bowtie import bowtie_decomposition
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
