@@ -121,6 +121,35 @@ PORTABLE_HASH = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 def _pagerank_sql() -> str:
     """Unrolled fixed-iteration networkx-parity PageRank on the
     supplier -> customer bipartite graph (customer keys offset 100000)."""
+    return (
+        "WITH "
+        + ",\n".join(_pagerank_ctes())
+        + f"\nSELECT node AS node_id, round(rank, 9) AS score FROM r{PR_ITERS}"
+    )
+
+
+def _pagerank_profile_sql() -> str:
+    """Per-iteration convergence profile of the same unrolled PageRank:
+    for every iteration the L1 and max absolute per-node rank deltas
+    against the previous iterate — the oracle twin of the engine's
+    superstep convergence telemetry (one row per iteration)."""
+    steps = [
+        f"""SELECT {i} AS iter,
+       round(sum(abs(a.rank - b.rank)), 9) AS l1_delta,
+       round(max(abs(a.rank - b.rank)), 9) AS max_delta
+FROM r{i} a JOIN r{i - 1} b ON a.node = b.node"""
+        for i in range(1, PR_ITERS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(_pagerank_ctes())
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(steps)
+        + "\n) ORDER BY iter"
+    )
+
+
+def _pagerank_ctes() -> list:
     ctes = [
         """e AS MATERIALIZED (
   SELECT DISTINCT l_suppkey AS src, 100000 + o_custkey AS dst
@@ -149,11 +178,7 @@ def _pagerank_sql() -> str:
   ) push ON b.node = push.node
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT node AS node_id, round(rank, 9) AS score FROM r{PR_ITERS}"
-    )
+    return ctes
 
 
 def _weighted_pagerank_sql() -> str:
@@ -1760,6 +1785,30 @@ def q_static_pagerank(spark, sf_dir):
     )
     pr = static_pagerank(e, alpha=0.85, max_iter=PR_ITERS, tol=0.0, strict=False)
     return pr.select("node_id", F.round("score", 9).alias("score"))
+
+
+def q_pagerank_convergence(spark, sf_dir):
+    """Per-iteration convergence profile (L1 + max per-node delta) of
+    the distributed PageRank loop on the supplier->customer bipartite
+    graph (round 5): the north-star convergence-metrics surface as a
+    gated query — one row per superstep, telemetry folded into the
+    iteration's single scalar read (zero extra jobs). Oracle: the
+    static-pagerank unrolled CTE chain with per-iteration delta
+    aggregates between consecutive iterates."""
+    from online_centrality_spark.operators import pagerank_convergence
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("o_custkey")).alias("dst"),
+    )
+    prof = pagerank_convergence(e, alpha=0.85, iters=PR_ITERS)
+    return prof.select(
+        "iter",
+        F.round("l1_delta", 9).alias("l1_delta"),
+        F.round("max_delta", 9).alias("max_delta"),
+    )
 
 
 def q_harmonic_centrality(spark, sf_dir):
@@ -3950,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cluster_silhouette": q_cluster_silhouette,
         "bowtie": q_bowtie,
+        "pagerank_convergence": q_pagerank_convergence,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4108,6 +4158,7 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
     sqls["harmonic_centrality"] = _harmonic_sql()
     sqls["weighted_harmonic"] = _harmonic_sql(weighted=True)
     sqls["static_pagerank"] = _pagerank_sql()
+    sqls["pagerank_convergence"] = _pagerank_profile_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
     sqls["triangle_counts"] = _triangles_sql()

@@ -6,7 +6,11 @@ from .components import (
 )
 from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree
 from .static_degree import static_indegree, static_negative_beta
-from .static_pagerank import personalized_pagerank, static_pagerank
+from .static_pagerank import (
+    pagerank_convergence,
+    personalized_pagerank,
+    static_pagerank,
+)
 from .harmonic import harmonic_centrality
 from .hits import hits
 from .betweenness import betweenness_from_pivots

@@ -556,3 +556,103 @@ def _weighted_pagerank_distributed(
             f"weighted pagerank failed to converge in {max_iter} iterations"
         )
     return ranks.select("node_id", F.col("rank").alias("score"))
+
+
+def pagerank_convergence(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    iters: int = 30,
+    salt: int = 1,
+) -> DataFrame:
+    """(iter, l1_delta, max_delta) — the per-iteration convergence
+    profile of the DISTRIBUTED PageRank loop: for every superstep the
+    L1 and max absolute per-node rank change against the previous
+    iterate. This is the north-star "per-iteration convergence
+    metrics" surface exposed as queryable data (the temporal family
+    writes the same telemetry to ``_metrics/`` parquet;
+    ``plans/superstep.py``): an operator planning a 10^12-edge run
+    reads the delta curve to pick its iteration budget instead of
+    guessing.
+
+    Fixed depth (no early exit) so the unrolled SQL oracle is
+    round-for-round identical. Each iteration is the audited
+    distributed-PageRank shape — one rank-push join + map-side-combined
+    groupBy, lineage cut per round — plus exactly ONE bounded scalar
+    read: the delta aggregate, into which the NEXT round's dangling
+    mass (sum of new ranks over outdeg-0 nodes) is folded, so
+    convergence telemetry costs zero extra jobs over the plain loop.
+    The initial dangling mass is the closed form ``n_dangling / n``
+    (uniform start), not a job.
+    """
+    spark = edges.sparkSession
+    dedup = (
+        edges.select("src", "dst").dropDuplicates(["src", "dst"]).persist()
+    )
+    nodes = (
+        dedup.select(F.col("src").alias("node_id"))
+        .unionAll(dedup.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    out_schema = "iter long, l1_delta double, max_delta double"
+    if n_nodes == 0:
+        return spark.createDataFrame([], out_schema)
+    outdeg = dedup.groupBy(F.col("src").alias("node_id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = (
+        nodes.join(outdeg, "node_id", "left")
+        .fillna(0, subset=["outdeg"])
+        .persist()
+    )
+    ranks = base.select(
+        "node_id", "outdeg", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+    danglesum = base.filter(F.col("outdeg") == 0).count() / n_nodes
+    from ..functions.skew import salted_join
+
+    rows = []
+    for i in range(1, iters + 1):
+        joined = salted_join(
+            dedup, ranks.select("node_id", "outdeg", "rank"),
+            key="src", salt=salt, dim_key="node_id",
+        ) if salt > 1 else dedup.join(
+            ranks, dedup["src"] == ranks["node_id"]
+        )
+        push = (
+            joined.groupBy(F.col("dst").alias("node_id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        uniform = (alpha * danglesum + (1.0 - alpha)) / n_nodes
+        new_ranks = (
+            base.join(push, "node_id", "left")
+            .select(
+                "node_id",
+                "outdeg",
+                (
+                    F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(uniform)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        d = F.abs(F.col("rank") - F.col("old"))
+        stats = (
+            new_ranks.join(
+                ranks.select("node_id", F.col("rank").alias("old")),
+                "node_id",
+            )
+            .agg(
+                F.sum(d).alias("l1"),
+                F.max(d).alias("mx"),
+                F.sum(
+                    F.when(F.col("outdeg") == 0, F.col("rank"))
+                ).alias("dangle"),
+            )
+            .collect()[0]
+        )
+        rows.append((i, float(stats["l1"]), float(stats["mx"])))
+        danglesum = float(stats["dangle"] or 0.0)
+        ranks = new_ranks
+    return spark.createDataFrame(rows, out_schema)
