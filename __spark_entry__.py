@@ -2784,6 +2784,17 @@ def q_token_percentiles(spark, sf_dir):
     return token_percentiles(_t(spark, sf_dir, "documents"))
 
 
+def q_token_sketch(spark, sf_dir):
+    """Log-bucket token-count quantile sketch per language + 'all'
+    (round 5): the mergeable 41-cell histogram twin of the exact
+    token_percentiles — integer bucket edges, broadcast range join,
+    windows only on the aggregated (lang, bucket) frame. est_tokens is
+    the selected bucket's lower edge (2^b - 1)."""
+    from online_centrality_spark.text.analysis import token_quantile_sketch
+
+    return token_quantile_sketch(_t(spark, sf_dir, "documents"))
+
+
 def q_daily_activity(spark, sf_dir):
     """Daily distinct active users + event volume + trailing 7-day
     rolling event sum over the events stream (ingestion health
@@ -3507,6 +3518,23 @@ def q_butterflies(spark, sf_dir):
     return butterfly_count(e)
 
 
+def q_bipartite_projection(spark, sf_dir):
+    """Weighted one-mode projection of the supplier -> customer
+    bipartite graph onto suppliers (round 5): supplier pairs weighted
+    by shared-customer count, min_shared=3 — the classic co-purchase
+    graph construction. Same pair-enumeration core (and hub wall) as
+    the butterfly count; `max_right_degree` cap available for
+    hub-skewed right sides (off here so the gate stays exact)."""
+    from online_centrality_spark.operators import bipartite_projection
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    e = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return bipartite_projection(e, min_shared=3)
+
+
 def q_attribute_assortativity(spark, sf_dir):
     """Categorical assortativity of the user-interaction graph by each
     user's dominant event type (count desc / type asc tiebreak)."""
@@ -4000,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "bowtie": q_bowtie,
         "pagerank_convergence": q_pagerank_convergence,
+        "bipartite_projection": q_bipartite_projection,
+        "token_sketch": q_token_sketch,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -5301,6 +5331,39 @@ strata AS (
         " FROM strata GROUP BY lang"
         for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
     )
+    sqls["token_sketch"] = """
+WITH tc AS (
+  SELECT lang, CAST(len(regexp_extract_all(lower(text),
+    '[a-z0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n
+  FROM documents
+),
+strata AS (SELECT lang, n FROM tc UNION ALL SELECT 'all' AS lang, n FROM tc),
+bke AS (
+  SELECT bucket,
+         (CAST(1 AS BIGINT) << bucket) - 1 AS lo,
+         (CAST(1 AS BIGINT) << (bucket + 1)) - 2 AS hi
+  FROM (SELECT unnest(range(0, 41)) AS bucket)
+),
+hist AS (
+  SELECT s.lang, b.bucket, count(*) AS c
+  FROM strata s JOIN bke b ON s.n >= b.lo AND s.n <= b.hi
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, bucket, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT c.lang, q.q,
+       CAST(min(c.bucket) AS BIGINT) AS bucket,
+       (CAST(1 AS BIGINT) << CAST(min(c.bucket) AS INT)) - 1 AS est_tokens,
+       CAST(max(c.total) AS BIGINT) AS n_docs
+FROM cum c CROSS JOIN qs q
+WHERE c.cum >= ceil(q.q * c.total)
+GROUP BY c.lang, q.q
+"""
     sqls["mis"] = _mis_sql(rounds=10)
     sqls["cms_heavy_hitters"] = """
 WITH toks AS (
@@ -6182,6 +6245,16 @@ SELECT CAST((SELECT count(*) FROM be) AS BIGINT) AS n_edges,
          AS n_wedges,
        CAST(coalesce((SELECT sum((c * (c - 1)) // 2) FROM pr), 0) AS BIGINT)
          AS n_butterflies
+"""
+    sqls["bipartite_projection"] = """
+WITH be AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS u, o_custkey AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT e1.u AS a, e2.u AS b, CAST(count(*) AS BIGINT) AS shared
+FROM be e1 JOIN be e2 ON e1.r = e2.r AND e1.u < e2.u
+GROUP BY 1, 2
+HAVING count(*) >= 3
 """
     sqls["attribute_assortativity"] = """
 WITH _seq AS (

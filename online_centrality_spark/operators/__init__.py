@@ -26,7 +26,7 @@ from .densest import densest_subgraph
 from .backbone import disparity_backbone, disparity_scores, strength_disparity
 from .persistence import edge_persistence
 from .robustness import attack_robustness, random_failure
-from .bipartite import butterfly_count
+from .bipartite import bipartite_projection, butterfly_count
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
 from .msf import minimum_spanning_forest
@@ -92,6 +92,11 @@ __all__ = [
     "attack_robustness",
     "random_failure",
     "butterfly_count",
+    "bipartite_projection",
+    "anf_reach",
+    "fm_node_sketches",
+    "bowtie_decomposition",
+    "pagerank_convergence",
     "attribute_assortativity",
     "minimum_spanning_forest",
     "random_walks",

@@ -64,3 +64,49 @@ def butterfly_count(
             F.coalesce(F.col("n_butterflies"), F.lit(0)).alias("n_butterflies"),
         )
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    min_shared: int = 1,
+    max_right_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, shared) — the weighted one-mode projection of the
+    bipartite graph onto its LEFT side: one row per unordered left
+    pair ``a < b`` that shares at least ``min_shared`` right
+    neighbors, weighted by the shared-neighbor count (the classic
+    co-purchase / co-occurrence graph construction).
+
+    Scale shape: identical to the butterfly pair enumeration — the
+    candidate fan-out is Σ C(deg(r), 2) over right nodes, one groupBy
+    of (a, b) pairs, map-side combinable, no windows, no driver state.
+    The quadratic driver is right-side hubs; ``max_right_degree`` caps
+    them (frequency-cap pattern of ``dedup/ngram.py``): with the cap
+    on, ``shared`` is an exact LOWER bound and hub-mediated pairs are
+    dropped — a documented approximation, off by default so the
+    driver-contract query stays exact. ``min_shared`` prunes the
+    (typically heavy-tailed) weight-1 pair mass AFTER the aggregate,
+    where it is a map-side filter on combined counts.
+    """
+    e = edges.select(
+        F.col(left_col).alias("u"), F.col(right_col).alias("r")
+    ).distinct()
+    if max_right_degree is not None:
+        deg = (
+            e.groupBy("r")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") <= max_right_degree)
+            .select("r")
+        )
+        e = e.join(deg, "r")
+    e = e.persist()
+    e2 = e.select(F.col("u").alias("u2"), "r")
+    return (
+        e.join(e2, "r")
+        .filter(F.col("u") < F.col("u2"))
+        .groupBy(F.col("u").alias("a"), F.col("u2").alias("b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -795,3 +795,79 @@ def cramers_v(
             .alias("v"),
         )
     )
+
+
+def token_quantile_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    max_bucket: int = 40,
+) -> DataFrame:
+    """(lang, q, bucket, est_tokens, n_docs) — log-bucket quantile
+    SKETCH over per-doc token counts, per language plus 'all': the
+    mergeable O(#buckets)-state twin of :func:`token_percentiles`.
+
+    Where the exact operator needs a full per-group sort (or a
+    t-digest), the sketch is a 41-cell power-of-two histogram —
+    bucket ``b`` holds counts in ``[2^b - 1, 2^(b+1) - 2]`` — built by
+    ONE broadcast range join against the literal bucket-edge table and
+    one map-side-combinable groupBy. Cells merge by addition across
+    partitions, days, and clusters, so at 100 TB the corpus-length
+    profile is a reduce over 41 longs per stratum. The estimate
+    ``est_tokens = 2^b - 1`` is the selected bucket's lower edge
+    (deterministic, conservative, relative error bounded by 2x);
+    selection rank is ``ceil(q * N)`` computed as the SAME IEEE double
+    product on every engine, so the sketch is bit-reproducible by the
+    plain-SQL oracle — integer bucket edges, no log() calls anywhere.
+
+    The windows run on the AGGREGATED (lang, bucket) frame — at most
+    41 rows per language — never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    tc = token_count(docs, text_col).select(
+        "lang", F.col("n_tokens").cast("long").alias("n")
+    )
+    both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
+    bk = spark.createDataFrame(
+        [(b, 2 ** b - 1, 2 ** (b + 1) - 2) for b in range(max_bucket + 1)],
+        "bucket long, lo long, hi long",
+    )
+    hist = (
+        both.join(
+            F.broadcast(bk),
+            (F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi")),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    qf = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("lang", "q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.max("total").alias("n_docs"),
+        )
+        .select(
+            "lang",
+            "q",
+            "bucket",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"
+            ).alias("est_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -1,0 +1,105 @@
+"""Round-5 extras: bipartite projection + log-bucket quantile sketch."""
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from online_centrality_spark.operators import bipartite_projection
+from online_centrality_spark.text.analysis import token_quantile_sketch
+
+
+def _bip(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _brute(pairs, min_shared=1, cap=None):
+    right = {}
+    for u, r in set(pairs):
+        right.setdefault(r, set()).add(u)
+    if cap is not None:
+        right = {r: us for r, us in right.items() if len(us) <= cap}
+    out = {}
+    for us in right.values():
+        for a, b in combinations(sorted(us), 2):
+            out[(a, b)] = out.get((a, b), 0) + 1
+    return {k: v for k, v in out.items() if v >= min_shared}
+
+
+FIX = [
+    (1, 10), (2, 10), (3, 10),          # 10 shared by 1,2,3
+    (1, 11), (2, 11),                   # 11 shared by 1,2
+    (1, 12), (3, 12),                   # 12 shared by 1,3
+    (4, 13),                            # 4 isolated on the left
+    (1, 10),                            # duplicate edge (must dedup)
+]
+
+
+def _got(spark, **kw):
+    return {
+        (r["a"], r["b"]): r["shared"]
+        for r in bipartite_projection(_bip(spark, FIX), **kw).collect()
+    }
+
+
+def test_projection_matches_bruteforce(spark):
+    assert _got(spark) == _brute(FIX)
+
+
+def test_projection_min_shared_filters(spark):
+    assert _got(spark, min_shared=2) == _brute(FIX, min_shared=2)
+    assert _got(spark, min_shared=2) == {(1, 2): 2, (1, 3): 2}
+
+
+def test_projection_right_degree_cap_is_exact_lower_bound(spark):
+    """Capping right hubs drops hub-mediated pairs: with cap=2 the
+    3-degree customer 10 vanishes and every weight is the brute-force
+    count on the capped graph (never larger than uncapped)."""
+    capped = _got(spark, max_right_degree=2)
+    assert capped == _brute(FIX, cap=2)
+    full = _got(spark)
+    assert all(capped[k] <= full[k] for k in capped)
+
+
+def test_token_sketch_selects_correct_buckets(spark):
+    """Token counts 1,2,3,7,100 ('en'): buckets [1,2],[1,2],[3..6],
+    [7..14],[63..126] -> b=1,1,2,3,6. Median (rank ceil(0.5*5)=3) lands
+    in bucket 2 (est 3); q=0.9 -> rank 5 -> bucket 6 (est 63)."""
+    docs = spark.createDataFrame(
+        [
+            ("d1", "en", "a"),
+            ("d2", "en", "a b"),
+            ("d3", "en", "a b c"),
+            ("d4", "en", "a b c d e f g"),
+            ("d5", "en", " ".join(f"w{i}" for i in range(100))),
+        ],
+        "doc_id string, lang string, text string",
+    )
+    out = {
+        (r["lang"], r["q"]): (r["bucket"], r["est_tokens"], r["n_docs"])
+        for r in token_quantile_sketch(docs, quantiles=(0.5, 0.9)).collect()
+    }
+    assert out[("en", 0.5)] == (2, 3, 5)
+    assert out[("en", 0.9)] == (6, 63, 5)
+    assert out[("all", 0.5)] == (2, 3, 5)
+
+
+def test_token_sketch_two_x_error_bound(spark):
+    """The bucket lower edge underestimates the true quantile by at
+    most 2x + 1 (bucket width) — the bound callers size context
+    windows with."""
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (f"d{i}", "en", " ".join("w" for _ in range(rng.randrange(1, 500))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    counts = sorted(len(t.split()) for _, _, t in rows)
+    for r in token_quantile_sketch(docs, quantiles=(0.5, 0.9)).collect():
+        if r["lang"] != "en":
+            continue
+        import math
+
+        exact = counts[math.ceil(r["q"] * len(counts)) - 1]
+        assert r["est_tokens"] <= exact <= 2 * (r["est_tokens"] + 1)
