@@ -295,6 +295,10 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("higher_motifs")
     add("session_flows")
     add("random_failure")
+    add("bowtie", n=1)
+    add("pagerank_convergence", n=1)
+    add("bipartite_projection")
+    add("token_sketch")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

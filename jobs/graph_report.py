@@ -13,6 +13,7 @@ with --py-files exactly like jobs/replay_job.py):
            -> 2-hop reach profile      (round 4)
            -> negative-edge samples    (round 4, graph-ML training prep)
            -> graph summary card       (round 4, density/entropy/α̂)
+           -> bow-tie macro-structure  (round 5, CORE/IN/OUT classes)
       -> timestamped pair stream (shared persist)
            -> component evolution      (round 4, per-day connectivity)
            -> edge persistence         (round 4, day-over-day Jaccard)
@@ -127,6 +128,10 @@ def run_report(spark, events, out: str, gap_seconds: float = 60.0,
         disparity_scores(pairs).orderBy("alpha_min", "a", "b").limit(20),
     )
     sink("graph_summary", graph_summary(dg))
+    # round-5: bow-tie macro-structure over the same cached digraph
+    from online_centrality_spark.operators import bowtie_decomposition
+
+    sink("bowtie", bowtie_decomposition(dg))
     sink("transition_entropy", transition_entropy(events))
     sink("cohort_retention", cohort_retention(events))
     return metrics

@@ -826,22 +826,7 @@ def token_quantile_sketch(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    tc = token_count(docs, text_col).select(
-        "lang", F.col("n_tokens").cast("long").alias("n")
-    )
-    both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
-    bk = spark.createDataFrame(
-        [(b, 2 ** b - 1, 2 ** (b + 1) - 2) for b in range(max_bucket + 1)],
-        "bucket long, lo long, hi long",
-    )
-    hist = (
-        both.join(
-            F.broadcast(bk),
-            (F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi")),
-        )
-        .groupBy("lang", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    hist = token_bucket_histogram(docs, text_col, max_bucket)
     w_cum = (
         Window.partitionBy("lang")
         .orderBy("bucket")
@@ -870,4 +855,32 @@ def token_quantile_sketch(
             ).alias("est_tokens"),
             F.col("n_docs").cast("long").alias("n_docs"),
         )
+    )
+
+
+def token_bucket_histogram(
+    docs: DataFrame, text_col: str = "text", max_bucket: int = 40
+) -> DataFrame:
+    """(lang, bucket, c) — the power-of-two token-count histogram the
+    quantile sketch selects from, exposed on its own because its cells
+    are ADDITIVE: the same call streams in complete mode (stream-static
+    broadcast range join + count agg; witnessed live in
+    ``tests/test_streaming.py``), and day-partitioned batch histograms
+    merge into the corpus histogram by summing ``c`` per cell."""
+    spark = docs.sparkSession
+    tc = token_count(docs, text_col).select(
+        "lang", F.col("n_tokens").cast("long").alias("n")
+    )
+    both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
+    bk = spark.createDataFrame(
+        [(b, 2 ** b - 1, 2 ** (b + 1) - 2) for b in range(max_bucket + 1)],
+        "bucket long, lo long, hi long",
+    )
+    return (
+        both.join(
+            F.broadcast(bk),
+            (F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi")),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("c"))
     )

@@ -11,7 +11,7 @@ def test_graph_report_all_stages(spark, tmp_path):
         "scc", "reciprocity", "temporal_motifs", "random_walks",
         "two_hop_reach", "negative_samples", "hits", "response_latency",
         "component_evolution", "edge_persistence", "disparity_backbone",
-        "graph_summary", "transition_entropy", "cohort_retention",
+        "graph_summary", "bowtie", "transition_entropy", "cohort_retention",
     }
     # edge_persistence is legitimately empty when no two consecutive
     # days both have edges (the sf0.001 case)
@@ -51,7 +51,7 @@ def test_graph_report_resume_skips_committed(spark, tmp_path):
         "scc", "reciprocity", "temporal_motifs", "random_walks",
         "two_hop_reach", "negative_samples",
         "component_evolution", "edge_persistence", "disparity_backbone",
-        "graph_summary", "transition_entropy", "cohort_retention",
+        "graph_summary", "bowtie", "transition_entropy", "cohort_retention",
     }
 
 

@@ -492,3 +492,42 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     batch = batch.sort_values(key).reset_index(drop=True)
     assert got[key + ["r"]].equals(batch[key + ["r"]])
+
+
+def test_streaming_token_histogram_matches_batch(spark, tmp_path):
+    """The token-sketch histogram cells are additive counts, so the
+    SAME call streams in complete mode: after two micro-batches the
+    streamed (lang, bucket) histogram equals the batch histogram over
+    the union — the mergeability the 100 TB sketch path relies on."""
+    from online_centrality_spark.text.analysis import token_bucket_histogram
+
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    schema = "doc_id string, lang string, text string"
+    b1 = pd.DataFrame(
+        [(f"a{i}", "en", "w " * (i % 37 + 1)) for i in range(150)],
+        columns=["doc_id", "lang", "text"],
+    )
+    b2 = pd.DataFrame(
+        [(f"b{i}", "de", "w " * (i % 211 + 1)) for i in range(150)],
+        columns=["doc_id", "lang", "text"],
+    )
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+
+    stream_in = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        token_bucket_histogram(stream_in)
+        .writeStream.format("memory")
+        .queryName("tok_hist_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("tok_hist_sink").toPandas()
+    batch = token_bucket_histogram(spark.read.parquet(str(src))).toPandas()
+    key = ["lang", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert got[key + ["c"]].equals(batch[key + ["c"]])
