@@ -1857,6 +1857,20 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_count_per_vertex(_cos_edges(spark, sf_dir))
 
 
+def q_triangle_estimate(spark, sf_dir):
+    """Wedge-sampling triangle/GCC estimate on the cosine graph
+    (round 5): the sub-quadratic scale twin of the exact
+    triangle_counts enumeration — ~num_samples wedges touched instead
+    of the Σ C(deg,2) oriented join, standard error 1/sqrt(samples)
+    independent of graph size. Hash-deterministic sampling (portable
+    md5 slot allocation + dst-sorted adjacency indices), so the SQL
+    oracle replays the identical sample and the 1-row estimate
+    hash-matches bit-for-bit."""
+    from online_centrality_spark.operators.triangles import triangle_estimate
+
+    return triangle_estimate(_cos_edges(spark, sf_dir), num_samples=10_000)
+
+
 def q_topk_decayed_indegree(spark, sf_dir):
     from online_centrality_spark.evaluation.ranking import top_k
 
@@ -4030,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_convergence": q_pagerank_convergence,
         "bipartite_projection": q_bipartite_projection,
         "token_sketch": q_token_sketch,
+        "triangle_estimate": q_triangle_estimate,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4192,6 +4207,54 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
     sqls["triangle_counts"] = _triangles_sql()
+    _ph = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
+    sqls["triangle_estimate"] = f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges),
+tsym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+tadj AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM tsym
+),
+tdeg AS (SELECT src, count(*) AS d FROM tadj GROUP BY src),
+tot AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS nw FROM tdeg),
+sl AS (
+  SELECT src, d,
+    ((10000 * ((d * (d - 1)) // 2))
+     + ({_ph.format(s="src || ':alloc:0'")} % (SELECT nw FROM tot)))
+      // (SELECT nw FROM tot) AS s
+  FROM tdeg WHERE d >= 2
+),
+slots AS (
+  SELECT src, d, unnest(range(0, CAST(s AS BIGINT))) AS i
+  FROM sl WHERE s > 0
+),
+picks AS (
+  SELECT src, i,
+    {_ph.format(s="src || ':' || i || ':a:0'")} % d AS j1,
+    {_ph.format(s="src || ':' || i || ':b:0'")} % (d - 1) AS r2
+  FROM slots
+),
+twedges AS (
+  SELECT a1.dst AS u, a2.dst AS w
+  FROM picks p
+  JOIN tadj a1 ON a1.src = p.src AND a1.idx = p.j1
+  JOIN tadj a2 ON a2.src = p.src
+   AND a2.idx = p.r2 + CASE WHEN p.r2 >= p.j1 THEN 1 ELSE 0 END
+),
+cl AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns,
+         CAST(coalesce(sum(CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS nc
+  FROM twedges wg LEFT JOIN und e
+    ON e.a = least(wg.u, wg.w) AND e.b = greatest(wg.u, wg.w)
+)
+SELECT (SELECT nw FROM tot) AS n_wedges, ns AS n_sampled, nc AS n_closed,
+       round(nc * 1.0 / ns, 6) AS gcc_est,
+       round(nc * 1.0 / ns * (SELECT nw FROM tot) / 3.0, 2) AS est_triangles
+FROM cl
+"""
     sqls["topk_decayed_indegree"] = f"""
 WITH {EDGES_CTE}, {GNODES_CTE},
 le AS (SELECT src, dst, max(t) AS last_t FROM edges GROUP BY src, dst),

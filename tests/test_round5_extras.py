@@ -103,3 +103,40 @@ def test_token_sketch_two_x_error_bound(spark):
 
         exact = counts[math.ceil(r["q"] * len(counts)) - 1]
         assert r["est_tokens"] <= exact <= 2 * (r["est_tokens"] + 1)
+
+
+def test_triangle_estimate_accuracy_and_determinism(spark):
+    """On a dense-ish random graph the wedge-sampling estimate lands
+    within ~3 standard errors of the exact count, and the
+    hash-deterministic sample makes reruns bit-identical."""
+    import random
+
+    from online_centrality_spark.operators.triangles import (
+        triangle_count,
+        triangle_estimate,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(260)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    exact = triangle_count(e)
+    row = triangle_estimate(e, num_samples=20_000).collect()[0]
+    assert row["n_sampled"] > 15_000
+    # gcc_est = 3T/W exactly when sampling is exhaustive-in-expectation;
+    # 3-sigma band of the binomial estimator
+    import math
+
+    p = 3.0 * exact / row["n_wedges"]
+    sigma = math.sqrt(p * (1 - p) / row["n_sampled"]) * row["n_wedges"] / 3.0
+    assert abs(row["est_triangles"] - exact) <= 3 * sigma + 1
+    again = triangle_estimate(e, num_samples=20_000).collect()[0]
+    assert row == again
+
+
+def test_triangle_estimate_empty_graph(spark):
+    from online_centrality_spark.operators.triangles import triangle_estimate
+
+    e = spark.createDataFrame([], "src long, dst long")
+    row = triangle_estimate(e).collect()[0]
+    assert (row["n_wedges"], row["n_sampled"], row["n_closed"]) == (0, 0, 0)
