@@ -1871,6 +1871,30 @@ def q_triangle_estimate(spark, sf_dir):
     return triangle_estimate(_cos_edges(spark, sf_dir), num_samples=10_000)
 
 
+def q_label_spreading(spark, sf_dir):
+    """Seeded label spreading on the cosine graph (round 5): clamped
+    seeds (every 7th vec_id, label 'c' + vec_id % 3) spread by
+    synchronous majority vote for 5 rounds — the weak-supervision
+    primitive. Oracle: the same rounds unrolled as MATERIALIZED CTEs
+    with the identical count-desc/label-asc tie-break."""
+    from online_centrality_spark.operators import seeded_label_spreading
+
+    e = _cos_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .filter(F.col("node_id") % 7 == 0)
+        .select(
+            "node_id",
+            F.concat(F.lit("c"), (F.col("node_id") % 3).cast("string")).alias(
+                "label"
+            ),
+        )
+    )
+    return seeded_label_spreading(e, seeds, max_iter=5)
+
+
 def q_topk_decayed_indegree(spark, sf_dir):
     from online_centrality_spark.evaluation.ranking import top_k
 
@@ -4045,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": q_bipartite_projection,
         "token_sketch": q_token_sketch,
         "triangle_estimate": q_triangle_estimate,
+        "label_spreading": q_label_spreading,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4206,6 +4231,41 @@ LEFT JOIN part2 p2 ON g.node_id = p2.node_id
     sqls["pagerank_convergence"] = _pagerank_profile_sql()
     sqls["connected_components"] = _cc_sql()
     sqls["label_propagation"] = _lpa_sql()
+    _sls_ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        """l0 AS MATERIALIZED (
+  SELECT n.node_id,
+         CASE WHEN n.node_id % 7 = 0
+              THEN 'c' || CAST(n.node_id % 3 AS VARCHAR) END AS label,
+         n.node_id % 7 = 0 AS is_seed
+  FROM cnodes n
+)""",
+    ]
+    for _k in range(1, 6):
+        _p = f"l{_k - 1}"
+        _sls_ctes.append(f"""b{_k} AS (
+  SELECT node_id, label AS best FROM (
+    SELECT b AS node_id, label,
+           row_number() OVER (PARTITION BY b
+                              ORDER BY count(*) DESC, label ASC) AS rn
+    FROM sym s JOIN {_p} l ON s.a = l.node_id
+    WHERE l.label IS NOT NULL
+    GROUP BY b, label) t
+  WHERE rn = 1
+)""")
+        _sls_ctes.append(f"""l{_k} AS MATERIALIZED (
+  SELECT l.node_id,
+         CASE WHEN l.is_seed THEN l.label
+              ELSE coalesce(b.best, l.label) END AS label,
+         l.is_seed
+  FROM {_p} l LEFT JOIN b{_k} b ON l.node_id = b.node_id
+)""")
+    sqls["label_spreading"] = (
+        "WITH "
+        + ",\n".join(_sls_ctes)
+        + "\nSELECT node_id, label FROM l5 WHERE label IS NOT NULL"
+    )
     sqls["triangle_counts"] = _triangles_sql()
     _ph = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
     sqls["triangle_estimate"] = f"""

@@ -2,6 +2,7 @@ from .components import (
     component_evolution,
     connected_components,
     label_propagation,
+    seeded_label_spreading,
     threshold_profile,
 )
 from .decayed_indegree import DecayedIndegree, DistributedDecayedIndegree

@@ -410,3 +410,90 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def seeded_label_spreading(
+    edges: DataFrame, seeds: DataFrame, max_iter: int = 5
+) -> DataFrame:
+    """(node_id, label) — semi-supervised label spreading with clamped
+    seeds: the weak-supervision primitive (spread a small
+    hand/heuristic-labeled set — spam/quality/topic — over the graph).
+
+    ``seeds`` is (node_id, label); seed labels never change. Each
+    synchronous round, every NON-seed node takes the majority label
+    among its currently-labeled neighbors (ties broken by the smallest
+    label; no labeled neighbor → keeps its current label, initially
+    unlabeled). Runs exactly ``max_iter`` rounds unless a round changes
+    nothing — majority vote is idempotent at the fixpoint, so an
+    early-exited engine state equals the oracle's fixed unroll, while a
+    2-cycle oscillation (sync LPA can oscillate) never converges and
+    both sides stop at the same round count. Nodes still unlabeled
+    after the last round are omitted.
+
+    Scale shape per round: one edge-keyed join + one
+    map-side-combinable (node, label) vote count + one per-node
+    top-1 window on the vote frame (bounded by the node's distinct
+    neighbor-label count, not its degree), lineage cut per round —
+    the same superstep discipline as :func:`label_propagation`, with
+    the label frame carrying an ``is_seed`` clamp bit.
+    """
+    sym = _sym(edges).persist()
+    state = (
+        _nodes(edges)
+        .join(
+            seeds.select("node_id", F.col("label").alias("_sl")),
+            "node_id",
+            "left",
+        )
+        .select(
+            "node_id",
+            F.col("_sl").alias("label"),
+            F.col("_sl").isNotNull().alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        votes = (
+            sym.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("node_id").alias("a"), "label"
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node_id"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("node_id").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node_id", F.col("label").alias("best"))
+        )
+        nxt = (
+            state.join(best, "node_id", "left")
+            .select(
+                "node_id",
+                F.when(F.col("is_seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("best"), F.col("label")))
+                .alias("label"),
+                "is_seed",
+                (
+                    ~F.col("is_seed")
+                    & F.col("best").isNotNull()
+                    & (
+                        F.col("label").isNull()
+                        | (F.col("best") != F.col("label"))
+                    )
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("changed")).count()
+        state = nxt.select("node_id", "label", "is_seed")
+        if changed == 0:
+            break
+    return state.filter(F.col("label").isNotNull()).select(
+        "node_id", "label"
+    )

@@ -140,3 +140,54 @@ def test_triangle_estimate_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long")
     row = triangle_estimate(e).collect()[0]
     assert (row["n_wedges"], row["n_sampled"], row["n_closed"]) == (0, 0, 0)
+
+
+def test_label_spreading_clamps_seeds_and_spreads(spark):
+    """Two seed islands on a path graph: labels flood outward round by
+    round, seeds never change, ties break to the smaller label, and
+    nodes out of reach within max_iter stay unlabeled."""
+    from online_centrality_spark.operators import seeded_label_spreading
+
+    # path 0-1-2-3-4-5-6, seeds at 0 ('a') and 6 ('b');
+    # isolated pair 10-11 (no seed -> never labeled)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame(
+        [(0, "a"), (6, "b")], "node_id long, label string"
+    )
+    got = {
+        r["node_id"]: r["label"]
+        for r in seeded_label_spreading(e, seeds, max_iter=2).collect()
+    }
+    # after 2 rounds the flood reaches distance 2; node 3 gets BOTH
+    # 'a' (via 2) and 'b' (via 4) in round... not yet: round 1 labels
+    # 1 and 5; round 2 labels 2 and 4 — 3 and the island stay out
+    assert got == {0: "a", 1: "a", 2: "a", 6: "b", 5: "b", 4: "b"}
+    full = {
+        r["node_id"]: r["label"]
+        for r in seeded_label_spreading(e, seeds, max_iter=6).collect()
+    }
+    # node 3 sees one 'a' (node 2) and one 'b' (node 4): tie -> 'a'
+    assert full[3] == "a"
+    assert full[0] == "a" and full[6] == "b"  # clamped
+    assert 10 not in full and 11 not in full
+
+
+def test_label_spreading_seed_majority_overrides_distance(spark):
+    """A node adjacent to two 'b' seeds and one 'a' seed takes 'b' —
+    majority, not proximity order."""
+    from online_centrality_spark.operators import seeded_label_spreading
+
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "node_id long, label string"
+    )
+    got = {
+        r["node_id"]: r["label"]
+        for r in seeded_label_spreading(e, seeds, max_iter=1).collect()
+    }
+    assert got[0] == "b"
