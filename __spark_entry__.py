@@ -1895,6 +1895,25 @@ def q_label_spreading(spark, sf_dir):
     return seeded_label_spreading(e, seeds, max_iter=5)
 
 
+def q_weighted_walks(spark, sf_dir):
+    """Weight-proportional random-walk corpus on the user-interaction
+    multigraph (round 5): transition probability ∝ interaction count,
+    via the A-ES one-winner key ln(u)/w shared with weighted_sample —
+    no cumulative-weight prefix sums, one frontier join + per-walker
+    top-1 window per step. Oracle: steps unrolled with the identical
+    key expression and tie-break."""
+    from online_centrality_spark.operators.walk_corpus import (
+        weighted_random_walks,
+    )
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(
+        _t(spark, sf_dir, "events"), gap_seconds=60.0
+    )
+    e = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    return weighted_random_walks(e, walk_length=6)
+
+
 def q_topk_decayed_indegree(spark, sf_dir):
     from online_centrality_spark.evaluation.ranking import top_k
 
@@ -4070,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_sketch": q_token_sketch,
         "triangle_estimate": q_triangle_estimate,
         "label_spreading": q_label_spreading,
+        "weighted_walks": q_weighted_walks,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -4799,6 +4819,39 @@ GROUP BY n.node_id
         + ",\n".join(walk_ctes)
         + "\nSELECT walk_id, step, node_id FROM ("
         + " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(9))
+        + ") u"
+    )
+    _ww_ctes = [
+        digraph_cte.strip(),
+        """wadj AS MATERIALIZED (
+  SELECT prev_user AS src, user_id AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM _seq
+  WHERE prev_user IS NOT NULL AND prev_user <> user_id
+    AND t - prev_t <= 60000000
+  GROUP BY 1, 2
+)""",
+        "wn AS (SELECT src AS node_id FROM wadj UNION SELECT dst FROM wadj)",
+        """x0 AS (SELECT node_id AS walk_id, CAST(0 AS BIGINT) AS step,
+  node_id FROM wn)""",
+    ]
+    for _s in range(1, 7):
+        _wh = PORTABLE_HASH.format(
+            s=f"c.walk_id || ':{_s}:' || a.dst || ':0'"
+        )
+        _ww_ctes.append(f"""x{_s} AS MATERIALIZED (
+  SELECT walk_id, CAST({_s} AS BIGINT) AS step, dst AS node_id FROM (
+    SELECT c.walk_id, a.dst,
+           row_number() OVER (PARTITION BY c.walk_id
+             ORDER BY ln((({_wh} % 1000000) + 1) / 1000001.0) / a.w DESC,
+                      a.dst ASC) AS rn
+    FROM x{_s - 1} c JOIN wadj a ON a.src = c.node_id) t
+  WHERE rn = 1
+)""")
+    sqls["weighted_walks"] = (
+        "WITH "
+        + ",\n".join(_ww_ctes)
+        + "\nSELECT walk_id, step, node_id FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM x{_s}" for _s in range(7))
         + ") u"
     )
     sqls["scc_condensation"] = f"""

@@ -23,7 +23,7 @@ degree-bounded; AQE's skew-join split handles hot hubs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..dedup.common import portable_hash
@@ -80,6 +80,85 @@ def random_walks(
             cur.join(outdeg, cur["node_id"] == outdeg["src"])
             .select("walk_id", F.col("node_id").alias("v"), pick.alias("pick"))
             .join(adj, (F.col("v") == adj["src"]) & (F.col("pick") == adj["idx"]))
+            .select(
+                "walk_id",
+                F.lit(s).cast("long").alias("step"),
+                F.col("dst").alias("node_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionAll(nxt)
+        cur = nxt
+    return out
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    weight_col: str = "w",
+    walk_length: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """(walk_id, step, node_id) — random-walk corpus with transition
+    probability PROPORTIONAL TO EDGE WEIGHT (the node2vec-style biased
+    input for embedding training on weighted interaction graphs); one
+    walk per graph node, ``walk_id`` = the start node.
+
+    Step rule — the Efraimidis–Spirakis one-winner trick (shared key
+    convention with ``text/packing.py: weighted_sample``): every
+    out-edge of the walker's node gets key ``ln(u) / w`` with ``u`` a
+    deterministic md5-uniform of ``walk_id:step:dst:seed``, and the
+    LARGEST key wins — P(dst) ∝ w exactly, with NO cumulative-weight
+    prefix sums and no per-node weight indexes. Each step is one
+    frontier⋈adjacency join plus a per-walker top-1 window (partition
+    size = the walker node's out-degree — the same bound as the LPA
+    vote window); ties break to the smaller dst. Deterministic across
+    engines, reruns, and partitionings; multi-edges fold into the
+    weight by summation, non-positive weights are excluded.
+    """
+    from ..text.packing import SAMPLE_MOD
+
+    adj = (
+        edges.select("src", "dst", F.col(weight_col).alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+        .persist()
+    )
+    nodes = (
+        adj.select(F.col("src").alias("node_id"))
+        .unionAll(adj.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("node_id").alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("node_id"),
+    ).localCheckpoint(eager=True)
+    out = cur
+    for s in range(1, walk_length + 1):
+        u = (
+            F.pmod(
+                portable_hash(
+                    F.concat_ws(
+                        ":", F.col("walk_id"), F.lit(s), F.col("dst"),
+                        F.lit(seed),
+                    )
+                ),
+                F.lit(SAMPLE_MOD),
+            )
+            + 1
+        ) / F.lit(float(SAMPLE_MOD + 1))
+        w = Window.partitionBy("walk_id").orderBy(
+            (F.log(u) / F.col("w")).desc(), F.col("dst").asc()
+        )
+        nxt = (
+            cur.join(adj, cur["node_id"] == adj["src"])
+            .select("walk_id", "dst", "w")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
             .select(
                 "walk_id",
                 F.lit(s).cast("long").alias("step"),

@@ -191,3 +191,48 @@ def test_label_spreading_seed_majority_overrides_distance(spark):
         for r in seeded_label_spreading(e, seeds, max_iter=1).collect()
     }
     assert got[0] == "b"
+
+
+def test_weighted_walks_bias_and_validity(spark):
+    """200 walkers each choose between a w=9 and a w=1 out-edge: ~90%
+    must take the heavy edge (A-ES one-winner correctness), every step
+    must follow an actual edge, and reruns are bit-identical."""
+    from online_centrality_spark.operators.walk_corpus import (
+        weighted_random_walks,
+    )
+
+    rows = [(i, 1000, 9.0) for i in range(200)] + [
+        (i, 1001, 1.0) for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = weighted_random_walks(e, walk_length=1).collect()
+    step1 = {r["walk_id"]: r["node_id"] for r in out if r["step"] == 1}
+    picks = [v for k, v in step1.items() if k < 1000]
+    heavy = sum(1 for v in picks if v == 1000)
+    assert len(picks) == 200
+    assert 0.80 <= heavy / 200 <= 0.97, heavy
+    again = weighted_random_walks(e, walk_length=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_walks_follow_edges_and_fold_multiedges(spark):
+    """Multi-edges fold into the weight by summation; every emitted
+    step follows an existing edge; dead ends stop the walk."""
+    from online_centrality_spark.operators.walk_corpus import (
+        weighted_random_walks,
+    )
+
+    rows = [(0, 1, 1.0), (0, 1, 1.0), (1, 2, 3.0), (5, 6, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = weighted_random_walks(e, walk_length=4).collect()
+    adj = {(0, 1), (1, 2), (5, 6)}
+    by_walk = {}
+    for r in sorted(out, key=lambda r: (r["walk_id"], r["step"])):
+        by_walk.setdefault(r["walk_id"], []).append(r["node_id"])
+    for path in by_walk.values():
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in adj
+    # node 0 has exactly one distinct out-neighbor -> must reach 2
+    assert by_walk[0][:3] == [0, 1, 2]
+    # 2 and 6 are dead ends: their walks stop at step 0
+    assert by_walk[2] == [2] and by_walk[6] == [6]
