@@ -3978,12 +3978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver evidence they still lack (VERDICT r04 next-round #2) —
     (1) the 24 round-4 queries that overflowed the r04 window and have
     ZERO driver rows (judge-re-verified 24/24, but the driver's own
-    record must cover them), (2) the 9 new round-5 queries
+    record must cover them), (2) the 9 early round-5 queries
     (closeness_sampled, mutual_knn_lsh, hll_distinct, chunk_documents,
     training_mix, hopdist_sampled, ecc_sampled, semantic_dedup,
-    anf_reach), (3) 17 r04-green-once rows to fill the 50. Every displaced query
+    anf_reach), (2b) the 10 round-5 batch-5 queries (ngram_containment
+    ... weighted_walks) — ALL 43 zero-evidence queries fit inside the
+    window — then (3) 7 r04-green-once fillers. Every displaced query
     below the line carries at least one prior driver-green row plus
-    this round's gate-replica sweep (BENCH/verify_entry_r05.txt), so
+    this round's gate-replica sweeps (BENCH/verify_entry_r05.txt), so
     after this round EVERY contract query is driver-proven at least
     once."""
     return {
@@ -4022,7 +4024,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_sampled": q_ecc_sampled,
         "semantic_dedup": q_semantic_dedup,
         "anf_reach": q_anf_reach,
+        # -- (2b) round-5 batch-5 queries, zero driver evidence ----------
+        "ngram_containment": q_ngram_containment,
+        "weighted_sample": q_weighted_sample,
+        "cluster_silhouette": q_cluster_silhouette,
+        "bowtie": q_bowtie,
+        "pagerank_convergence": q_pagerank_convergence,
+        "bipartite_projection": q_bipartite_projection,
+        "token_sketch": q_token_sketch,
+        "triangle_estimate": q_triangle_estimate,
+        "label_spreading": q_label_spreading,
+        "weighted_walks": q_weighted_walks,
         # -- (3) r04-green-once fillers to complete the 50 --------------
+        # (every zero-evidence query — all 43 — now sits in the window)
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "response_latency": q_response_latency,
@@ -4030,6 +4044,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "degree_distribution": q_degree_distribution,
         "core_number": q_core_number,
+        # ---- 50-entry driver window ends here ------------------------
+        # (everything below holds >= 1 prior driver-green row: the
+        # remaining r04 window rows, then the r02/r03 greens and the
+        # double-green anchors)
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
         "kmeans": q_kmeans,
@@ -4040,10 +4058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mis": q_mis,
         "temporal_reachability": q_temporal_reachability,
-        # ---- 50-entry driver window ends here ------------------------
-        # (everything below holds >= 1 prior driver-green row: the
-        # remaining r04 window rows, then the r02/r03 greens and the
-        # double-green anchors)
         "eigenvector": q_eigenvector,
         "closeness": q_closeness,
         "asof_value": q_asof_value,
@@ -4078,18 +4092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_assortativity": q_attribute_assortativity,
         "pack_sequences": q_pack_sequences,
         "ngram_jaccard": q_ngram_jaccard,
-        "ngram_containment": q_ngram_containment,
         "dedup_clusters": q_dedup_clusters,
         "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "cluster_silhouette": q_cluster_silhouette,
-        "bowtie": q_bowtie,
-        "pagerank_convergence": q_pagerank_convergence,
-        "bipartite_projection": q_bipartite_projection,
-        "token_sketch": q_token_sketch,
-        "triangle_estimate": q_triangle_estimate,
-        "label_spreading": q_label_spreading,
-        "weighted_walks": q_weighted_walks,
         "conversation_stats": q_conversation_stats,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
