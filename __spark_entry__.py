@@ -2852,6 +2852,17 @@ def q_token_sketch(spark, sf_dir):
     return token_quantile_sketch(_t(spark, sf_dir, "documents"))
 
 
+def q_latency_sketch(spark, sf_dir):
+    """Mergeable log-bucket tail-latency sketch per event type
+    (round 5): the scale twin of response_latency's exact percentiles
+    — <= 46 additive cells per stratum via the shared
+    log_bucket_quantiles engine, est = bucket lower edge in
+    microseconds, negative (out-of-order) gaps clamped to 0."""
+    from online_centrality_spark.streaming.sessions import latency_sketch
+
+    return latency_sketch(_t(spark, sf_dir, "events"))
+
+
 def q_daily_activity(spark, sf_dir):
     """Daily distinct active users + event volume + trailing 7-day
     rolling event sum over the events stream (ingestion health
@@ -4035,19 +4046,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate": q_triangle_estimate,
         "label_spreading": q_label_spreading,
         "weighted_walks": q_weighted_walks,
+        "latency_sketch": q_latency_sketch,
         # -- (3) r04-green-once fillers to complete the 50 --------------
-        # (every zero-evidence query — all 43 — now sits in the window)
+        # (every zero-evidence query — all 44 — now sits in the window)
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "response_latency": q_response_latency,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "degree_distribution": q_degree_distribution,
-        "core_number": q_core_number,
         # ---- 50-entry driver window ends here ------------------------
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
+        "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
         "kmeans": q_kmeans,
@@ -5543,6 +5555,41 @@ SELECT c.lang, q.q,
 FROM cum c CROSS JOIN qs q
 WHERE c.cum >= ceil(q.q * c.total)
 GROUP BY c.lang, q.q
+"""
+    sqls["latency_sketch"] = """
+WITH g AS (
+  SELECT event_type, greatest(t - prev_t, 0) AS v FROM (
+    SELECT event_type, epoch_us(ts) AS t,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS prev_t
+    FROM events) s
+  WHERE prev_t IS NOT NULL
+),
+bke AS (
+  SELECT bucket,
+         (CAST(1 AS BIGINT) << bucket) - 1 AS lo,
+         (CAST(1 AS BIGINT) << (bucket + 1)) - 2 AS hi
+  FROM (SELECT unnest(range(0, 46)) AS bucket)
+),
+hist AS (
+  SELECT g.event_type, b.bucket, count(*) AS c
+  FROM g JOIN bke b ON g.v >= b.lo AND g.v <= b.hi
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS total
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT c.event_type, q.q,
+       CAST(min(c.bucket) AS BIGINT) AS bucket,
+       (CAST(1 AS BIGINT) << CAST(min(c.bucket) AS INT)) - 1 AS est_us,
+       CAST(max(c.total) AS BIGINT) AS n_gaps
+FROM cum c CROSS JOIN qs q
+WHERE c.cum >= ceil(q.q * c.total)
+GROUP BY 1, 2
 """
     sqls["mis"] = _mis_sql(rounds=10)
     sqls["cms_heavy_hitters"] = """

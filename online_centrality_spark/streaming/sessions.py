@@ -489,3 +489,54 @@ def session_flows(
         )
         .agg(F.count("*").cast("long").alias("n_sessions"))
     )
+
+
+def latency_sketch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(event_type, q, bucket, est_us, n_gaps) — mergeable log-bucket
+    TAIL-LATENCY sketch per event type: the scale twin of
+    :func:`response_latency`'s exact per-group percentiles, over the
+    same per-user turn gaps.
+
+    Where the exact operator's ``percentile`` holds a per-group value
+    map, the sketch reduces each (event_type) stratum to <= 46
+    power-of-two cells that merge by addition across partitions, days,
+    and clusters — the shared ``text/sketches.py:
+    log_bucket_quantiles`` engine (integer bucket edges, ceil(q·N)
+    IEEE selection, bit-reproducible by the SQL oracle). ``est_us`` is
+    the selected bucket's lower edge (2^b - 1 microseconds; <= 2x
+    relative error). Out-of-order timestamps produce negative gaps;
+    they clamp to 0 (bucket 0) so counts agree with the exact
+    operator's ``n_gaps``.
+    """
+    from ..text.sketches import log_bucket_quantiles
+
+    w = Window.partitionBy(user_col).orderBy(order_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            t.alias("t"),
+            F.lag(t).over(w).alias("prev_t"),
+        )
+        .filter(F.col("prev_t").isNotNull())
+        .select(
+            "event_type",
+            F.greatest(F.col("t") - F.col("prev_t"), F.lit(0)).alias("gap_us"),
+        )
+    )
+    return log_bucket_quantiles(
+        gaps, "event_type", "gap_us", quantiles, max_bucket=45
+    ).select(
+        F.col("stratum").alias("event_type"),
+        "q",
+        "bucket",
+        F.col("est").alias("est_us"),
+        F.col("n").alias("n_gaps"),
+    )

@@ -823,38 +823,20 @@ def token_quantile_sketch(
     The windows run on the AGGREGATED (lang, bucket) frame — at most
     41 rows per language — never on the corpus.
     """
-    from pyspark.sql import Window
+    from .sketches import log_bucket_quantiles
 
-    spark = docs.sparkSession
-    hist = token_bucket_histogram(docs, text_col, max_bucket)
-    w_cum = (
-        Window.partitionBy("lang")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    tc = token_count(docs, text_col).select(
+        "lang", F.col("n_tokens").cast("long").alias("n")
     )
-    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "total", F.sum("c").over(Window.partitionBy("lang"))
-    )
-    qf = spark.createDataFrame(
-        [(float(q),) for q in quantiles], "q double"
-    )
-    return (
-        cum.crossJoin(F.broadcast(qf))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
-        .groupBy("lang", "q")
-        .agg(
-            F.min("bucket").alias("bucket"),
-            F.max("total").alias("n_docs"),
-        )
-        .select(
-            "lang",
-            "q",
-            "bucket",
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"
-            ).alias("est_tokens"),
-            F.col("n_docs").cast("long").alias("n_docs"),
-        )
+    both = tc.unionAll(tc.select(F.lit("all").alias("lang"), "n"))
+    return log_bucket_quantiles(
+        both, "lang", "n", quantiles, max_bucket
+    ).select(
+        F.col("stratum").alias("lang"),
+        "q",
+        "bucket",
+        F.col("est").alias("est_tokens"),
+        F.col("n").alias("n_docs"),
     )
 
 

@@ -205,3 +205,72 @@ def hll_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+def log_bucket_quantiles(
+    vals: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    max_bucket: int = 45,
+) -> DataFrame:
+    """(stratum, q, bucket, est, n) — generic mergeable log-bucket
+    quantile sketch over a non-negative integer column, per stratum:
+    the shared engine behind ``text/analysis.py: token_quantile_sketch``
+    (corpus length profiles) and ``streaming/sessions.py:
+    latency_sketch`` (tail-latency profiles).
+
+    Bucket ``b`` holds values in ``[2^b - 1, 2^(b+1) - 2]``; the
+    histogram is ONE broadcast range join against the literal edge
+    table plus one map-side-combinable groupBy, cells merge by
+    addition across partitions/days/clusters, and the estimate is the
+    selected bucket's lower edge ``2^b - 1`` (deterministic,
+    conservative, relative error <= 2x). Selection rank is
+    ``ceil(q * N)`` as the SAME IEEE double product on every engine —
+    integer bucket edges, no log() calls, bit-reproducible by a
+    plain-SQL oracle. Windows run only on the aggregated
+    (stratum, bucket) frame (<= ``max_bucket + 1`` rows per stratum).
+    """
+    from pyspark.sql import Window
+
+    spark = vals.sparkSession
+    v = vals.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(value_col).cast("long").alias("n"),
+    )
+    bk = spark.createDataFrame(
+        [(b, 2 ** b - 1, 2 ** (b + 1) - 2) for b in range(max_bucket + 1)],
+        "bucket long, lo long, hi long",
+    )
+    hist = (
+        v.join(
+            F.broadcast(bk),
+            (F.col("n") >= F.col("lo")) & (F.col("n") <= F.col("hi")),
+        )
+        .groupBy("stratum", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("stratum"))
+    )
+    qf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("stratum", "q")
+        .agg(F.min("bucket").alias("bucket"), F.max("total").alias("n"))
+        .select(
+            "stratum",
+            "q",
+            "bucket",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1"
+            ).alias("est"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
