@@ -299,6 +299,10 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("pagerank_convergence", n=1)
     add("bipartite_projection")
     add("token_sketch")
+    add("triangle_estimate")
+    add("label_spreading", n=1)
+    add("weighted_walks", n=1)
+    add("latency_sketch")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((
