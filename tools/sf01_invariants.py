@@ -18,9 +18,14 @@ independent operators:
   4. walks_follow_edges — every consecutive random-walk step is a real
                         digraph edge and step-0 node == walk_id
                         (corpus validity at sf0.1).
-  ... plus the round-4 robustness/evolution/densest/msf invariants and
-  the round-5 pair: closeness_sampled vs independent single-source BFS,
-  and mutual_knn_lsh == the exact blocked-path graph at the 0.4 floor.
+  ... plus the round-4 robustness/evolution/densest/msf invariants,
+  the round-5 pair (closeness_sampled vs independent single-source BFS,
+  mutual_knn_lsh == the exact blocked-path graph at the 0.4 floor), and
+  the round-5 batch-5 quartet: bowtie partitions the node universe with
+  CORE == the independent SCC operator's giant component,
+  triangle_estimate within 4 sigma of the exact count, label_spreading
+  clamps seeds / spreads / stays inside the seed label set, and every
+  weighted_walks step follows a real interaction edge.
 
 Usage:  python tools/sf01_invariants.py [sf_dir]
 Prints one JSON line; exit code 1 if any invariant fails.
@@ -391,6 +396,104 @@ def main():
         assert n_dropped > 0, "vacuous: no semantic dups at sf0.1"
 
     check("semantic_dedup_matches_numpy", semantic_dedup_matches_numpy)
+
+    def bowtie_partitions_and_core_is_giant_scc():
+        # classes partition the digraph node universe; CORE == the
+        # largest SCC produced by the independent SCC operator
+        from online_centrality_spark.operators import (
+            bowtie_decomposition,
+            strongly_connected_components,
+        )
+        from online_centrality_spark.sources.edges import (
+            user_interaction_digraph,
+        )
+
+        dg = user_interaction_digraph(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), gap_seconds=60.0
+        ).persist()
+        got = {
+            r.node_id: r.bowtie_class
+            for r in bowtie_decomposition(dg).collect()
+        }
+        labels = strongly_connected_components(dg).collect()
+        nodes = {r.node_id for r in labels}
+        assert set(got) == nodes
+        from collections import Counter
+
+        sizes = Counter(r.component for r in labels)
+        giant = min(
+            (c for c in sizes if sizes[c] == max(sizes.values()))
+        )
+        core = {r.node_id for r in labels if r.component == giant}
+        assert {v for v, c in got.items() if c == "CORE"} == core
+
+    check("bowtie_partitions_and_core_is_giant_scc",
+          bowtie_partitions_and_core_is_giant_scc)
+
+    def triangle_estimate_within_tolerance_of_exact():
+        from online_centrality_spark.operators.triangles import (
+            triangle_count,
+            triangle_estimate,
+        )
+
+        e = entry_mod._cos_edges(spark, sf_dir).persist()
+        exact = triangle_count(e)
+        row = triangle_estimate(e, num_samples=20_000).collect()[0]
+        import math
+
+        p = 3.0 * exact / row["n_wedges"]
+        sigma = (
+            math.sqrt(max(p * (1 - p), 1e-12) / row["n_sampled"])
+            * row["n_wedges"] / 3.0
+        )
+        assert abs(row["est_triangles"] - exact) <= 4 * sigma + 1, (
+            row["est_triangles"], exact, sigma,
+        )
+
+    check("triangle_estimate_within_tolerance_of_exact",
+          triangle_estimate_within_tolerance_of_exact)
+
+    def label_spreading_clamps_and_reaches():
+        got = {
+            r.node_id: r.label
+            for r in entry_mod.q_label_spreading(spark, sf_dir).collect()
+        }
+        seeds = {
+            v: f"c{v % 3}" for v in got if v % 7 == 0
+        }
+        assert seeds, "vacuous: no seeds at this sf"
+        for v, lab in seeds.items():
+            assert got[v] == lab, (v, got[v], lab)
+        assert set(got.values()) <= {"c0", "c1", "c2"}
+        assert len(got) > len(seeds), "labels never spread"
+
+    check("label_spreading_clamps_and_reaches",
+          label_spreading_clamps_and_reaches)
+
+    def weighted_walks_follow_edges():
+        from online_centrality_spark.sources.edges import (
+            user_interaction_pairs,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pairs = user_interaction_pairs(ev, gap_seconds=60.0)
+        adj = {
+            (r.src, r.dst)
+            for r in pairs.select("src", "dst").distinct().collect()
+        }
+        walks = {}
+        for r in sorted(
+            entry_mod.q_weighted_walks(spark, sf_dir).collect(),
+            key=lambda r: (r.walk_id, r.step),
+        ):
+            walks.setdefault(r.walk_id, []).append(r.node_id)
+        assert walks
+        for wid, path in walks.items():
+            assert path[0] == wid
+            for a, b in zip(path, path[1:]):
+                assert (a, b) in adj, (wid, a, b)
+
+    check("weighted_walks_follow_edges", weighted_walks_follow_edges)
 
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
