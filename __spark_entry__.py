@@ -3983,6 +3983,38 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+def q_daily_anomalies(spark, sf_dir):
+    """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
+    per type, with mean/std derived from exact integer sums so the z
+    doubles are bit-identical to the SQL oracle. The stream-health
+    alarm every ingestion pipeline runs."""
+    from online_centrality_spark.operators import daily_anomalies
+
+    return daily_anomalies(_t(spark, sf_dir, "events"), z_threshold=2.0)
+
+
+def q_activity_autocorr(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1..7
+    (round 5): Pearson r from exact integer sums over the per-day
+    frame; the variance terms cast to double before multiplying (int64
+    product would overflow; each term alone is < 2^53 so the cast is
+    exact). Periodicity detection on the stream profile."""
+    from online_centrality_spark.operators import activity_autocorr
+
+    return activity_autocorr(_t(spark, sf_dir, "events"), max_lag=7)
+
+
+def q_changepoint(spark, sf_dir):
+    """CUSUM changepoint of the daily event-count series (round 5):
+    argmax_d |Σ(x−x̄)| computed exactly in integers (C_d = N·T_d −
+    r_d·S), so the argmax and earliest-day tie-break involve no float
+    comparison; one output row with the exact integer cusum numerator
+    plus rounded pre/post means."""
+    from online_centrality_spark.operators import activity_changepoint
+
+    return activity_changepoint(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
@@ -4047,11 +4079,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": q_label_spreading,
         "weighted_walks": q_weighted_walks,
         "latency_sketch": q_latency_sketch,
+        # -- (2c) round-5 batch-6 additions (zero driver evidence) ------
+        "daily_anomalies": q_daily_anomalies,
+        "activity_autocorr": q_activity_autocorr,
+        "changepoint": q_changepoint,
         # -- (3) r04-green-once fillers to complete the 50 --------------
-        # (every zero-evidence query — all 44 — now sits in the window)
-        "modularity": q_modularity,
-        "random_walks": q_random_walks,
-        "response_latency": q_response_latency,
+        # (every zero-evidence query — all 47 — now sits in the window)
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "degree_distribution": q_degree_distribution,
@@ -4059,6 +4092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
+        "modularity": q_modularity,
+        "random_walks": q_random_walks,
+        "response_latency": q_response_latency,
         "core_number": q_core_number,
         "bfs_distances": q_bfs_distances,
         "personalized_pagerank": q_personalized_pagerank,
@@ -6746,5 +6782,74 @@ ch AS (SELECT doc_id, lang, source, least(64, n - k * 48) AS n_tok FROM ks)
 SELECT lang, source, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM ch GROUP BY 1, 2
+"""
+    sqls["daily_anomalies"] = """
+WITH pd AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+  FROM pd GROUP BY 1
+),
+z AS (
+  SELECT pd.event_type, pd.day, pd.n_events,
+         round((pd.n_events - st.s1 / st.n_days)
+               / sqrt((st.s2 - st.s1 * st.s1 / st.n_days)
+                      / (st.n_days - 1)), 6) AS z
+  FROM pd JOIN st USING (event_type)
+  WHERE st.n_days >= 2 AND st.s2 * st.n_days > st.s1 * st.s1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events, z
+FROM z WHERE abs(z) >= 2.0
+"""
+    sqls["activity_autocorr"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+pr AS (
+  SELECT l.lag, a.x AS x, b.x AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)
+),
+ag AS (
+  SELECT lag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pr GROUP BY 1
+)
+SELECT lag, n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM ag
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+    sqls["changepoint"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS n_days, CAST(sum(x) AS BIGINT) AS s FROM daily
+),
+pre AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS r,
+         CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+)
+SELECT strftime(p.day, '%Y-%m-%d') AS day, tot.n_days,
+       tot.n_days * p.t - p.r * tot.s AS cusum_num,
+       round(p.t / p.r, 6) AS mean_before,
+       round((tot.s - p.t) / (tot.n_days - p.r), 6) AS mean_after
+FROM pre p CROSS JOIN tot
+WHERE p.r < tot.n_days
+ORDER BY abs(tot.n_days * p.t - p.r * tot.s) DESC, p.day ASC
+LIMIT 1
 """
     return sqls

@@ -30,6 +30,7 @@ from .robustness import attack_robustness, random_failure
 from .bipartite import bipartite_projection, butterfly_count
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
+from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
@@ -94,7 +95,10 @@ __all__ = [
     "random_failure",
     "butterfly_count",
     "bipartite_projection",
+    "activity_autocorr",
+    "activity_changepoint",
     "anf_reach",
+    "daily_anomalies",
     "fm_node_sketches",
     "bowtie_decomposition",
     "pagerank_convergence",
