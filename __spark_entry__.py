@@ -2811,6 +2811,63 @@ def q_lineitem_pricing(spark, sf_dir):
     )
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 flavor (round 5): top-20 customers by revenue lost to
+    returned lineitems in 1997+. Star-join closer: lineitem |x| orders
+    shuffle on the orderkey, customer/nation broadcast at gate SF (and
+    dimension-sized at any SF); TakeOrderedAndProject top-k with a
+    custkey tie-break so the rounded-revenue cut is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 flavor (round 5): revenue per nation where the customer
+    and supplier share the nation (local fulfilment). The classic
+    multi-join rollup: one orderkey shuffle join, supplier/customer
+    dims broadcast, nation-cardinality output."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 tf-idf terms per document (term-weighting prep for keyword
     extraction / relevance features): tokenize + two map-side aggs +
@@ -4083,15 +4140,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomalies": q_daily_anomalies,
         "activity_autocorr": q_activity_autocorr,
         "changepoint": q_changepoint,
-        # -- (3) r04-green-once fillers to complete the 50 --------------
-        # (every zero-evidence query — all 47 — now sits in the window)
-        "betweenness": q_betweenness,
-        "k_truss": q_k_truss,
+        "returned_items": q_returned_items,
+        "local_supplier_volume": q_local_supplier_volume,
+        # -- (3) r04-green-once filler to complete the 50 ----------------
+        # (every zero-evidence query — all 49 — now sits in the window)
         "degree_distribution": q_degree_distribution,
         # ---- 50-entry driver window ends here ------------------------
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
+        "betweenness": q_betweenness,
+        "k_truss": q_k_truss,
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "response_latency": q_response_latency,
@@ -6782,6 +6841,30 @@ ch AS (SELECT doc_id, lang, source, least(64, n - k * 48) AS n_tok FROM ks)
 SELECT lang, source, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM ch GROUP BY 1, 2
+"""
+    sqls["returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+    sqls["local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
 """
     sqls["daily_anomalies"] = """
 WITH pd AS (
