@@ -4040,6 +4040,82 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+def q_graph_coloring(spark, sf_dir):
+    """Deterministic Jones–Plassmann greedy coloring of the cosine
+    graph (round 5): equal to the sequential greedy coloring in
+    decreasing portable-hash priority order, so the unrolled oracle
+    reproduces every color exactly. Classic distributed
+    symmetry-breaking (register allocation / scheduling primitive)."""
+    from online_centrality_spark.operators import greedy_coloring
+
+    return greedy_coloring(_cos_edges(spark, sf_dir), max_iter=12)
+
+
+def _coloring_sql(rounds: int = 10) -> str:
+    """Unrolled Jones–Plassmann rounds over the cosine graph; extra
+    rounds past the fixpoint are no-ops on empty active sets (the
+    _mis_sql unroll philosophy — engine takes 6 rounds at sf0.01, 5 at
+    sf0.001, so 10 is a safe envelope). MATERIALIZED per round: the
+    chain references each predecessor several times."""
+    p_hash = PORTABLE_HASH.format(s="'jp:' || CAST(node_id AS VARCHAR)")
+    ctes = [
+        f"a0 AS MATERIALIZED (SELECT node_id, {p_hash} AS p FROM cnodes)",
+        "e0 AS MATERIALIZED (SELECT a, b FROM sym)",
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node_id, "
+        "CAST(NULL AS BIGINT) AS color WHERE FALSE)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+n{r} AS MATERIALIZED (
+  SELECT e.a AS node_id, max({{'p': x.p, 'i': x.node_id}}) AS m
+  FROM e{r} e JOIN a{r} x ON e.b = x.node_id GROUP BY e.a
+)""")
+        ctes.append(f"""
+w{r} AS MATERIALIZED (
+  SELECT x.node_id FROM a{r} x LEFT JOIN n{r} nn USING (node_id)
+  WHERE nn.m IS NULL
+     OR (x.p, x.node_id) >
+        (struct_extract(nn.m, 'p'), struct_extract(nn.m, 'i'))
+)""")
+        ctes.append(f"""
+rk{r} AS MATERIALIZED (
+  SELECT node_id, color,
+         row_number() OVER (PARTITION BY node_id ORDER BY color) - 1 AS rk
+  FROM (
+    SELECT DISTINCT e.a AS node_id, c.color
+    FROM sym e JOIN w{r} w ON e.a = w.node_id
+    JOIN col{r} c ON c.node_id = e.b
+  ) t
+)""")
+        ctes.append(f"""
+mx{r} AS MATERIALIZED (
+  SELECT node_id,
+         coalesce(min(CASE WHEN color <> rk THEN rk END), count(*)) AS mex
+  FROM rk{r} GROUP BY node_id
+)""")
+        ctes.append(f"""
+col{r + 1} AS MATERIALIZED (
+  SELECT * FROM col{r}
+  UNION ALL
+  SELECT w.node_id, CAST(coalesce(mx.mex, 0) AS BIGINT) AS color
+  FROM w{r} w LEFT JOIN mx{r} mx USING (node_id)
+)""")
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT * FROM a{r} WHERE node_id "
+            f"NOT IN (SELECT node_id FROM w{r}))"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT * FROM e{r} WHERE a NOT IN "
+            f"(SELECT node_id FROM w{r}) AND b NOT IN "
+            f"(SELECT node_id FROM w{r}))"
+        )
+    return (
+        f"WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node_id, color FROM col{rounds}"
+    )
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4142,13 +4218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "returned_items": q_returned_items,
         "local_supplier_volume": q_local_supplier_volume,
-        # -- (3) r04-green-once filler to complete the 50 ----------------
-        # (every zero-evidence query — all 49 — now sits in the window)
-        "degree_distribution": q_degree_distribution,
+        "graph_coloring": q_graph_coloring,
+        # (every zero-evidence query — all 50 — now fills the window)
         # ---- 50-entry driver window ends here ------------------------
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
+        "degree_distribution": q_degree_distribution,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6842,6 +6918,7 @@ SELECT lang, source, count(DISTINCT doc_id) AS n_docs,
        count(*) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM ch GROUP BY 1, 2
 """
+    sqls["graph_coloring"] = _coloring_sql(rounds=10)
     sqls["returned_items"] = """
 SELECT c_custkey, c_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

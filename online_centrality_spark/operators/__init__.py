@@ -30,6 +30,7 @@ from .robustness import attack_robustness, random_failure
 from .bipartite import bipartite_projection, butterfly_count
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
+from .coloring import greedy_coloring
 from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
@@ -99,6 +100,7 @@ __all__ = [
     "activity_changepoint",
     "anf_reach",
     "daily_anomalies",
+    "greedy_coloring",
     "fm_node_sketches",
     "bowtie_decomposition",
     "pagerank_convergence",
