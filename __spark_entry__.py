@@ -4116,6 +4116,26 @@ col{r + 1} AS MATERIALIZED (
     )
 
 
+def q_config_model(spark, sf_dir):
+    """Configuration-model null comparison of the cosine graph's
+    clustering (round 5): observed GCC vs the degree-preserving
+    expectation (S2−S1)²/S1³ — the 'does this graph have real community
+    structure' yardstick. One row, constant-size state."""
+    from online_centrality_spark.operators import config_model_stats
+
+    return config_model_stats(_cos_edges(spark, sf_dir))
+
+
+def q_katz_index(spark, sf_dir):
+    """Truncated Katz link-prediction index on the cosine graph
+    (round 5): β²·walks₂ + β³·walks₃ for non-adjacent pairs, top 50.
+    Exact integer walk counts feed one fixed float expression, so the
+    oracle hash-matches bit-for-bit."""
+    from online_centrality_spark.operators import katz_index
+
+    return katz_index(_cos_edges(spark, sf_dir), beta=0.05, top_k=50)
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4225,6 +4245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
         "degree_distribution": q_degree_distribution,
+        "config_model": q_config_model,
+        "katz_index": q_katz_index,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6919,6 +6941,67 @@ SELECT lang, source, count(DISTINCT doc_id) AS n_docs,
 FROM ch GROUP BY 1, 2
 """
     sqls["graph_coloring"] = _coloring_sql(rounds=10)
+    sqls["config_model"] = f"""
+WITH {COS_EDGES_CTE.strip()},
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges WHERE src <> dst),
+deg AS (
+  SELECT node_id, count(*) AS d FROM (
+    SELECT a AS node_id FROM und UNION ALL SELECT b FROM und
+  ) t GROUP BY 1
+),
+ds AS (
+  SELECT count(*) AS n_nodes, CAST(sum(d) AS BIGINT) AS s1,
+         CAST(sum(d * d) AS BIGINT) AS s2
+  FROM deg
+),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (SELECT count(*) AS n_edges FROM und)
+SELECT ds.n_nodes, m.n_edges,
+       CAST((ds.s2 - ds.s1) / 2 AS BIGINT) AS wedges,
+       CAST(tri.t AS BIGINT) AS triangles,
+       round((3 * tri.t) / ((ds.s2 - ds.s1) / 2), 9) AS gcc,
+       round((CAST(ds.s2 - ds.s1 AS DOUBLE) * CAST(ds.s2 - ds.s1 AS DOUBLE))
+             / ((CAST(ds.s1 AS DOUBLE) * CAST(ds.s1 AS DOUBLE))
+                * CAST(ds.s1 AS DOUBLE)), 9) AS expected_gcc,
+       round(((3 * tri.t) / ((ds.s2 - ds.s1) / 2))
+             / ((CAST(ds.s2 - ds.s1 AS DOUBLE) * CAST(ds.s2 - ds.s1 AS DOUBLE))
+                / ((CAST(ds.s1 AS DOUBLE) * CAST(ds.s1 AS DOUBLE))
+                   * CAST(ds.s1 AS DOUBLE))), 6) AS clustering_ratio
+FROM ds CROSS JOIN tri CROSS JOIN m
+"""
+    sqls["katz_index"] = f"""
+WITH {COS_EDGES_CTE.strip()}, {SYM_CTE.strip()},
+p2 AS MATERIALIZED (
+  SELECT e1.a AS a, e2.b AS b, count(*) AS c2
+  FROM sym e1 JOIN sym e2 ON e2.a = e1.b
+  GROUP BY 1, 2
+),
+p3 AS MATERIALIZED (
+  SELECT p.a AS a, e.b AS b, CAST(sum(p.c2) AS BIGINT) AS c3
+  FROM p2 p JOIN sym e ON e.a = p.b
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT coalesce(p2.a, p3.a) AS a, coalesce(p2.b, p3.b) AS b,
+         coalesce(p2.c2, 0) AS paths2, coalesce(p3.c3, 0) AS paths3
+  FROM p2 FULL OUTER JOIN p3 ON p2.a = p3.a AND p2.b = p3.b
+  WHERE coalesce(p2.a, p3.a) < coalesce(p2.b, p3.b)
+    AND NOT EXISTS (
+      SELECT 1 FROM sym s
+      WHERE s.a = coalesce(p2.a, p3.a) AND s.b = coalesce(p2.b, p3.b)
+    )
+)
+SELECT a, b, paths2, paths3,
+       round((0.05 * 0.05) * paths2
+             + ((0.05 * 0.05) * 0.05) * paths3, 9) AS katz
+FROM cand
+ORDER BY katz DESC, a ASC, b ASC
+LIMIT 50
+"""
     sqls["returned_items"] = """
 SELECT c_custkey, c_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

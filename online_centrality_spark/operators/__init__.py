@@ -31,6 +31,7 @@ from .bipartite import bipartite_projection, butterfly_count
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
 from .coloring import greedy_coloring
+from .nullmodel import config_model_stats, katz_index
 from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
@@ -100,7 +101,9 @@ __all__ = [
     "activity_changepoint",
     "anf_reach",
     "daily_anomalies",
+    "config_model_stats",
     "greedy_coloring",
+    "katz_index",
     "fm_node_sketches",
     "bowtie_decomposition",
     "pagerank_convergence",
