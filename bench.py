@@ -303,6 +303,17 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("label_spreading", n=1)
     add("weighted_walks", n=1)
     add("latency_sketch")
+    # round-5 batch 6: time-series trio (z-anomalies, autocorr, CUSUM),
+    # TPC-H star-join closers, Jones-Plassmann coloring, and the
+    # config-model / Katz-index null-model pair
+    add("daily_anomalies")
+    add("activity_autocorr")
+    add("changepoint")
+    add("returned_items")
+    add("local_supplier_volume")
+    add("graph_coloring", n=1)
+    add("config_model")
+    add("katz_index")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((
