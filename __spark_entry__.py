@@ -4136,6 +4136,59 @@ def q_katz_index(spark, sf_dir):
     return katz_index(_cos_edges(spark, sf_dir), beta=0.05, top_k=50)
 
 
+def q_walk_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence pairs over the deterministic DeepWalk
+    corpus (round 5): unordered node pairs within 2 steps on the same
+    walk, counted — the positive-pair table a node-embedding trainer
+    consumes. The oracle replays the identical hash-picked walks and
+    runs the same window self-join."""
+    from online_centrality_spark.operators import random_walks, walk_cooccurrence
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return walk_cooccurrence(random_walks(dg, walk_length=8, seed=0), window=2)
+
+
+def q_soft_dedup(spark, sf_dir):
+    """SoftDeDup-style per-document training weights (round 5): weight
+    = 1/|exact-dup group| so each distinct content contributes unit
+    mass — the soft alternative to dropping duplicates."""
+    from online_centrality_spark.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_dialogue_pairs(spark, sf_dir):
+    """SFT pair mining on the events-as-transcripts mapping (round 5):
+    adjacent view→click turn pairs per user under stable event order,
+    with exact microsecond latency and payload sizes — the
+    instruction/response extraction primitive."""
+    from online_centrality_spark.sources import dialogue_pairs
+
+    return dialogue_pairs(
+        _t(spark, sf_dir, "events"),
+        prompt_role="view",
+        response_role="click",
+        conv_col="user_id",
+        role_col="event_type",
+        ts_col="ts",
+        order_cols=("event_id",),
+        text_col="props",
+    )
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-wide boilerplate phrases (round 5): word trigrams with
+    document frequency >= 5, top 100 by (df, gram) — the C4-style
+    boilerplate extraction pass, and the hub-shingle list the Jaccard
+    pipeline's max_doc_freq cap drops, made queryable."""
+    from online_centrality_spark.text import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=3, min_df=5, top_k=100
+    )
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4247,6 +4300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "config_model": q_config_model,
         "katz_index": q_katz_index,
+        "walk_cooccurrence": q_walk_cooccurrence,
+        "soft_dedup": q_soft_dedup,
+        "dialogue_pairs": q_dialogue_pairs,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -4732,6 +4789,46 @@ WITH hashed AS (SELECT doc_id, {h_text} AS h FROM documents),
 keep AS (SELECT h, min(doc_id) AS keep_id FROM hashed GROUP BY h)
 SELECT hashed.doc_id, keep.keep_id FROM hashed JOIN keep ON hashed.h = keep.h
 """
+    sqls["soft_dedup"] = f"""
+WITH hashed AS (SELECT doc_id, {h_text} AS h FROM documents),
+sizes AS (SELECT h, CAST(count(*) AS BIGINT) AS group_size
+          FROM hashed GROUP BY h)
+SELECT hashed.doc_id, sizes.group_size,
+       round(1.0 / sizes.group_size, 9) AS weight
+FROM hashed JOIN sizes ON hashed.h = sizes.h
+"""
+    sqls["dialogue_pairs"] = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type, props, epoch_us(ts) AS t,
+         lead(event_id)   OVER w AS next_id,
+         lead(event_type) OVER w AS next_type,
+         lead(props)      OVER w AS next_props,
+         lead(epoch_us(ts)) OVER w AS next_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id AS prompt_pos, next_id AS response_pos,
+       next_t - t AS latency_us,
+       CAST(length(props) AS INT) AS prompt_chars,
+       CAST(length(next_props) AS INT) AS response_chars
+FROM seq WHERE event_type = 'view' AND next_type = 'click'
+"""
+    sqls["boilerplate_ngrams"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 1, 1)),
+    i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+  FROM toks WHERE len(t) >= 3
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS df
+FROM grams GROUP BY gram HAVING count(*) >= 5
+ORDER BY df DESC, gram ASC
+LIMIT 100
+"""
     sqls["token_count"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
         "'[a-z0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_tokens FROM documents"
@@ -5029,6 +5126,19 @@ GROUP BY n.node_id
         + "\nSELECT walk_id, step, node_id FROM ("
         + " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(9))
         + ") u"
+    )
+    sqls["walk_cooccurrence"] = (
+        "WITH "
+        + ",\n".join(walk_ctes)
+        + ",\ncorpus AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM w{s}" for s in range(9))
+        + """)
+SELECT least(l.node_id, r.node_id) AS a,
+       greatest(l.node_id, r.node_id) AS b,
+       CAST(count(*) AS BIGINT) AS n_cooc
+FROM corpus l JOIN corpus r
+  ON l.walk_id = r.walk_id AND r.step > l.step AND r.step <= l.step + 2
+GROUP BY 1, 2"""
     )
     _ww_ctes = [
         digraph_cte.strip(),

@@ -314,6 +314,12 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("graph_coloring", n=1)
     add("config_model")
     add("katz_index")
+    # round-5 batch 7: skip-gram pair extraction, SoftDeDup weights,
+    # SFT pair mining, boilerplate phrase extraction
+    add("walk_cooccurrence", n=1)
+    add("soft_dedup")
+    add("dialogue_pairs")
+    add("boilerplate_ngrams")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -1,4 +1,4 @@
-from .exact import exact_dedup, exact_duplicate_groups
+from .exact import exact_dedup, exact_duplicate_groups, soft_dedup_weights
 from .minhash import minhash_lsh_candidates, minhash_signatures
 from .ngram import (
     decontaminate,
@@ -20,6 +20,7 @@ __all__ = [
     "positional_ngrams",
     "remove_duplicated_spans",
     "exact_dedup",
+    "soft_dedup_weights",
     "exact_duplicate_groups",
     "shingles",
     "ngram_jaccard_pairs",

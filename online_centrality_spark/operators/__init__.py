@@ -36,7 +36,7 @@ from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
-from .walk_corpus import random_walks
+from .walk_corpus import random_walks, walk_cooccurrence
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
     DistributedTemporalKatz,
@@ -110,6 +110,8 @@ __all__ = [
     "attribute_assortativity",
     "minimum_spanning_forest",
     "random_walks",
+    "walk_cooccurrence",
+    "walk_cooccurrence",
     "degree_assortativity",
     "local_clustering",
 ]

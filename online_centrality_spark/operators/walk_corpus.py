@@ -171,3 +171,45 @@ def weighted_random_walks(
         out = out.unionAll(nxt)
         cur = nxt
     return out
+
+
+def walk_cooccurrence(
+    walks: DataFrame, window: int = 2, min_count: int = 1
+) -> DataFrame:
+    """(a, b, n_cooc) — skip-gram co-occurrence counts over a walk
+    corpus: every UNORDERED node pair appearing within ``window`` steps
+    of each other on the same walk, counted over all walks.
+
+    This is the context-pair extraction a DeepWalk/node2vec trainer
+    consumes (the "positive pairs" of the skip-gram objective)
+    materialized as a weighted co-occurrence graph. Pairs where both
+    positions hold the same node (a self-transition through a cycle)
+    are kept under key (a==b) — the trainer convention: the window is
+    positional, not identity-based.
+
+    Scale shape: one equi-self-join on ``walk_id`` with the window
+    predicate — fan-out per walk row is at most ``window`` (walk length
+    bounds the join, never graph size or degree), then one map-side
+    combinable groupBy on the pair key. Walk corpora are generated with
+    walk-count ∝ nodes, so the pair table is O(n·L·window) rows before
+    the combine — linear in corpus size.
+    """
+    left = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("node_id").alias("u")
+    )
+    right = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("node_id").alias("v")
+    )
+    pairs = left.join(right, "walk_id").filter(
+        (F.col("j") > F.col("i")) & (F.col("j") <= F.col("i") + window)
+    )
+    counts = (
+        pairs.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_cooc"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("n_cooc") >= min_count)
+    return counts

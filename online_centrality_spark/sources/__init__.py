@@ -7,6 +7,7 @@ from .edges import (
 from .layout import write_edges_bucketed
 from .transcripts import (
     conversation_stats,
+    dialogue_pairs,
     generate_transcripts,
     read_transcripts,
 )
@@ -14,6 +15,7 @@ from .transcripts import (
 __all__ = [
     "generate_transcripts",
     "conversation_stats",
+    "dialogue_pairs",
     "read_transcripts",
     "edges_from_transcripts",
     "edges_from_events",

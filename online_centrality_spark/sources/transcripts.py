@@ -195,3 +195,56 @@ def daily_activity(
         "n_events",
         F.sum("n_events").over(w).alias("rolling_events"),
     )
+
+
+def dialogue_pairs(
+    turns,
+    prompt_role: str,
+    response_role: str,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    text_col: str | None = "text",
+):
+    """SFT pair mining: every ADJACENT (prompt_role → response_role)
+    turn pair per conversation, the instruction-tuning extraction
+    primitive — ``(conv_col, prompt_*, response_*, latency_us)``.
+
+    A pair is emitted when a ``prompt_role`` turn is IMMEDIATELY
+    followed (under the conversation's stable turn ordering,
+    ``order_cols``) by a ``response_role`` turn — the same
+    adjacency-under-stable-ordering rule the edge induction applies
+    (FIXTURES.md §1), so pair extraction and graph induction see the
+    identical conversation structure. ``latency_us`` is the exact
+    microsecond gap; when ``text_col`` is set the prompt/response
+    lengths ride along for downstream quality filtering.
+
+    Scale shape: one ``lead`` window per conversation key — the
+    sessionization envelope: conversations are numerous and short, so
+    partitions hold many small groups; no joins, no driver state. At
+    10^12 turns this is a single shuffle on ``conv_col``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(conv_col).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cols = [
+        F.col(conv_col),
+        F.col(order_cols[0]).alias("prompt_pos"),
+        F.lead(order_cols[0]).over(w).alias("response_pos"),
+        F.col(role_col).alias("_r"),
+        F.lead(role_col).over(w).alias("_nr"),
+        (F.lead(t).over(w) - t).alias("latency_us"),
+    ]
+    if text_col is not None:
+        cols += [
+            F.length(text_col).alias("prompt_chars"),
+            F.length(F.lead(text_col).over(w)).alias("response_chars"),
+        ]
+    flagged = turns.select(*cols)
+    return flagged.filter(
+        (F.col("_r") == prompt_role) & (F.col("_nr") == response_role)
+    ).drop("_r", "_nr")

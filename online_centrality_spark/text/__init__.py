@@ -1,4 +1,5 @@
 from .analysis import (
+    boilerplate_ngrams,
     document_fingerprint,
     gopher_rules,
     redact_pii,
@@ -26,6 +27,7 @@ __all__ = [
     "hash_sample",
     "weighted_sample",
     "gopher_rules",
+    "boilerplate_ngrams",
     "repetition_rules",
     "domain_mixture_weights",
     "grouped_split",

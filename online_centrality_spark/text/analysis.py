@@ -866,3 +866,42 @@ def token_bucket_histogram(
         .groupBy("lang", "bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(gram, df) — word n-grams appearing in at least ``min_df``
+    DISTINCT documents, the ``top_k`` most widespread first: the
+    boilerplate-phrase extraction pass a C4-style cleaner runs before
+    stripping navigation chrome / license banners / cookie notices
+    from a crawl.
+
+    Per-doc n-grams are DISTINCT (``word_ngrams``), so a plain count
+    after the explode IS the document frequency — no countDistinct
+    shuffle. Scale shape: shingle explode (bounded by document length)
+    → one map-side-combinable groupBy on the gram, ``min_df`` filter,
+    then a TakeOrderedAndProject top-k — the df-threshold mirrors
+    ``max_doc_freq`` in the Jaccard pipeline, where the SAME widespread
+    grams are dropped as hubs; this operator is that hub list made
+    queryable. Deterministic order: (df DESC, gram ASC).
+    """
+    from ..dedup.common import spread, word_ngrams
+
+    grams = (
+        spread(docs)
+        .select(F.col(id_col), word_ngrams(text_col, n).alias("grams"))
+        .select(F.explode("grams").alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
