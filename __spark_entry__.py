@@ -367,6 +367,75 @@ def _peel_ctes(prev: str, k: int, rounds: int, tag: str) -> tuple[list[str], str
     return ctes, prev
 
 
+#: onion-oracle unroll grid: (stage k, batch rounds). Margins over the
+#: observed cosine-graph structure (stage 1: <=9 non-empty batches,
+#: stage 2: <=2, stage 3+: none at any SF); the sentinel row in
+#: ``_onion_sql`` makes an overflow loud instead of silently wrong.
+ONION_GRID = [(1, 14), (2, 6), (3, 4), (4, 3)]
+
+
+def _onion_sql() -> str:
+    """Onion decomposition oracle: fixed-grid unrolled batch peeling.
+
+    Per (k, round): ``oh`` = nodes with surviving degree >= k+1 (the
+    keepers), ``ob`` = alive-minus-keepers (the BATCH — one onion layer
+    when non-empty), ``oa``/``oe`` = surviving nodes/edges. Layer ids
+    dense-rank the non-empty batches in (k, round) order — exactly the
+    engine's global non-empty-batch counter. A final sentinel emits
+    (-1, -1, -1) if any node survives the whole grid, turning grid
+    overflow into a loud row mismatch."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        "oe0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges)",
+        "oa0 AS MATERIALIZED (SELECT a AS n FROM oe0 UNION SELECT b FROM oe0)",
+    ]
+    prev_a, prev_e = "oa0", "oe0"
+    batches = []
+    for k, rounds in ONION_GRID:
+        for r in range(1, rounds + 1):
+            h, b = f"oh{k}_{r}", f"ob{k}_{r}"
+            a, e = f"oa{k}_{r}", f"oe{k}_{r}"
+            ctes.append(
+                f"{h} AS MATERIALIZED (SELECT n FROM (SELECT a AS n FROM "
+                f"{prev_e} UNION ALL SELECT b FROM {prev_e}) t GROUP BY n "
+                f"HAVING count(*) >= {k + 1})"
+            )
+            ctes.append(
+                f"{b} AS MATERIALIZED (SELECT n FROM {prev_a} "
+                f"WHERE n NOT IN (SELECT n FROM {h}))"
+            )
+            ctes.append(
+                f"{a} AS MATERIALIZED (SELECT n FROM {prev_a} "
+                f"WHERE n IN (SELECT n FROM {h}))"
+            )
+            ctes.append(
+                f"{e} AS MATERIALIZED (SELECT a, b FROM {prev_e} "
+                f"WHERE a IN (SELECT n FROM {a}) "
+                f"AND b IN (SELECT n FROM {a}))"
+            )
+            batches.append((k, r, b))
+            prev_a, prev_e = a, e
+    union = " UNION ALL ".join(
+        f"SELECT n, {k} AS k, {r} AS r FROM {b}" for k, r, b in batches
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+allb AS ({union}),
+ranked AS (
+  SELECT n, k, dense_rank() OVER (ORDER BY k, r) AS layer FROM allb
+)
+SELECT n AS node_id, CAST(k AS BIGINT) AS core, CAST(layer AS BIGINT) AS layer
+FROM ranked
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+  FROM {prev_a} LIMIT 1
+) sentinel"""
+    )
+
+
 def _kcore_sql() -> str:
     """k-core membership + in-core degree on the cosine similarity
     graph, peel unrolled to a fixed round count."""
@@ -4189,6 +4258,21 @@ def q_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def q_onion(spark, sf_dir):
+    """Onion decomposition of the cosine graph (round 5): per-node
+    (core, layer) from layer-resolved k-core peeling — every non-empty
+    batch of degree<=k removals is one layer. The oracle unrolls a
+    fixed (k, round) grid (ONION_GRID, margins over the observed
+    (stage 1: <=9 batches, stage 2: <=2) structure) and dense-ranks
+    non-empty batches; if the grid ever fails to fully peel the graph
+    the oracle emits a (-1,-1,-1) sentinel row so non-convergence is a
+    LOUD gate mismatch, never a silently wrong decomposition.
+    networkx onion_layers/core_number parity pinned in tests."""
+    from online_centrality_spark.operators import onion_decomposition
+
+    return onion_decomposition(_cos_edges(spark, sf_dir))
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4304,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "dialogue_pairs": q_dialogue_pairs,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "onion": q_onion,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -5453,6 +5538,7 @@ GROUP BY event_type
     sqls["link_prediction"] = _linkpred_sql()
     sqls["k_core"] = _kcore_sql()
     sqls["core_number"] = _core_number_sql()
+    sqls["onion"] = _onion_sql()
     sqls["bfs_distances"] = _bfs_sql()
     sqls["personalized_pagerank"] = _ppr_sql()
     sqls["sessionize"] = """

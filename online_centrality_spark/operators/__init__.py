@@ -16,7 +16,7 @@ from .harmonic import harmonic_centrality
 from .hits import hits
 from .betweenness import betweenness_from_pivots
 from .bfs import bfs_distances, eccentricity
-from .kcore import core_number, k_core, k_truss
+from .kcore import core_number, k_core, k_truss, onion_decomposition
 from .link_prediction import link_prediction_scores
 from .community import modularity
 from .feature_prop import khop_feature_propagation
@@ -76,6 +76,7 @@ __all__ = [
     "betweenness_from_pivots",
     "core_number",
     "k_core",
+    "onion_decomposition",
     "k_truss",
     "link_prediction_scores",
     "strongly_connected_components",
