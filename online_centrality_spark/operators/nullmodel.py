@@ -33,9 +33,17 @@ def config_model_stats(edges: DataFrame) -> DataFrame:
     form); clustering_ratio = gcc / expected_gcc.
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    # pinned once: the degree stats, the triangle count, and the edge
+    # total all read this frame — without the checkpoint each branch
+    # would recompute the upstream edge source (for the similarity
+    # graph, a blocked all-pairs matmul) from scratch
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = (
         und.select(F.col("a").alias("node_id"))
         .unionAll(und.select(F.col("b").alias("node_id")))
@@ -47,7 +55,9 @@ def config_model_stats(edges: DataFrame) -> DataFrame:
         F.sum("d").alias("s1"),
         F.sum(F.col("d") * F.col("d")).alias("s2"),
     )
-    tri = triangle_count_per_vertex(edges).agg(
+    tri = triangle_count_per_vertex(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).agg(
         (F.sum("triangles") / 3).cast("long").alias("triangles")
     )
     m = und.agg(F.count("*").alias("n_edges"))
@@ -98,9 +108,16 @@ def katz_index(
     hub-cap convention) for corpus-scale runs; the gate runs uncapped.
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    sym = e.unionAll(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # pinned once: sym feeds four plan branches (two walk joins, the
+    # adjacency anti-join, the optional mid-degree cap) — checkpointing
+    # stops each branch re-deriving the upstream edge source
+    sym = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     mid = sym
     if max_mid_degree is not None:
         middeg = (
