@@ -4273,6 +4273,33 @@ def q_onion(spark, sf_dir):
     return onion_decomposition(_cos_edges(spark, sf_dir))
 
 
+def q_dup_flow(spark, sf_dir):
+    """Near-duplication flow matrix between source domains (round 5):
+    the bigram-Jaccard pair set (same params as `ngram_jaccard`)
+    rolled up to unordered (source, source) cells with pair counts and
+    the max score — 'which corpora copy from which'. Max, not mean:
+    order-insensitive, so the float is bit-exact across layouts."""
+    from online_centrality_spark.dedup import duplication_flow
+    from online_centrality_spark.dedup.ngram import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+    return duplication_flow(pairs, docs, group_col="source", score_col="jaccard")
+
+
+def q_reciprocity_latency(spark, sf_dir):
+    """Time-to-reciprocation (round 5): for every mutual pair of the
+    user-interaction stream, the exact microsecond delay between the
+    first interaction and its first reverse — the temporal refinement
+    of `reciprocity`'s scalar rate."""
+    from online_centrality_spark.operators import reciprocity_latency
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    return reciprocity_latency(
+        user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    )
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4389,6 +4416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_pairs": q_dialogue_pairs,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "onion": q_onion,
+        "dup_flow": q_dup_flow,
+        "reciprocity_latency": q_reciprocity_latency,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -5168,6 +5197,21 @@ dedges AS MATERIALIZED (
   WHERE prev_user IS NOT NULL AND prev_user <> user_id
     AND t - prev_t <= 60000000
 )"""
+    sqls["reciprocity_latency"] = f"""
+WITH {digraph_cte.replace("dedges AS MATERIALIZED (",
+                          "dpairs AS MATERIALIZED (").replace(
+    "SELECT DISTINCT prev_user AS src, user_id AS dst",
+    "SELECT prev_user AS src, user_id AS dst, t")},
+fp AS (
+  SELECT src, dst, min(t) AS t_first FROM dpairs GROUP BY 1, 2
+)
+SELECT a.src AS initiator, a.dst AS responder,
+       a.t_first AS t_initiate_us,
+       b.t_first - a.t_first AS latency_us
+FROM fp a JOIN fp b ON a.src = b.dst AND a.dst = b.src
+WHERE a.t_first < b.t_first
+   OR (a.t_first = b.t_first AND a.src < a.dst)
+"""
     sqls["scc"] = f"""
 WITH RECURSIVE {digraph_cte},
 dnodes AS (SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges),
@@ -5713,6 +5757,37 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+"""
+    sqls["dup_flow"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({grams2}) AS gram FROM documents
+),
+hs AS (SELECT doc_id, {PORTABLE_HASH.format(s="gram")} AS sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM hs a JOIN hs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT doc_a, doc_b,
+         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+),
+keyed AS (
+  SELECT least(da.source, db.source) AS group_a,
+         greatest(da.source, db.source) AS group_b,
+         jp.jaccard
+  FROM jp
+  JOIN documents da ON jp.doc_a = da.doc_id
+  JOIN documents db ON jp.doc_b = db.doc_id
+)
+SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(max(jaccard), 6) AS max_score
+FROM keyed GROUP BY 1, 2
 """
     sqls["ngram_containment"] = f"""
 WITH sh AS (

@@ -321,6 +321,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("dialogue_pairs")
     add("boilerplate_ngrams")
     add("onion", n=1)
+    add("dup_flow")
+    add("reciprocity_latency")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -2,6 +2,7 @@ from .exact import exact_dedup, exact_duplicate_groups, soft_dedup_weights
 from .minhash import minhash_lsh_candidates, minhash_signatures
 from .ngram import (
     decontaminate,
+    duplication_flow,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingles,
@@ -20,6 +21,7 @@ __all__ = [
     "positional_ngrams",
     "remove_duplicated_spans",
     "exact_dedup",
+    "duplication_flow",
     "soft_dedup_weights",
     "exact_duplicate_groups",
     "shingles",

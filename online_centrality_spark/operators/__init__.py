@@ -47,6 +47,7 @@ from .temporal_pagerank import TemporalPageRank
 from .temporal_pagerank_distributed import DistributedTemporalPageRank
 from .triangles import (
     attribute_assortativity,
+    reciprocity_latency,
     degree_assortativity,
     local_clustering,
     triangle_count,
@@ -112,7 +113,9 @@ __all__ = [
     "minimum_spanning_forest",
     "random_walks",
     "walk_cooccurrence",
+    "reciprocity_latency",
     "walk_cooccurrence",
+    "reciprocity_latency",
     "degree_assortativity",
     "local_clustering",
 ]

@@ -478,3 +478,50 @@ def triangle_estimate(
             2,
         ).alias("est_triangles"),
     )
+
+
+def reciprocity_latency(pairs: DataFrame) -> DataFrame:
+    """(initiator, responder, t_initiate_us, latency_us) — for every
+    RECIPROCATED unordered node pair of a timestamped directed
+    interaction stream ``(src, dst, t)``, how long the first
+    interaction waited for its first reverse interaction.
+
+    The temporal refinement of ``edge_reciprocity``'s scalar rate: the
+    same mutual-edge set, but with the reply delay resolved per pair —
+    the "time to reciprocation" distribution a conversation-graph
+    report carries next to the reciprocity fraction. The initiating
+    direction is the one with the earlier first-interaction time
+    (exact tie → smaller src id), so each mutual pair emits exactly
+    one row and latency_us >= 0 always.
+
+    Scale shape: one map-side-combinable min-aggregate per directed
+    pair (multiplicity collapses before anything joins), then ONE
+    self-equi-join on the reversed key — no windows, no driver state;
+    all arithmetic on exact microsecond integers.
+    """
+    first = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("t").alias("t_first"))
+    )
+    rev = first.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("t_first").alias("t_rev"),
+    )
+    return (
+        first.join(rev, ["src", "dst"])
+        .filter(
+            (F.col("t_first") < F.col("t_rev"))
+            | (
+                (F.col("t_first") == F.col("t_rev"))
+                & (F.col("src") < F.col("dst"))
+            )
+        )
+        .select(
+            F.col("src").alias("initiator"),
+            F.col("dst").alias("responder"),
+            F.col("t_first").alias("t_initiate_us"),
+            (F.col("t_rev") - F.col("t_first")).alias("latency_us"),
+        )
+    )

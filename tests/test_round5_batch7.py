@@ -133,3 +133,47 @@ def test_boilerplate_ngrams_df_threshold_and_order(spark):
     assert "rare phrase here" not in got  # df=2 < min_df
     dfs = [r["df"] for r in out]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_duplication_flow_rollup(spark):
+    """Pairs roll up to unordered source cells; max_score is the exact
+    max, and direction of the (a, b) pair never matters."""
+    from online_centrality_spark.dedup import duplication_flow
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.4), (5, 6, 0.6)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "books"), (4, "web"),
+         (5, "web"), (6, "web")],
+        "doc_id long, source string",
+    )
+    out = duplication_flow(pairs, docs, score_col="jaccard").collect()
+    got = {(r["group_a"], r["group_b"]): (r["n_pairs"], r["max_score"])
+           for r in out}
+    # (1:web,2:books) and (3:books,4:web) land in the SAME unordered cell
+    assert got == {("books", "web"): (2, 0.9), ("web", "web"): (1, 0.6)}
+
+
+def test_reciprocity_latency_direction_and_value(spark):
+    """First 1->2 at t=100, first 2->1 at t=250 (multiplicity collapses
+    to the min): one row, initiator 1, latency 150. An unreciprocated
+    edge emits nothing; an exact tie attributes to the smaller id."""
+    from online_centrality_spark.operators import reciprocity_latency
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 100), (1, 2, 400),   # repeated forward interactions
+            (2, 1, 250), (2, 1, 300),
+            (3, 4, 50),                 # never reciprocated
+            (5, 6, 70), (6, 5, 70),     # exact tie
+        ],
+        "src long, dst long, t long",
+    )
+    out = {r["initiator"]: r for r in reciprocity_latency(pairs).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["responder"] == 2
+    assert out[1]["t_initiate_us"] == 100
+    assert out[1]["latency_us"] == 150
+    assert out[5]["responder"] == 6 and out[5]["latency_us"] == 0
