@@ -4300,6 +4300,18 @@ def q_reciprocity_latency(spark, sf_dir):
     )
 
 
+def q_pipeline_funnel(spark, sf_dir):
+    """Stage-loss funnel of the standard prep pipeline (round 5):
+    raw → exact-dedup → quality floor, with exact doc and token totals
+    per stage — the 'where did my data go' report, composed from the
+    already-verified dedup/quality/token operators."""
+    from online_centrality_spark.text import pipeline_funnel
+
+    return pipeline_funnel(
+        _t(spark, sf_dir, "documents"), quality_floor=0.5, min_words=10
+    )
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4418,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion": q_onion,
         "dup_flow": q_dup_flow,
         "reciprocity_latency": q_reciprocity_latency,
+        "pipeline_funnel": q_pipeline_funnel,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -4898,6 +4911,49 @@ ranked AS (
 SELECT c_custkey, s_suppkey, dist FROM ranked WHERE rn = 1
 """
     h_text = PORTABLE_HASH.format(s="text")
+    en_sw = "\\b(the|and|of|to|in|is|a)\\b"
+    sqls["pipeline_funnel"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text),
+              '[a-z0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n
+  FROM documents
+),
+keepids AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+),
+qbase AS (
+  SELECT d.doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words,
+    length(text) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars,
+    len(regexp_extract_all(lower(text), '{en_sw}')) AS sw,
+    list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                            w -> length(w))) AS word_chars
+  FROM documents d JOIN keepids USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, n_words,
+    least(n_words / 100.0, 1.0) * 0.25
+    + (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE) / n_chars ELSE 0.0 END) * 0.25
+    + least((CASE WHEN n_words > 0 THEN CAST(sw AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0) * 0.25
+    + (CASE WHEN n_words > 0 AND CAST(word_chars AS DOUBLE) / n_words >= 3.0
+             AND CAST(word_chars AS DOUBLE) / n_words <= 8.0
+       THEN 1.0 ELSE 0.5 END) * 0.25 AS quality
+  FROM qbase
+),
+kept AS (SELECT doc_id FROM scored WHERE quality >= 0.5 AND n_words >= 10)
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+FROM tok
+UNION ALL
+SELECT 2, 'dedup', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM keepids JOIN tok USING (doc_id)
+UNION ALL
+SELECT 3, 'quality', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT)
+FROM kept JOIN tok USING (doc_id)
+"""
     sqls["dedup_exact"] = f"""
 WITH hashed AS (SELECT doc_id, {h_text} AS h FROM documents),
 keep AS (SELECT h, min(doc_id) AS keep_id FROM hashed GROUP BY h)
@@ -4947,7 +5003,6 @@ LIMIT 100
         "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
         "'[a-z0-9]+|[^a-z0-9\\s]+')) AS INT) AS n_tokens FROM documents"
     )
-    en_sw = "\\b(the|and|of|to|in|is|a)\\b"
     sqls["quality_score"] = f"""
 WITH base AS (
   SELECT doc_id,

@@ -323,6 +323,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("onion", n=1)
     add("dup_flow")
     add("reciprocity_latency")
+    add("pipeline_funnel")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -14,6 +14,7 @@ from .packing import (
     grouped_split,
     hash_sample,
     pack_sequences,
+    pipeline_funnel,
     weighted_sample,
 )
 
@@ -32,4 +33,5 @@ __all__ = [
     "domain_mixture_weights",
     "grouped_split",
     "chunk_documents",
+    "pipeline_funnel",
 ]

@@ -332,3 +332,48 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def pipeline_funnel(
+    docs: DataFrame,
+    quality_floor: float = 0.5,
+    min_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(stage_idx, stage, n_docs, total_tokens) — the stage-loss funnel
+    of the standard prep pipeline: raw corpus → exact-dedup survivors →
+    quality floor. The "where did my data go" report every training-
+    data run is judged by, composed from the already-verified operators
+    (`exact_dedup`, `quality_score`, `token_count`).
+
+    Scale shape: the per-doc token counts are computed ONCE in the scan
+    stage; each later stage is a survivor-id semi-join against that
+    frame plus one map-side total aggregate, so the funnel costs one
+    dedup hash groupBy + one quality scan regardless of stage count.
+    All outputs are exact integers.
+    """
+    from ..dedup.exact import exact_dedup
+    from .analysis import quality_score
+    from .analysis import token_count as _tc
+
+    tc = _tc(docs, text_col).select(id_col, F.col("n_tokens").cast("long"))
+    uniq = exact_dedup(docs, text_col, id_col)
+    kept = quality_score(uniq, text_col).filter(
+        (F.col("quality") >= quality_floor) & (F.col("n_words") >= min_words)
+    )
+
+    def stage(frame: DataFrame, idx: int, name: str) -> DataFrame:
+        scoped = tc if frame is None else frame.select(id_col).join(tc, id_col)
+        return scoped.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        ).select("stage_idx", "stage", "n_docs", "total_tokens")
+
+    return (
+        stage(None, 1, "raw")
+        .unionAll(stage(uniq, 2, "dedup"))
+        .unionAll(stage(kept, 3, "quality"))
+    )

@@ -177,3 +177,24 @@ def test_reciprocity_latency_direction_and_value(spark):
     assert out[1]["t_initiate_us"] == 100
     assert out[1]["latency_us"] == 150
     assert out[5]["responder"] == 6 and out[5]["latency_us"] == 0
+
+
+def test_pipeline_funnel_stage_losses(spark):
+    """4 raw docs -> 3 after exact dedup (one exact pair) -> 1 after
+    the quality floor (only the long English doc passes n_words >= 10);
+    token totals are exact per stage."""
+    from online_centrality_spark.text import pipeline_funnel
+
+    good = ("the cat and the dog walked to the market in the morning "
+            "and then the cat slept")
+    docs = spark.createDataFrame(
+        [(1, good), (2, "zz xx"), (3, "zz xx"), (4, "@@@@")],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in pipeline_funnel(docs).collect()}
+    assert [rows[s]["stage_idx"] for s in ("raw", "dedup", "quality")] == [1, 2, 3]
+    assert rows["raw"]["n_docs"] == 4
+    assert rows["dedup"]["n_docs"] == 3      # doc 3 is an exact dup of 2
+    assert rows["quality"]["n_docs"] == 1    # only doc 1 survives
+    assert rows["raw"]["total_tokens"] > rows["dedup"]["total_tokens"]
+    assert rows["quality"]["total_tokens"] == 17  # the good doc's tokens
