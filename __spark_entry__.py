@@ -4312,6 +4312,21 @@ def q_pipeline_funnel(spark, sf_dir):
     )
 
 
+def q_age_degree(spark, sf_dir):
+    """Preferential-attachment test (round 5): nodes cohorted by first-
+    appearance day with the cohort's exact final distinct-neighbor
+    degree total — early cohorts holding disproportionate degree is the
+    rich-get-richer signature."""
+    from online_centrality_spark.sources.edges import (
+        age_degree_profile,
+        user_interaction_pairs,
+    )
+
+    return age_degree_profile(
+        user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    )
+
+
 def q_daily_anomalies(spark, sf_dir):
     """Per-event-type daily volume anomalies (round 5): |z| >= 2 days
     per type, with mean/std derived from exact integer sums so the z
@@ -4431,6 +4446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_flow": q_dup_flow,
         "reciprocity_latency": q_reciprocity_latency,
         "pipeline_funnel": q_pipeline_funnel,
+        "age_degree": q_age_degree,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -5252,6 +5268,26 @@ dedges AS MATERIALIZED (
   WHERE prev_user IS NOT NULL AND prev_user <> user_id
     AND t - prev_t <= 60000000
 )"""
+    sqls["age_degree"] = f"""
+WITH {digraph_cte.replace("dedges AS MATERIALIZED (",
+                          "dpairs AS MATERIALIZED (").replace(
+    "SELECT DISTINCT prev_user AS src, user_id AS dst",
+    "SELECT prev_user AS src, user_id AS dst, t")},
+ends AS (
+  SELECT src AS node, dst AS nbr, t FROM dpairs
+  UNION ALL SELECT dst, src, t FROM dpairs
+),
+first AS (SELECT node, min(t) AS t_first FROM ends GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT DISTINCT node, nbr FROM ends) u GROUP BY node
+)
+SELECT CAST(f.t_first // 86400000000 AS BIGINT) AS first_day,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(d.d) AS BIGINT) AS total_degree
+FROM first f JOIN deg d ON f.node = d.node
+GROUP BY 1
+"""
     sqls["reciprocity_latency"] = f"""
 WITH {digraph_cte.replace("dedges AS MATERIALIZED (",
                           "dpairs AS MATERIALIZED (").replace(

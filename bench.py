@@ -324,6 +324,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("dup_flow")
     add("reciprocity_latency")
     add("pipeline_funnel")
+    add("age_degree")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

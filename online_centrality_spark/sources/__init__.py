@@ -1,5 +1,6 @@
 from .edges import (
     actor_transition_counts,
+    age_degree_profile,
     add_global_seq,
     edges_from_events,
     edges_from_transcripts,
@@ -21,5 +22,6 @@ __all__ = [
     "edges_from_events",
     "add_global_seq",
     "actor_transition_counts",
+    "age_degree_profile",
     "write_edges_bucketed",
 ]

@@ -489,3 +489,43 @@ def event_type_trigrams(
         .orderBy(F.col("n").desc(), F.col("trigram").asc())
         .limit(top_k)
     )
+
+
+def age_degree_profile(pairs: DataFrame) -> DataFrame:
+    """(first_day, n_nodes, total_degree) — the preferential-attachment
+    test surface: nodes cohorted by the day they first appeared in the
+    timestamped interaction stream ``(src, dst, t)``, with the cohort's
+    exact FINAL distinct-neighbor degree total. A rich-get-richer graph
+    shows early cohorts holding disproportionate total degree
+    (total_degree/n_nodes falling with first_day) — the Barabási–Albert
+    signature `edge_stream_growth`'s pure arrival counts can't see.
+
+    Scale shape: one union of the two endpoint projections feeds BOTH
+    aggregates — min(t) per node (first appearance) and distinct
+    undirected neighbor count per node — then one day-keyed rollup of
+    the joined frame. Exact integers end to end (day = integer div of
+    microseconds), so the gate hash is partition-layout-proof.
+    """
+    e = pairs.filter(F.col("src") != F.col("dst"))
+    ends = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "t"
+    ).unionAll(
+        e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "t")
+    )
+    first = ends.groupBy("node").agg(F.min("t").alias("t_first"))
+    deg = (
+        ends.select("node", "nbr")
+        .distinct()
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        first.join(deg, "node")
+        .groupBy(
+            F.expr("CAST(t_first DIV 86400000000 AS LONG)").alias("first_day")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("total_degree"),
+        )
+    )

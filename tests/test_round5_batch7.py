@@ -198,3 +198,25 @@ def test_pipeline_funnel_stage_losses(spark):
     assert rows["quality"]["n_docs"] == 1    # only doc 1 survives
     assert rows["raw"]["total_tokens"] > rows["dedup"]["total_tokens"]
     assert rows["quality"]["total_tokens"] == 17  # the good doc's tokens
+
+
+def test_age_degree_profile_cohorts(spark):
+    """Node 1 appears day 0 and accumulates 3 distinct neighbors
+    (multi-interactions fold); nodes 2/3 first appear day 0 and day 1
+    respectively — cohort totals are exact."""
+    from online_centrality_spark.sources.edges import age_degree_profile
+
+    D = 86_400_000_000
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0), (1, 2, 5),          # day 0: 1 and 2 appear
+            (1, 3, D + 1), (3, 1, D + 2),  # day 1: 3 appears; 1-3 both ways
+            (1, 4, 2 * D), (4, 4, 2 * D),  # day 2: 4 appears; self-loop dropped
+        ],
+        "src long, dst long, t long",
+    )
+    got = {r["first_day"]: (r["n_nodes"], r["total_degree"])
+           for r in age_degree_profile(pairs).collect()}
+    # day 0 cohort: node 1 (deg 3: nbrs 2,3,4) + node 2 (deg 1) = (2, 4)
+    # day 1 cohort: node 3 (deg 1); day 2 cohort: node 4 (deg 1)
+    assert got == {0: (2, 4), 1: (1, 1), 2: (1, 1)}
