@@ -3854,6 +3854,28 @@ def q_avg_neighbor_degree(spark, sf_dir):
     return avg_neighbor_degree(_cos_edges(spark, sf_dir))
 
 
+def q_collective_influence(spark, sf_dir):
+    """Morone–Makse collective influence (l=1) over the cosine graph —
+    the optimal-percolation dismantling rank: (k_i-1) * sum of the
+    neighbors' spare degree. Integer-exact end to end."""
+    from online_centrality_spark.operators.neighborhood import (
+        collective_influence,
+    )
+
+    return collective_influence(_cos_edges(spark, sf_dir))
+
+
+def q_neighborhood_overlap(spark, sf_dir):
+    """Per-edge neighborhood overlap (Onnela embeddedness) of the
+    cosine graph: common-neighbor count and O = cn/(k_u+k_v-2-cn);
+    overlap 0 with a positive denominator marks a local bridge."""
+    from online_centrality_spark.operators.neighborhood import (
+        neighborhood_overlap,
+    )
+
+    return neighborhood_overlap(_cos_edges(spark, sf_dir))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4447,6 +4469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_latency": q_reciprocity_latency,
         "pipeline_funnel": q_pipeline_funnel,
         "age_degree": q_age_degree,
+        "collective_influence": q_collective_influence,
+        "neighborhood_overlap": q_neighborhood_overlap,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6594,6 +6618,48 @@ pn AS (
 SELECT CAST(d AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_nodes,
        round((CAST(sum(t) AS DOUBLE) / 1e6) / count(*), 6) AS knn
 FROM pn GROUP BY d
+"""
+    sqls["collective_influence"] = f"""
+WITH {COS_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM cedges
+  UNION ALL SELECT dst, src FROM cedges
+),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+ns AS (
+  SELECT s.u, sum(dv.d - 1) AS nsum FROM sym s JOIN deg dv ON s.v = dv.u
+  GROUP BY s.u
+)
+SELECT deg.u AS node_id, CAST(deg.d AS BIGINT) AS degree,
+       CAST((deg.d - 1) * ns.nsum AS BIGINT) AS ci
+FROM deg JOIN ns ON deg.u = ns.u
+"""
+    sqls["neighborhood_overlap"] = f"""
+WITH {COS_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM cedges
+  UNION ALL SELECT dst, src FROM cedges
+),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM sym GROUP BY u),
+cn AS (
+  SELECT e.src, e.dst, count(*) AS cn
+  FROM cedges e
+  JOIN sym a ON a.u = e.src
+  JOIN sym b ON b.u = e.dst AND b.v = a.v
+  GROUP BY e.src, e.dst
+)
+SELECT e.src, e.dst,
+       CAST(coalesce(cn.cn, 0) AS BIGINT) AS cn,
+       CAST(ds.d AS BIGINT) AS deg_src,
+       CAST(dd.d AS BIGINT) AS deg_dst,
+       CASE WHEN ds.d + dd.d - 2 - coalesce(cn.cn, 0) > 0
+            THEN round(CAST(coalesce(cn.cn, 0) AS DOUBLE)
+                       / (ds.d + dd.d - 2 - coalesce(cn.cn, 0)), 6)
+            ELSE 0.0 END AS overlap
+FROM cedges e
+LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst
+JOIN deg ds ON ds.u = e.src
+JOIN deg dd ON dd.u = e.dst
 """
     sqls["doc_surprisal"] = f"""
 WITH tok AS (

@@ -325,6 +325,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("reciprocity_latency")
     add("pipeline_funnel")
     add("age_degree")
+    add("collective_influence")
+    add("neighborhood_overlap")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -36,6 +36,7 @@ from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
+from .neighborhood import collective_influence, neighborhood_overlap
 from .walk_corpus import random_walks, walk_cooccurrence
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
@@ -114,8 +115,8 @@ __all__ = [
     "random_walks",
     "walk_cooccurrence",
     "reciprocity_latency",
-    "walk_cooccurrence",
-    "reciprocity_latency",
     "degree_assortativity",
     "local_clustering",
+    "collective_influence",
+    "neighborhood_overlap",
 ]

@@ -84,3 +84,114 @@ def two_hop_reach(
             F.col("reach2").cast("long").alias("reach2"),
         )
     )
+
+
+def collective_influence(edges: DataFrame) -> DataFrame:
+    """``(node_id, degree, ci)`` — Morone–Makse collective influence at
+    radius l=1 over the UNDIRECTED simple graph:
+    ``ci(i) = (k_i - 1) * sum_{j in N(i)} (k_j - 1)``.
+
+    The l=1 CI score is the optimal-percolation ranking of
+    "Influence maximization in complex networks through optimal
+    percolation" (Morone & Makse, Nature 2015) — the hub-aware
+    influence measure that beats plain degree for dismantling: a
+    node matters because its NEIGHBORS have spare edges, not just
+    because it has many. No reference counterpart
+    (``/root/reference/python`` ranks by centrality only).
+
+    Integer-exact end to end (degrees are counts), so the oracle hash
+    is noise-free. Scale shape: one symmetric-edge shuffle for the
+    degree table, one join of the symmetric edge list against it on
+    the neighbor key, one map-side-combinable sum per node — linear in
+    |E|, no wedge fan-out, no windows, no collects. Hub rows skew the
+    neighbor join exactly like every degree join here: AQE skew-split
+    handles it (same envelope as ``avg_neighbor_degree``).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(und.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d")).persist()
+    return (
+        sym.join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+        .groupBy("u")
+        .agg(F.sum(F.col("dv") - F.lit(1)).alias("nsum"))
+        .join(deg, "u")
+        .select(
+            F.col("u").alias("node_id"),
+            F.col("d").cast("long").alias("degree"),
+            ((F.col("d") - F.lit(1)) * F.col("nsum"))
+            .cast("long")
+            .alias("ci"),
+        )
+    )
+
+
+def neighborhood_overlap(edges: DataFrame) -> DataFrame:
+    """``(src, dst, cn, deg_src, deg_dst, overlap)`` per undirected
+    edge — common-neighbor count and the Onnela et al. (PNAS 2007)
+    neighborhood-overlap coefficient
+    ``O = cn / (k_u + k_v - 2 - cn)`` (0.0 when the denominator is 0,
+    i.e. an isolated pair). ``overlap = 0`` with a positive
+    denominator marks a LOCAL BRIDGE (Granovetter's weak tie): the
+    only edge connecting two otherwise-disjoint neighborhoods —
+    the structural tie-strength test used to prune redundant edges
+    before community detection. No reference counterpart.
+
+    Scale shape: the per-edge common-neighbor count is the same wedge
+    enumeration as triangle counting — fan-out sum_w d(w)^2 on the
+    wedge center, the known hub wall (``triangles.py``,
+    ``link_prediction.py``); both joins are plain shuffle-hash joins
+    on node keys that AQE skew-splits. Everything after the wedge
+    count is edge-sized. cn is exact (no cap) so the driver query
+    stays oracle-identical; overlap rounded to 6 so both engines make
+    the identical boundary decision.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    sym = und.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(und.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    cn = (
+        und.join(
+            sym.select(F.col("u").alias("src"), F.col("v").alias("w")), "src"
+        )
+        .join(
+            sym.select(F.col("u").alias("dst"), F.col("v").alias("w")),
+            ["dst", "w"],
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cn"))
+    )
+    denom = F.col("deg_src") + F.col("deg_dst") - F.lit(2) - F.col("cn")
+    return (
+        und.join(cn, ["src", "dst"], "left")
+        .fillna(0, ["cn"])
+        .join(deg.select(F.col("u").alias("src"), F.col("d").alias("deg_src")), "src")
+        .join(deg.select(F.col("u").alias("dst"), F.col("d").alias("deg_dst")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.col("cn").cast("long").alias("cn"),
+            F.col("deg_src").cast("long").alias("deg_src"),
+            F.col("deg_dst").cast("long").alias("deg_dst"),
+            F.when(denom > 0, F.round(F.col("cn") / denom, 6))
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+        )
+    )
