@@ -3876,6 +3876,77 @@ def q_neighborhood_overlap(spark, sf_dir):
     return neighborhood_overlap(_cos_edges(spark, sf_dir))
 
 
+def q_square_census(spark, sf_dir):
+    """Exact 4-cycle census of the cosine graph (one summary row):
+    wedge-pair counts and the exact square count — the two-mode /
+    bipartite-community signal triangle counting can't see."""
+    from online_centrality_spark.operators.neighborhood import square_census
+
+    return square_census(_cos_edges(spark, sf_dir))
+
+
+def q_user_churn(spark, sf_dir):
+    """Day-over-day active-user Jaccard over the events stream — the
+    audience-turnover profile the scalar DAU curve can't see."""
+    from online_centrality_spark.sources.transcripts import user_churn
+
+    out = user_churn(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "prev_users",
+        "curr_users",
+        "common",
+        "jaccard",
+    )
+
+
+def q_tie_persistence(spark, sf_dir):
+    """Distinct-active-day histogram per undirected interaction pair —
+    the one-shot-vs-persistent-tie profile of the temporal graph
+    (distinct from `edge_persistence`, the day-over-day edge-set
+    Jaccard: this is the per-tie lifetime histogram)."""
+    from online_centrality_spark.sources.edges import (
+        tie_persistence,
+        user_interaction_pairs,
+    )
+
+    return tie_persistence(
+        user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    )
+
+
+def q_priority_discount(spark, sf_dir):
+    """Per-priority share of orders holding at least one deep-discount
+    (>= 8%) lineitem — the EXISTS/semi-join closer: the qualifying
+    orderkey set never widens the orders row (leftsemi), and at any SF
+    the per-priority rollup is dimension-sized."""
+    orders = _t(spark, sf_dir, "orders")
+    qual = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= 0.08)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    tot = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    fl = (
+        orders.join(qual, "o_orderkey", "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_discounted"))
+    )
+    return (
+        tot.join(fl, "o_orderpriority", "left")
+        .fillna(0, ["n_discounted"])
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_discounted").cast("long").alias("n_discounted"),
+            F.round(F.col("n_discounted") / F.col("n_orders"), 6).alias(
+                "discount_share"
+            ),
+        )
+    )
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4471,6 +4542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_degree": q_age_degree,
         "collective_influence": q_collective_influence,
         "neighborhood_overlap": q_neighborhood_overlap,
+        "square_census": q_square_census,
+        "user_churn": q_user_churn,
+        "tie_persistence": q_tie_persistence,
+        "priority_discount": q_priority_discount,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6660,6 +6735,76 @@ FROM cedges e
 LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst
 JOIN deg ds ON ds.u = e.src
 JOIN deg dd ON dd.u = e.dst
+"""
+    sqls["square_census"] = f"""
+WITH {COS_EDGES_CTE},
+sym AS MATERIALIZED (
+  SELECT src AS c, dst AS n FROM cedges
+  UNION ALL SELECT dst, src FROM cedges
+),
+wedge AS (
+  SELECT a.n AS a, b.n AS b, count(*) AS w
+  FROM sym a JOIN sym b ON a.c = b.c AND a.n < b.n
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_wedge_pairs,
+       CAST(sum(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_diag_pairs,
+       CAST(sum(w) AS BIGINT) AS n_wedges,
+       CAST(sum(w * (w - 1)) // 4 AS BIGINT) AS n_squares
+FROM wedge
+"""
+    sqls["user_churn"] = """
+WITH active AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events
+),
+counts AS (SELECT day, count(*) AS n FROM active GROUP BY day),
+common AS (
+  SELECT cur.day AS day, count(*) AS common
+  FROM active cur JOIN active prv
+    ON cur.u = prv.u AND cur.day = prv.day + 1
+  GROUP BY 1
+)
+SELECT strftime(c.day, '%Y-%m-%d') AS day,
+       CAST(p.n AS BIGINT) AS prev_users,
+       CAST(c.n AS BIGINT) AS curr_users,
+       CAST(coalesce(cm.common, 0) AS BIGINT) AS common,
+       round(coalesce(cm.common, 0) * 1.0
+             / (p.n + c.n - coalesce(cm.common, 0)), 6) AS jaccard
+FROM counts c
+JOIN counts p ON c.day = p.day + 1
+LEFT JOIN common cm ON cm.day = c.day
+"""
+    sqls["tie_persistence"] = f"""
+WITH {digraph_cte.replace("dedges AS MATERIALIZED (",
+                          "dpairs AS MATERIALIZED (").replace(
+    "SELECT DISTINCT prev_user AS src, user_id AS dst",
+    "SELECT prev_user AS src, user_id AS dst, t")},
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+         t // 86400000000 AS day
+  FROM dpairs WHERE src <> dst
+),
+pp AS (SELECT a, b, count(*) AS n_days FROM e GROUP BY a, b)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM pp GROUP BY n_days
+"""
+    sqls["priority_discount"] = """
+WITH tot AS (
+  SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1
+),
+fl AS (
+  SELECT o_orderpriority, count(*) AS n_disc
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+  GROUP BY 1
+)
+SELECT t.o_orderpriority, CAST(t.n_orders AS BIGINT) AS n_orders,
+       CAST(coalesce(f.n_disc, 0) AS BIGINT) AS n_discounted,
+       round(coalesce(f.n_disc, 0) * 1.0 / t.n_orders, 6) AS discount_share
+FROM tot t LEFT JOIN fl f USING (o_orderpriority)
 """
     sqls["doc_surprisal"] = f"""
 WITH tok AS (

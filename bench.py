@@ -327,6 +327,10 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("age_degree")
     add("collective_influence")
     add("neighborhood_overlap")
+    add("square_census")
+    add("user_churn")
+    add("tie_persistence")
+    add("priority_discount")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -36,7 +36,11 @@ from .timeseries import activity_autocorr, activity_changepoint, daily_anomalies
 from .msf import minimum_spanning_forest
 from .motifs import temporal_motifs
 from .scc import strongly_connected_components
-from .neighborhood import collective_influence, neighborhood_overlap
+from .neighborhood import (
+    collective_influence,
+    neighborhood_overlap,
+    square_census,
+)
 from .walk_corpus import random_walks, walk_cooccurrence
 from .temporal_katz import TemporalKatz, TruncatedTemporalKatz
 from .temporal_katz_distributed import (
@@ -119,4 +123,5 @@ __all__ = [
     "local_clustering",
     "collective_influence",
     "neighborhood_overlap",
+    "square_census",
 ]

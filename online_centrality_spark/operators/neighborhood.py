@@ -195,3 +195,50 @@ def neighborhood_overlap(edges: DataFrame) -> DataFrame:
             .alias("overlap"),
         )
     )
+
+
+def square_census(edges: DataFrame) -> DataFrame:
+    """One-row exact 4-cycle census of the UNDIRECTED simple graph:
+    ``(n_wedge_pairs, n_diag_pairs, n_wedges, n_squares)`` —
+    distinct node pairs joined by >= 1 two-hop path, pairs with >= 2
+    common neighbors (the potential square diagonals), total wedges,
+    and the exact number of 4-cycles
+    ``C4 = (1/2) * sum_pairs C(w, 2)`` (each square is counted once by
+    each of its two diagonals, so the wedge-pair sum is always even
+    and the division is exact in integers). The square census is the
+    bipartite-community signal triangles can't see — dense C4 with few
+    triangles means two-mode structure. No reference counterpart.
+
+    Scale design: the wedge enumeration is the one heavy stage —
+    fan-out ``sum_c d(c)^2`` on the wedge center, the SAME hub wall as
+    ``triangles.py`` / ``neighborhood_overlap`` (AQE skew-split on the
+    center key); everything downstream of the ``(u, v)`` groupBy is a
+    single map-side-combinable 1-row aggregate. Integer-exact end to
+    end, so the oracle hash is noise-free.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = und.select(
+        F.col("src").alias("c"), F.col("dst").alias("n")
+    ).unionAll(und.select(F.col("dst").alias("c"), F.col("src").alias("n")))
+    wedge = (
+        sym.select("c", F.col("n").alias("a"))
+        .join(sym.select("c", F.col("n").alias("b")), "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    return wedge.agg(
+        F.count("*").cast("long").alias("n_wedge_pairs"),
+        F.sum((F.col("w") >= 2).cast("long")).cast("long").alias("n_diag_pairs"),
+        F.sum("w").cast("long").alias("n_wedges"),
+        # sum w(w-1) counts each square 4x (2 diagonals x 2 ordered
+        # choices of the neighbor pair) -> exact integer division
+        F.expr("sum(w * (w - 1)) div 4").cast("long").alias("n_squares"),
+    )

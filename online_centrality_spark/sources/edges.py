@@ -529,3 +529,38 @@ def age_degree_profile(pairs: DataFrame) -> DataFrame:
             F.sum("d").cast("long").alias("total_degree"),
         )
     )
+
+
+def tie_persistence(pairs: DataFrame) -> DataFrame:
+    """``(n_days, n_edges)`` — the tie-persistence histogram of the
+    timestamped interaction stream ``(src, dst, t)``: for every
+    distinct undirected pair, the number of DISTINCT calendar days
+    (UTC, integer div of epoch microseconds) on which it was active,
+    rolled up to a histogram. A heavy 1-day bucket means the graph is
+    mostly one-shot contacts; a fat tail means persistent
+    relationships — the standard repeated-tie profile of temporal
+    network analysis. No reference counterpart
+    (``/root/reference/python`` replays streams but never profiles
+    tie persistence).
+
+    Scale shape: one distinct over (pair, day) — the only shuffle that
+    sees edge-sized data, and it combines map-side because multiplicity
+    within a day collapses before the exchange — then two
+    map-side-combinable groupBys, the second over the DAY-cardinality
+    histogram frame. Exact integers end to end.
+    """
+    e = pairs.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.expr("CAST(t DIV 86400000000 AS LONG)").alias("day"),
+    )
+    per_pair = (
+        e.distinct()
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_days"))
+    )
+    return (
+        per_pair.groupBy("n_days")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+        .select(F.col("n_days").cast("long").alias("n_days"), "n_edges")
+    )

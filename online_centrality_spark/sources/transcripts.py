@@ -248,3 +248,65 @@ def dialogue_pairs(
     return flagged.filter(
         (F.col("_r") == prompt_role) & (F.col("_nr") == response_role)
     ).drop("_r", "_nr")
+
+
+def user_churn(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """(day, prev_users, curr_users, common, jaccard) — day-over-day
+    active-user churn: for every calendar day with an active previous
+    day, the two distinct-active-set sizes, their overlap, and the
+    Jaccard similarity ``common / (prev + curr - common)``. Falling
+    Jaccard is the audience-turnover alarm the scalar DAU curve of
+    ``daily_activity`` can't see. Days whose previous calendar day has
+    no activity are omitted (no comparison set). No reference
+    counterpart.
+
+    Scale shape: one distinct over (day, user) — map-side combining
+    collapses per-day multiplicity before the exchange — feeds both
+    the per-day counts and the consecutive-day overlap; the overlap
+    self-join keys on the USER (high-cardinality, well-spread), and
+    everything after is DAY-cardinality. Exact integers everywhere;
+    only the final Jaccard division floats, rounded to 6.
+    """
+    from pyspark.sql import functions as F
+
+    active = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("u")
+        )
+        .distinct()
+        .persist()
+    )
+    counts = active.groupBy("day").agg(F.count("*").alias("n"))
+    common = (
+        active.alias("cur")
+        .join(
+            active.alias("prv"),
+            (F.col("cur.u") == F.col("prv.u"))
+            & (F.col("cur.day") == F.date_add(F.col("prv.day"), 1)),
+        )
+        .groupBy(F.col("cur.day").alias("day"))
+        .agg(F.count("*").alias("common"))
+    )
+    prev = counts.select(
+        F.date_add(F.col("day"), 1).alias("day"), F.col("n").alias("prev_users")
+    )
+    return (
+        counts.join(prev, "day")
+        .join(common, "day", "left")
+        .fillna(0, ["common"])
+        .select(
+            "day",
+            F.col("prev_users").cast("long").alias("prev_users"),
+            F.col("n").cast("long").alias("curr_users"),
+            F.col("common").cast("long").alias("common"),
+            F.round(
+                F.col("common")
+                / (F.col("prev_users") + F.col("n") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
