@@ -3947,6 +3947,52 @@ def q_priority_discount(spark, sf_dir):
     )
 
 
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 flavor: the top-100 large-volume orders — orders whose
+    total lineitem quantity exceeds 250, with the owning customer.
+    Group-HAVING + semi-shaped join closer: the qualifying orderkey set
+    comes from one map-side-combinable groupBy, the customer attach is
+    a dimension join, and the top-k is TakeOrderedAndProject with a
+    full deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(qual, orders["o_orderkey"] == qual["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_lexical_saturation(spark, sf_dir):
+    """Per-source Pearson correlation between document token count and
+    distinct-token count — the vocabulary-saturation screen for
+    template/boilerplate strata (exact int64 sufficient statistics)."""
+    from online_centrality_spark.text.analysis import lexical_saturation
+
+    return lexical_saturation(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Exact covariance matrix of the embedding corpus (dimension-pair
+    cells, scaled-int64 sums — bit-identical under any layout)."""
+    from online_centrality_spark.similarity.covariance import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4546,6 +4592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_churn": q_user_churn,
         "tie_persistence": q_tie_persistence,
         "priority_discount": q_priority_discount,
+        "large_orders": q_large_orders,
+        "lexical_saturation": q_lexical_saturation,
+        "embedding_covariance": q_embedding_covariance,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6805,6 +6854,64 @@ SELECT t.o_orderpriority, CAST(t.n_orders AS BIGINT) AS n_orders,
        CAST(coalesce(f.n_disc, 0) AS BIGINT) AS n_discounted,
        round(coalesce(f.n_disc, 0) * 1.0 / t.n_orders, 6) AS discount_share
 FROM tot t LEFT JOIN fl f USING (o_orderpriority)
+"""
+    sqls["large_orders"] = """
+WITH qual AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT CAST(o.o_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(q.sum_qty, 2) AS sum_qty
+FROM orders o JOIN qual q ON o.o_orderkey = q.l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+    sqls["lexical_saturation"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({DOC_TOKENS}) AS term FROM documents
+),
+pd AS (
+  SELECT doc_id, source, count(*) AS x, count(DISTINCT term) AS y
+  FROM tok GROUP BY 1, 2
+),
+a AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pd GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       round(sx * 1.0 / n, 6) AS mean_tokens,
+       round(sy * 1.0 / n, 6) AS mean_distinct,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS corr
+FROM a
+"""
+    sqls["embedding_covariance"] = """
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+nn AS (SELECT count(DISTINCT vec_id) AS n FROM embeddings),
+pr AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS ps
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+ms AS (SELECT i, sum(CAST(round(x * 1e6) AS BIGINT)) AS m FROM el GROUP BY i)
+SELECT CAST(pr.i AS BIGINT) AS i, CAST(pr.j AS BIGINT) AS j,
+       round((pr.ps / 1e12) / nn.n
+             - (mi.m / 1e6 / nn.n) * (mj.m / 1e6 / nn.n), 6) AS cov
+FROM pr
+CROSS JOIN nn
+JOIN ms mi ON pr.i = mi.i
+JOIN ms mj ON pr.j = mj.i
 """
     sqls["doc_surprisal"] = f"""
 WITH tok AS (

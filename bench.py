@@ -331,6 +331,9 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("user_churn")
     add("tie_persistence")
     add("priority_discount")
+    add("large_orders")
+    add("lexical_saturation")
+    add("embedding_covariance")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

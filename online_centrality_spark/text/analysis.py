@@ -905,3 +905,63 @@ def boilerplate_ngrams(
         .orderBy(F.col("df").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+def lexical_saturation(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """``(source, n_docs, mean_tokens, mean_distinct, corr)`` — per
+    group, the Pearson correlation between each document's token count
+    and its DISTINCT-token count. Near-1 correlation means vocabulary
+    keeps growing with length (natural text); a depressed correlation
+    flags template/boilerplate strata whose vocabulary saturates — the
+    per-source companion to the corpus-level ``vocab_growth`` Heaps
+    curve. No reference counterpart.
+
+    Scale shape: per-doc token/distinct counts are one explode + one
+    map-side-combinable (doc, term) groupBy (the same shuffle envelope
+    as ``tfidf_top_terms``); the five Pearson sufficient statistics
+    are EXACT INT64 sums (both features are integer counts), so the
+    per-group reduce is map-side-combinable and the gate hash is
+    partition-layout-proof — only the final correlation division
+    floats, rounded to 6. Degenerate groups (zero variance in either
+    feature) emit corr = 0.0 by convention.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    terms = docs.select(
+        "doc_id", F.col(group_col).alias("grp"), F.explode(F.expr(words)).alias("term")
+    )
+    per_doc = (
+        terms.groupBy("doc_id", "grp")
+        .agg(
+            F.count("*").alias("x"),
+            F.count_distinct("term").alias("y"),
+        )
+    )
+    agg = per_doc.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    vy = agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    cov = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_tokens"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("mean_distinct"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            # vx*vy can overflow int64 (each is O(n * sum(x^2)));
+            # both engines take the double product of the exact longs
+            F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("corr"),
+    )
