@@ -3993,6 +3993,30 @@ def q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
 
 
+def q_session_return(spark, sf_dir):
+    """Return-time histogram: idle hours between a user's consecutive
+    sessions (120-min gap rule) — the habit/periodicity signal cohort
+    retention aggregates away."""
+    from online_centrality_spark.streaming.sessions import (
+        session_return_hist,
+        sessionize,
+    )
+
+    sess = sessionize(
+        _t(spark, sf_dir, "events"), gap_minutes=120.0, value_col=None
+    )
+    return session_return_hist(sess)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-source mean character-level Shannon entropy — the gibberish/
+    format screen token-level surprisal can't see (scaled-int64 term
+    sums, layout-proof)."""
+    from online_centrality_spark.text.analysis import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4595,6 +4619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "lexical_saturation": q_lexical_saturation,
         "embedding_covariance": q_embedding_covariance,
+        "session_return": q_session_return,
+        "char_entropy": q_char_entropy,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6912,6 +6938,49 @@ FROM pr
 CROSS JOIN nn
 JOIN ms mi ON pr.i = mi.i
 JOIN ms mj ON pr.j = mj.i
+"""
+    sqls["session_return"] = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts) > 7200000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, t, sum(brk) OVER
+    (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+),
+se AS (
+  SELECT user_id, sess, min(t) AS st, max(t) AS en
+  FROM s GROUP BY 1, 2
+),
+g AS (
+  SELECT (st - lag(en) OVER (PARTITION BY user_id ORDER BY st))
+           // 3600000000 AS hours
+  FROM se
+)
+SELECT CAST(hours AS BIGINT) AS hours, CAST(count(*) AS BIGINT) AS n_returns
+FROM g WHERE hours IS NOT NULL GROUP BY 1
+"""
+    sqls["char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+  FROM documents
+),
+cnt AS (SELECT doc_id, source, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+pd AS (
+  SELECT cnt.doc_id, cnt.source,
+         sum(CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e12)
+                  AS BIGINT)) AS ent
+  FROM cnt JOIN tot USING (doc_id) GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round((sum(ent) / 1e12) / count(*), 6) AS mean_char_entropy
+FROM pd GROUP BY 1
 """
     sqls["doc_surprisal"] = f"""
 WITH tok AS (

@@ -334,6 +334,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("large_orders")
     add("lexical_saturation")
     add("embedding_covariance")
+    add("session_return")
+    add("char_entropy")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

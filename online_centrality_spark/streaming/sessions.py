@@ -540,3 +540,37 @@ def latency_sketch(
         F.col("est").alias("est_us"),
         F.col("n").alias("n_gaps"),
     )
+
+
+def session_return_hist(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """``(hours, n_returns)`` — the return-time histogram over a
+    sessionized frame (``sessionize`` output): for every consecutive
+    session pair of a user, the idle gap ``next_start - prev_end``
+    bucketed into whole hours. The peak structure (daily / weekly
+    harmonics) is the habit signal retention cohorts
+    (``cohort_retention``) aggregate away. No reference counterpart.
+
+    Scale shape: one lag window PARTITIONED ON THE USER KEY over the
+    session-cardinality frame (each task holds one user's sessions —
+    bounded, well-spread, the `response_latency` envelope), then a
+    map-side-combinable groupBy onto the HOURS-cardinality histogram.
+    Exact integers end to end (epoch-microsecond differences, integer
+    div), so the gate hash is layout-proof.
+    """
+    w = Window.partitionBy(user_col).orderBy("session_start_us")
+    gaps = (
+        sessions.select(
+            F.col(user_col),
+            "session_start_us",
+            F.lag("session_end_us").over(w).alias("prev_end"),
+        )
+        .filter(F.col("prev_end").isNotNull())
+        .select(
+            F.expr(
+                "CAST((session_start_us - prev_end) DIV 3600000000 AS LONG)"
+            ).alias("hours")
+        )
+    )
+    return gaps.groupBy("hours").agg(
+        F.count("*").cast("long").alias("n_returns")
+    )

@@ -965,3 +965,57 @@ def lexical_saturation(
         .otherwise(F.lit(0.0))
         .alias("corr"),
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """``(source, n_docs, mean_char_entropy)`` — per group, the mean
+    Shannon entropy (nats) of each document's character distribution
+    over ``[a-z0-9]`` — the gibberish/format screen token-level
+    ``doc_surprisal`` can't see (repeated-token spam has normal token
+    surprisal but collapsed character entropy; base64/hex blobs the
+    reverse). Documents with no matching characters are skipped.
+    No reference counterpart.
+
+    Scale shape: one char explode + a map-side-combinable
+    (doc, char) groupBy (alphabet-bounded per-doc fan-in); each
+    per-doc entropy term ``-(c/n) ln(c/n)`` is a fixed double chain
+    rounded to a scaled int64 BEFORE the sums (the
+    ``transition_entropy`` order-independence rule), so both the
+    per-doc fold and the per-group mean reduce over exact integers and
+    the gate hash is layout-proof. Only the final mean floats,
+    rounded to 6.
+    """
+    chars = docs.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]', 0)")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "grp", "ch").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    term = -(F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") / F.col("n")
+    )
+    per_doc = (
+        counts.join(totals, "doc_id")
+        .select(
+            "doc_id", "grp", F.round(term * 1e12).cast("long").alias("t")
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("t").alias("ent"))
+    )
+    return per_doc.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round((F.sum("ent") / 1e12) / F.count("*"), 6).alias(
+            "mean_char_entropy"
+        ),
+    ).select(
+        F.col("grp").alias(group_col), "n_docs", "mean_char_entropy"
+    )
