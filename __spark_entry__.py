@@ -4017,6 +4017,26 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event-type transition
+    chain (25 unrolled power-iteration steps, uniform dangling
+    redistribution) — long-run behavioral occupancy."""
+    from online_centrality_spark.operators.markov import markov_stationary
+
+    return markov_stationary(_t(spark, sf_dir, "events"))
+
+
+def q_label_centroids(spark, sf_dir):
+    """Pairwise Euclidean distances between per-label embedding
+    centroids — the class-separability screen (scaled-int64 centroid
+    sums, schema-bounded output)."""
+    from online_centrality_spark.similarity.covariance import (
+        label_centroid_distances,
+    )
+
+    return label_centroid_distances(_t(spark, sf_dir, "embeddings"))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4621,6 +4641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "session_return": q_session_return,
         "char_entropy": q_char_entropy,
+        "markov_stationary": q_markov_stationary,
+        "label_centroids": q_label_centroids,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6938,6 +6960,59 @@ FROM pr
 CROSS JOIN nn
 JOIN ms mi ON pr.i = mi.i
 JOIN ms mj ON pr.j = mj.i
+"""
+    markov_steps = []
+    for i in range(1, 26):
+        # MATERIALIZED: x{i-1} is referenced three times per step;
+        # inlining would re-evaluate the whole chain exponentially
+        markov_steps.append(f"""x{i} AS MATERIALIZED (
+  SELECT st.s AS s, coalesce(m.v, 0) + d.dm / (SELECT k FROM ns) AS p
+  FROM mstates st
+  LEFT JOIN (
+    SELECT cij.cur AS s, sum(x{i - 1}.p * cij.c * 1.0 / outc.tot) AS v
+    FROM x{i - 1} JOIN cij ON cij.prev = x{i - 1}.s
+    JOIN outc ON outc.s = x{i - 1}.s
+    GROUP BY cij.cur
+  ) m ON m.s = st.s
+  CROSS JOIN (
+    SELECT coalesce(sum(x.p), 0) AS dm
+    FROM x{i - 1} x LEFT JOIN outc o ON o.s = x.s WHERE o.s IS NULL
+  ) d
+)""")
+    markov_joined = ",\n".join(markov_steps)
+    sqls["markov_stationary"] = f"""
+WITH tr AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev
+  FROM events
+),
+cij AS MATERIALIZED (
+  SELECT prev, cur, count(*) AS c FROM tr WHERE prev IS NOT NULL
+  GROUP BY 1, 2
+),
+mstates AS MATERIALIZED (SELECT DISTINCT event_type AS s FROM events),
+outc AS MATERIALIZED (SELECT prev AS s, sum(c) AS tot FROM cij GROUP BY 1),
+ns AS (SELECT count(*) AS k FROM mstates),
+x0 AS (SELECT s, 1.0 / (SELECT k FROM ns) AS p FROM mstates),
+{markov_joined}
+SELECT s AS event_type, round(p, 9) AS prob FROM x25
+"""
+    sqls["label_centroids"] = """
+WITH el AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         sum(CAST(round(x * 1e6) AS BIGINT)) / 1e6 / count(*) AS c
+  FROM el GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS dist
+FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+GROUP BY 1, 2
 """
     sqls["session_return"] = """
 WITH o AS (

@@ -336,6 +336,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("embedding_covariance")
     add("session_return")
     add("char_entropy")
+    add("markov_stationary")
+    add("label_centroids")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -84,3 +84,54 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def label_centroid_distances(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``(label_a, label_b, dist)`` for every unordered label pair —
+    the Euclidean distance between per-label centroids: the class
+    confusion/separability screen run before training a classifier on
+    the embedding corpus (two labels whose centroids nearly coincide
+    will not separate). Complements ``embedding_outliers`` (within-
+    label spread) with the between-label geometry. No reference
+    counterpart.
+
+    Scale design: the centroid stage is one posexplode + one
+    map-side-combinable (label, dim) groupBy whose output is
+    |labels|·d cells — bounded by schema, not corpus; the sums are
+    scaled int64 (round(x*1e6) per element), so centroids are exact
+    integer ratios and layout-proof. The pairwise stage is a self-join
+    of that bounded frame on the dimension key (|labels|²·d rows, still
+    schema-bounded). Only the final distance floats, rounded to 6
+    (cross-engine double noise on a d-term sum is ~1e-14).
+    """
+    cent = (
+        emb.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("i", "x"),
+        )
+        .select("lbl", "i", F.col("x").cast("double").alias("x"))
+        .groupBy("lbl", "i")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("ms"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "lbl", "i", (F.col("ms") / 1e6 / F.col("cnt")).alias("c")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    return (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.lbl") < F.col("b.lbl")))
+        .groupBy(
+            F.col("a.lbl").alias("label_a"), F.col("b.lbl").alias("label_b")
+        )
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))), 6
+            ).alias("dist")
+        )
+    )
