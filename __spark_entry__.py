@@ -933,6 +933,73 @@ FROM cnodes n LEFT JOIN bcv b ON n.node_id = b.node_id"""
     )
 
 
+def _edge_betweenness_sql(levels: int = 20, k: int = 8) -> str:
+    """Pivot-restricted Brandes EDGE betweenness, fully unrolled: the
+    same forward sigma/visited chain and backward delta chain as
+    ``_betweenness_sql``, plus one eb{d} CTE per backward level
+    capturing the per-DAG-edge dependency
+    ``sigma_v / sigma_w * (1 + delta_w)`` before the node-level
+    aggregation. ``levels`` exceeds the measured diameter, so the
+    unroll restriction is vacuous and values are exact."""
+    ctes = [
+        COS_EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        f"piv AS (SELECT node_id FROM cnodes ORDER BY node_id LIMIT {k})",
+        "f0 AS (SELECT node_id AS s, node_id AS v, 1.0 AS sigma FROM piv)",
+        "vis0 AS (SELECT s, v FROM f0)",
+    ]
+    for d in range(1, levels + 1):
+        ctes.append(
+            f"""f{d} AS MATERIALIZED (
+  SELECT f.s, a.b AS v, sum(f.sigma) AS sigma
+  FROM f{d - 1} f JOIN sym a ON f.v = a.a
+  WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x WHERE x.s = f.s AND x.v = a.b)
+  GROUP BY f.s, a.b
+)"""
+        )
+        ctes.append(
+            f"""vis{d} AS MATERIALIZED (
+  SELECT s, v FROM vis{d - 1} UNION ALL SELECT s, v FROM f{d}
+)"""
+        )
+    ctes.append(
+        f"b{levels} AS (SELECT s, v, sigma, 0.0 AS delta FROM f{levels})"
+    )
+    for d in range(levels - 1, -1, -1):
+        ctes.append(
+            f"""eb{d} AS MATERIALIZED (
+  SELECT f.s, f.v, a.b AS w,
+         f.sigma / wd.sigma * (1.0 + wd.delta) AS part
+  FROM f{d} f
+  JOIN sym a ON f.v = a.a
+  JOIN b{d + 1} wd ON wd.s = f.s AND wd.v = a.b
+)"""
+        )
+        ctes.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma, coalesce(e.delta, 0.0) AS delta
+  FROM f{d} f
+  LEFT JOIN (SELECT s, v, sum(part) AS delta FROM eb{d} GROUP BY s, v) e
+    ON e.s = f.s AND e.v = f.v
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, w, part FROM eb{d}" for d in range(levels)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+alle AS ({union}),
+ebe AS (
+  SELECT least(v, w) AS a, greatest(v, w) AS b, sum(part) / 2.0 AS e
+  FROM alle GROUP BY 1, 2
+)
+SELECT c.src, c.dst, round(coalesce(ebe.e, 0.0), 6) AS ebc
+FROM cedges c LEFT JOIN ebe ON ebe.a = c.src AND ebe.b = c.dst"""
+    )
+
+
 def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
     """k-truss peel unrolled: each round recounts per-edge triangle
     support within the current edge set and drops edges below k-2;
@@ -4037,6 +4104,74 @@ def q_label_centroids(spark, sf_dir):
     return label_centroid_distances(_t(spark, sf_dir, "embeddings"))
 
 
+def q_weighted_clustering(spark, sf_dir):
+    """Onnela weighted clustering coefficient of the cosine graph —
+    triangle cohesion weighted by the geometric mean of the three
+    similarity weights (scaled-int64 term sums, layout-proof)."""
+    from online_centrality_spark.operators.triangles import weighted_clustering
+
+    return weighted_clustering(_cos_wedges(spark, sf_dir), weight_col="w")
+
+
+def q_dedup_thresholds(spark, sf_dir):
+    """Near-dup pair/document survival per Jaccard rung 0.1..0.9 — the
+    budget-setting report run before committing to a dedup cutoff
+    (exact integer buckets, all rungs emitted)."""
+    from online_centrality_spark.dedup.ngram import dedup_threshold_profile
+
+    return dedup_threshold_profile(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Pivot-restricted Brandes EDGE betweenness of the cosine graph —
+    the Girvan–Newman inter-community cut signal (exact on the 8
+    smallest-id pivots; multiply by n/k for the full estimate)."""
+    from online_centrality_spark.operators.betweenness import (
+        edge_betweenness_from_pivots,
+    )
+
+    out = edge_betweenness_from_pivots(_cos_edges(spark, sf_dir), k=8)
+    return out.select("src", "dst", F.round("ebc", 6).alias("ebc"))
+
+
+def q_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary-set Jaccard between corpus sources — the
+    set-overlap companion to domain_divergence's distributional KL."""
+    from online_centrality_spark.text.analysis import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+def q_bigram_entropy(spark, sf_dir):
+    """Corpus conditional word-bigram entropy H(next | current) — the
+    model-free floor for LM perplexity on this corpus (scaled-int64
+    term sums)."""
+    from online_centrality_spark.text.analysis import word_bigram_entropy
+
+    return word_bigram_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_reorder_gaps(spark, sf_dir):
+    """Histogram of day gaps between a customer's consecutive orders —
+    the reorder-cadence profile (exact integer day arithmetic; the gap
+    multiset is invariant to same-day tie order)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    return (
+        orders.select(
+            F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days")
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("gap_days")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(F.col("gap_days").cast("long").alias("gap_days"), "n_pairs")
+    )
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4643,6 +4778,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "markov_stationary": q_markov_stationary,
         "label_centroids": q_label_centroids,
+        "weighted_clustering": q_weighted_clustering,
+        "dedup_thresholds": q_dedup_thresholds,
+        "edge_betweenness": q_edge_betweenness,
+        "source_overlap": q_source_overlap,
+        "bigram_entropy": q_bigram_entropy,
+        "reorder_gaps": q_reorder_gaps,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -6979,6 +7120,129 @@ JOIN ms mj ON pr.j = mj.i
     FROM x{i - 1} x LEFT JOIN outc o ON o.s = x.s WHERE o.s IS NULL
   ) d
 )""")
+    sqls["weighted_clustering"] = f"""
+WITH _v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cw AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS w
+  FROM _v a JOIN _v b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {COS_TH}
+),
+mx AS (SELECT max(w) AS mw FROM cw),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+         CAST(round(cbrt((e1.w / mx.mw) * (e2.w / mx.mw) * (e3.w / mx.mw))
+                    * 1e12) AS BIGINT) AS t
+  FROM cw e1
+  JOIN cw e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN cw e3 ON e3.a = e1.b AND e3.b = e2.b
+  CROSS JOIN mx
+),
+contrib AS (
+  SELECT n, sum(t) AS s FROM (
+    SELECT x AS n, t FROM tri
+    UNION ALL SELECT y, t FROM tri
+    UNION ALL SELECT z, t FROM tri
+  ) u GROUP BY n
+),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM cw UNION ALL SELECT b FROM cw
+  ) u GROUP BY n
+)
+SELECT deg.n AS node_id, CAST(deg.d AS BIGINT) AS degree,
+       CASE WHEN deg.d >= 2
+            THEN round(2 * (coalesce(contrib.s, 0) / 1e12)
+                       / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS wcc
+FROM deg LEFT JOIN contrib ON deg.n = contrib.n
+"""
+    sqls["dedup_thresholds"] = f"""
+WITH sh2 AS (
+  SELECT doc_id, unnest({grams2}) AS gram FROM documents
+),
+hs2 AS (SELECT doc_id, {PORTABLE_HASH.format(s="gram")} AS sh FROM sh2),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM hs2 GROUP BY doc_id),
+inter2 AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM hs2 a JOIN hs2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pbf AS MATERIALIZED (
+  SELECT da, db, (10 * i) // (sa.n + sb.n - i) AS bkt
+  FROM inter2
+  JOIN sizes2 sa ON da = sa.doc_id
+  JOIN sizes2 sb ON db = sb.doc_id
+  WHERE (10 * i) // (sa.n + sb.n - i) >= 1
+),
+ph AS (SELECT bkt, count(*) AS m FROM pbf GROUP BY 1),
+dh AS (
+  SELECT mb, count(*) AS m FROM (
+    SELECT d, max(bkt) AS mb FROM (
+      SELECT da AS d, bkt FROM pbf UNION ALL SELECT db, bkt FROM pbf
+    ) u GROUP BY d
+  ) v GROUP BY 1
+),
+ladder AS (SELECT unnest(generate_series(1, 9)) AS t)
+SELECT round(l.t / 10.0, 1) AS threshold,
+       CAST(coalesce((SELECT sum(m) FROM ph WHERE bkt >= l.t), 0) AS BIGINT)
+         AS n_pairs,
+       CAST(coalesce((SELECT sum(m) FROM dh WHERE mb >= l.t), 0) AS BIGINT)
+         AS n_docs
+FROM ladder l
+"""
+    sqls["edge_betweenness"] = _edge_betweenness_sql()
+    sqls["source_overlap"] = f"""
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT grp, term FROM (
+    SELECT source AS grp, unnest({DOC_TOKENS}) AS term FROM documents
+  ) u
+),
+vsizes AS (SELECT grp, count(*) AS n FROM vocab GROUP BY 1),
+vinter AS (
+  SELECT a.grp AS ga, b.grp AS gb, count(*) AS i
+  FROM vocab a JOIN vocab b ON a.term = b.term AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT ga AS source_a, gb AS source_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i AS BIGINT) AS n_common,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM vinter
+JOIN vsizes sa ON ga = sa.grp
+JOIN vsizes sb ON gb = sb.grp
+"""
+    sqls["bigram_entropy"] = f"""
+WITH bp AS (
+  SELECT t[i] AS cur, t[i + 1] AS nxt
+  FROM (SELECT {DOC_TOKENS} AS t FROM documents) d,
+       unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+cij AS MATERIALIZED (
+  SELECT cur, nxt, count(*) AS cij FROM bp GROUP BY 1, 2
+),
+ci AS (SELECT cur, sum(cij) AS ci FROM cij GROUP BY 1),
+nn AS (SELECT sum(cij) AS n, count(DISTINCT cur) AS k FROM cij)
+SELECT CAST(nn.n AS BIGINT) AS n_bigrams, CAST(nn.k AS BIGINT) AS n_states,
+       round(sum(CAST(round(-(cij.cij * 1.0 / nn.n)
+                            * ln(cij.cij * 1.0 / ci.ci) * 1e12) AS BIGINT))
+             / 1e12, 6) AS entropy_rate
+FROM cij JOIN ci USING (cur) CROSS JOIN nn
+GROUP BY nn.n, nn.k
+"""
+    sqls["reorder_gaps"] = """
+WITH g AS (
+  SELECT date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER
+             (PARTITION BY o_custkey
+              ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(gap_days AS BIGINT) AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+"""
     markov_joined = ",\n".join(markov_steps)
     sqls["markov_stationary"] = f"""
 WITH tr AS (

@@ -338,6 +338,12 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("char_entropy")
     add("markov_stationary")
     add("label_centroids")
+    add("weighted_clustering")
+    add("dedup_thresholds")
+    add("edge_betweenness")
+    add("source_overlap")
+    add("bigram_entropy")
+    add("reorder_gaps")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -1019,3 +1019,104 @@ def char_entropy(
     ).select(
         F.col("grp").alias(group_col), "n_docs", "mean_char_entropy"
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """``(source_a, source_b, n_a, n_b, n_common, jaccard)`` for every
+    unordered source pair — vocabulary-set Jaccard between corpus
+    strata: the set-overlap companion to ``domain_divergence``'s
+    distributional KL (two sources can share every term yet diverge in
+    frequency, or vice versa). No reference counterpart.
+
+    Scale shape: the (source, term) distinct is the one data-sized
+    shuffle (map-side combining collapses within-doc repeats); the
+    term-keyed self-join fans out as (#sources carrying the term)² —
+    bounded by the GROUP alphabet squared, not by corpus — and the
+    output is |sources|² rows. Exact integers everywhere; only the
+    final Jaccard floats, rounded to 6.
+    """
+    words = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.expr(words)).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("grp").agg(F.count("*").alias("n"))
+    inter = (
+        vocab.select(F.col("grp").alias("ga"), "term")
+        .join(vocab.select(F.col("grp").alias("gb"), "term"), "term")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("grp").alias("ga"), F.col("n").alias("na")), "ga")
+        .join(sizes.select(F.col("grp").alias("gb"), F.col("n").alias("nb")), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("i").cast("long").alias("n_common"),
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def word_bigram_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row ``(n_bigrams, n_states, entropy_rate)`` — the corpus-level
+    conditional Shannon entropy H(next word | current word) in nats
+    over within-document word transitions: how predictable is text
+    word-to-word? The corpus companion to the per-user
+    ``transition_entropy`` (same math, word alphabet instead of event
+    types) and the model-free floor for language-model perplexity on
+    this corpus. No reference counterpart.
+
+    Scale shape: bigram pairs come from a JVM zip of each document's
+    token array with its own tail (``arrays_zip`` + ``slice`` — no
+    window, no shuffle until the pair groupBy); the (cur, next) count
+    matrix is vocabulary-bounded; each term ``(c_ij/N) ln(c_ij/c_i)``
+    is rounded to a scaled int64 before the exact sum (the
+    ``transition_entropy`` rule).
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= 2 THEN "
+                f"arrays_zip(slice({toks}, 1, size({toks}) - 1), "
+                f"slice({toks}, 2, size({toks}) - 1)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p").getField("0").alias("cur"),
+        F.col("p").getField("1").alias("nxt"),
+    )
+    cij = pairs.groupBy("cur", "nxt").agg(F.count("*").alias("cij")).persist()
+    ci = cij.groupBy("cur").agg(F.sum("cij").alias("ci"))
+    n = cij.agg(F.sum("cij").alias("n"), F.count_distinct("cur").alias("k"))
+    term = -(F.col("cij").cast("double") / F.col("n")) * F.log(
+        F.col("cij").cast("double") / F.col("ci")
+    )
+    return (
+        cij.join(ci, "cur")
+        .crossJoin(F.broadcast(n))
+        .select("n", "k", F.round(term * 1e12).cast("long").alias("t"))
+        .groupBy("n", "k")
+        .agg(F.sum("t").alias("s"))
+        .select(
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.col("k").cast("long").alias("n_states"),
+            F.round(F.col("s") / 1e12, 6).alias("entropy_rate"),
+        )
+    )

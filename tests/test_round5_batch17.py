@@ -1,0 +1,62 @@
+"""Hand-computed fixtures for the round-5 batch-17 operators:
+corpus word-bigram conditional entropy and customer reorder-gap
+histogram (the latter is inline in __spark_entry__, exercised here
+through the contract callable)."""
+
+import datetime
+import math
+
+from online_centrality_spark.text.analysis import word_bigram_entropy
+
+
+def test_bigram_entropy_deterministic_chain_is_zero(spark):
+    """'a b a b': every current word has exactly one successor ->
+    H(next | cur) = 0."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    r = word_bigram_entropy(docs).collect()[0]
+    assert (r["n_bigrams"], r["n_states"], r["entropy_rate"]) == (3, 2, 0.0)
+
+
+def test_bigram_entropy_fair_split(spark):
+    """'a a b': from 'a' the successor is a fair coin -> H = ln 2."""
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    r = word_bigram_entropy(docs).collect()[0]
+    assert (r["n_bigrams"], r["n_states"]) == (2, 1)
+    assert abs(r["entropy_rate"] - round(math.log(2), 6)) < 2e-6
+
+
+def test_bigram_entropy_skips_short_docs(spark):
+    """Single-word and empty docs contribute no bigrams; transitions
+    never cross document boundaries."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "b c")], "doc_id long, text string"
+    )
+    r = word_bigram_entropy(docs).collect()[0]
+    assert (r["n_bigrams"], r["n_states"], r["entropy_rate"]) == (1, 1, 0.0)
+
+
+def test_reorder_gaps_by_hand(spark, tmp_path):
+    """c1 orders on days 1,1,5 -> gaps {0, 4}; the single-order
+    customer contributes nothing. Exercised through the contract
+    callable on a parquet fixture dir."""
+    import __spark_entry__ as entry
+
+    d = datetime.date
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "x", 1.0, d(2024, 1, 1), "p"),
+            (11, 1, "x", 1.0, d(2024, 1, 1), "p"),
+            (12, 1, "x", 1.0, d(2024, 1, 5), "p"),
+            (13, 2, "x", 1.0, d(2024, 1, 9), "p"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["gap_days"]: r["n_pairs"]
+        for r in entry.q_reorder_gaps(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 4: 1}
