@@ -495,6 +495,96 @@ def main():
 
     check("weighted_walks_follow_edges", weighted_walks_follow_edges)
 
+    # round-5 batch 15/16 heavy ops (edge_betweenness / weighted
+    # clustering oracles are unrolled-CTE-heavy at sf0.1)
+    def weighted_clustering_bounded_by_binary():
+        wcc = {
+            r.node_id: (r.degree, r.wcc)
+            for r in entry_mod.q_weighted_clustering(spark, sf_dir).collect()
+        }
+        lcc = {
+            r.node_id: r.lcc
+            for r in entry_mod.q_local_clustering(spark, sf_dir).collect()
+            if r.degree >= 1
+        }
+        assert set(wcc) == set(lcc), (len(wcc), len(lcc))
+        for v, (d, w) in wcc.items():
+            assert 0.0 <= w <= 1.0 + 1e-9, (v, w)
+            # normalized weights <= 1, so every triangle term <= 1:
+            # Onnela wcc can never exceed the binary coefficient
+            assert w <= lcc[v] + 1e-6, (v, w, lcc[v])
+            if d < 2:
+                assert w == 0.0, (v, w)
+
+    check("weighted_clustering_bounded_by_binary",
+          weighted_clustering_bounded_by_binary)
+
+    def edge_betweenness_total_identity():
+        # sum_e ebc == sum_v bc + (reachable ordered pivot pairs)/2:
+        # per source, every shortest path crosses one more edge than it
+        # has interior vertices. Three independent operators meet here.
+        eb = entry_mod.q_edge_betweenness(spark, sf_dir).collect()
+        assert all(r.ebc >= -1e-9 for r in eb)
+        sum_e = sum(r.ebc for r in eb)
+        nb = entry_mod.q_betweenness(spark, sf_dir).collect()
+        sum_v = sum(r.bc for r in nb)
+        comp = {
+            r.node_id: r.component
+            for r in entry_mod.q_connected_components(spark, sf_dir).collect()
+        }
+        sizes: dict[int, int] = {}
+        for c in comp.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        pivots = sorted(comp)[:8]
+        reach = sum(sizes[comp[s]] - 1 for s in pivots)
+        assert abs(sum_e - (sum_v + reach / 2.0)) < 1e-4, (
+            sum_e, sum_v, reach,
+        )
+
+    check("edge_betweenness_total_identity", edge_betweenness_total_identity)
+
+    def square_census_bounds():
+        r = entry_mod.q_square_census(spark, sf_dir).collect()[0]
+        assert r.n_diag_pairs <= r.n_wedge_pairs
+        assert r.n_wedge_pairs + r.n_diag_pairs <= r.n_wedges
+        assert r.n_squares >= 0
+
+    check("square_census_bounds", square_census_bounds)
+
+    def dedup_thresholds_match_jaccard_query():
+        prof = {
+            r.threshold: (r.n_pairs, r.n_docs)
+            for r in entry_mod.q_dedup_thresholds(spark, sf_dir).collect()
+        }
+        assert len(prof) == 9
+        ts = sorted(prof)
+        for a, b in zip(ts, ts[1:]):  # survival curves are monotone
+            assert prof[a][0] >= prof[b][0] and prof[a][1] >= prof[b][1]
+        # the 0.2 rung equals the exact ngram_jaccard query's pair count
+        # (integer bucket rule <=> the engine's float floor at rational
+        # boundaries, same n=2 shingles)
+        n_at_02 = entry_mod.q_ngram_jaccard(spark, sf_dir).count()
+        assert prof[0.2][0] == n_at_02, (prof[0.2][0], n_at_02)
+
+    check("dedup_thresholds_match_jaccard_query",
+          dedup_thresholds_match_jaccard_query)
+
+    def markov_stationary_is_distribution():
+        rows = entry_mod.q_markov_stationary(spark, sf_dir).collect()
+        assert all(r.prob >= 0 for r in rows)
+        assert abs(sum(r.prob for r in rows) - 1.0) < 1e-6
+
+    check("markov_stationary_is_distribution",
+          markov_stationary_is_distribution)
+
+    def bigram_entropy_bounded():
+        import math
+
+        r = entry_mod.q_bigram_entropy(spark, sf_dir).collect()[0]
+        assert 0.0 <= r.entropy_rate <= math.log(max(r.n_states, 2)) + 1e-6
+
+    check("bigram_entropy_bounded", bigram_entropy_bounded)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
