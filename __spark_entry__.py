@@ -4172,6 +4172,19 @@ def q_reorder_gaps(spark, sf_dir):
     )
 
 
+def q_directed_assortativity(spark, sf_dir):
+    """Foster et al. 4-mode directed assortativity of the user
+    interaction digraph — out-in / out-out / in-in / in-out degree
+    correlations (exact int64 sufficient statistics)."""
+    from online_centrality_spark.operators.triangles import (
+        directed_assortativity,
+    )
+    from online_centrality_spark.sources.edges import user_interaction_pairs
+
+    pairs = user_interaction_pairs(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return directed_assortativity(pairs.select("src", "dst"))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4784,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "bigram_entropy": q_bigram_entropy,
         "reorder_gaps": q_reorder_gaps,
+        "directed_assortativity": q_directed_assortativity,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -7242,6 +7256,43 @@ WITH g AS (
 SELECT CAST(gap_days AS BIGINT) AS gap_days,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM g WHERE gap_days IS NOT NULL GROUP BY 1
+"""
+    sqls["directed_assortativity"] = f"""
+WITH {digraph_cte},
+outd AS (SELECT src AS n, count(*) AS od FROM dedges GROUP BY 1),
+ind AS (SELECT dst AS n, count(*) AS indg FROM dedges GROUP BY 1),
+dnodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT src AS n FROM dedges UNION ALL SELECT dst FROM dedges
+  ) u
+),
+ddeg AS (
+  SELECT dnodes.n, coalesce(outd.od, 0) AS od, coalesce(ind.indg, 0) AS indg
+  FROM dnodes LEFT JOIN outd ON outd.n = dnodes.n
+  LEFT JOIN ind ON ind.n = dnodes.n
+),
+wd AS (
+  SELECT du.od AS u_out, du.indg AS u_in, dv.od AS v_out, dv.indg AS v_in
+  FROM dedges e JOIN ddeg du ON e.src = du.n JOIN ddeg dv ON e.dst = dv.n
+),
+lg AS (
+  SELECT 'out-in' AS mode, u_out AS x, v_in AS y FROM wd
+  UNION ALL SELECT 'out-out', u_out, v_out FROM wd
+  UNION ALL SELECT 'in-in', u_in, v_in FROM wd
+  UNION ALL SELECT 'in-out', u_in, v_out FROM wd
+),
+a AS (
+  SELECT mode, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM lg GROUP BY 1
+)
+SELECT mode, CAST(n AS BIGINT) AS n_edges,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS corr
+FROM a
 """
     markov_joined = ",\n".join(markov_steps)
     sqls["markov_stationary"] = f"""

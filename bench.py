@@ -344,6 +344,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("source_overlap")
     add("bigram_entropy")
     add("reorder_gaps")
+    add("directed_assortativity")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

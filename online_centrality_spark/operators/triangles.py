@@ -620,3 +620,106 @@ def weighted_clustering(edges: DataFrame, weight_col: str = "w") -> DataFrame:
             .alias("wcc"),
         )
     )
+
+
+def directed_assortativity(edges: DataFrame) -> DataFrame:
+    """``(mode, n_edges, corr)`` — the four directed degree
+    assortativity coefficients of Foster et al. (PNAS 2010): for every
+    directed edge u→v, the Pearson correlation of (src-degree,
+    dst-degree) for the four degree-type combinations ``out-in``,
+    ``out-out``, ``in-in``, ``in-out`` (plain degrees, not excess
+    degrees — documented convention; zero-variance modes emit 0.0).
+    A digraph can be assortative in one mode and disassortative in
+    another — the single undirected coefficient
+    (``degree_assortativity``) can't see that. No reference
+    counterpart.
+
+    Scale shape: two degree aggregations + two broadcast-sized joins
+    attach the four degree columns to each deduplicated edge; a
+    JVM-side explode of a 4-struct array fans each edge to its four
+    (mode, x, y) rows; the five Pearson sufficient statistics are
+    EXACT INT64 sums per mode (degrees are counts), so the reduce is
+    map-side-combinable and layout-proof — only the final correlation
+    floats, rounded to 6 (vx·vy sqrt'd in double, the
+    ``lexical_saturation`` overflow rule).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    outd = e.groupBy(F.col("src").alias("n")).agg(F.count("*").alias("od"))
+    ind = e.groupBy(F.col("dst").alias("n")).agg(F.count("*").alias("id_"))
+    deg = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .join(outd, "n", "left")
+        .join(ind, "n", "left")
+        .fillna(0, ["od", "id_"])
+    )
+    withdeg = (
+        e.join(
+            deg.select(
+                F.col("n").alias("src"),
+                F.col("od").alias("u_out"),
+                F.col("id_").alias("u_in"),
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("n").alias("dst"),
+                F.col("od").alias("v_out"),
+                F.col("id_").alias("v_in"),
+            ),
+            "dst",
+        )
+    )
+    long_ = withdeg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("out-in").alias("mode"),
+                    F.col("u_out").alias("x"),
+                    F.col("v_in").alias("y"),
+                ),
+                F.struct(
+                    F.lit("out-out").alias("mode"),
+                    F.col("u_out").alias("x"),
+                    F.col("v_out").alias("y"),
+                ),
+                F.struct(
+                    F.lit("in-in").alias("mode"),
+                    F.col("u_in").alias("x"),
+                    F.col("v_in").alias("y"),
+                ),
+                F.struct(
+                    F.lit("in-out").alias("mode"),
+                    F.col("u_in").alias("x"),
+                    F.col("v_out").alias("y"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.mode", "r.x", "r.y")
+    agg = long_.groupBy("mode").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    vy = agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    cov = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    return agg.select(
+        "mode",
+        F.col("n").cast("long").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("corr"),
+    )

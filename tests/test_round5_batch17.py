@@ -60,3 +60,46 @@ def test_reorder_gaps_by_hand(spark, tmp_path):
         for r in entry.q_reorder_gaps(spark, str(tmp_path)).collect()
     }
     assert got == {0: 1, 4: 1}
+
+
+def test_directed_assortativity_by_hand(spark):
+    """Chain 1->2->3 plus 1->3: degrees out(1)=2,in(1)=0; out(2)=1,
+    in(2)=1; out(3)=0,in(3)=2. Hand Pearson per mode over the 3 edges
+    (computed with numpy in the comment):
+      out-in pairs  (2,1),(2,2),(1,2) -> corr = -0.5
+      out-out pairs (2,1),(2,0),(1,0) -> corr = +0.5
+      in-in pairs   (0,1),(0,2),(1,2) -> corr = +0.5
+      in-out pairs  (0,1),(0,0),(1,0) -> corr = -0.5"""
+    from online_centrality_spark.operators.triangles import (
+        directed_assortativity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    got = {
+        r["mode"]: (r["n_edges"], r["corr"])
+        for r in directed_assortativity(df).collect()
+    }
+    assert got == {
+        "out-in": (3, -0.5),
+        "out-out": (3, 0.5),
+        "in-in": (3, 0.5),
+        "in-out": (3, -0.5),
+    }
+
+
+def test_directed_assortativity_zero_variance(spark):
+    """A perfect 3-cycle: every degree is 1 in both directions -> all
+    four modes are zero-variance -> corr 0.0 by convention."""
+    from online_centrality_spark.operators.triangles import (
+        directed_assortativity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = {r["mode"]: r["corr"] for r in directed_assortativity(df).collect()}
+    assert got == {
+        "out-in": 0.0, "out-out": 0.0, "in-in": 0.0, "in-out": 0.0,
+    }
