@@ -4185,6 +4185,37 @@ def q_directed_assortativity(spark, sf_dir):
     return directed_assortativity(pairs.select("src", "dst"))
 
 
+def q_component_sizes(spark, sf_dir):
+    """Component-size histogram of the cosine graph — (size,
+    n_components): the fragmentation fingerprint behind the scalar
+    component count (one giant + dust vs many mid-size islands).
+    Pure rollup of the CC operator: two map-side-combinable groupBys
+    over the label frame."""
+    cc = q_connected_components(spark, sf_dir)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size histogram — (size, n_clusters) including
+    the singleton mass: the shape report that turns dedup_clusters'
+    per-doc labels into the dedup budget (how much mass sits in
+    2-doc pairs vs big template families)."""
+    dc = q_dedup_clusters(spark, sf_dir)
+    return (
+        dc.groupBy("cluster")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.col("size").cast("long").alias("size"), "n_clusters")
+    )
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4798,6 +4829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "reorder_gaps": q_reorder_gaps,
         "directed_assortativity": q_directed_assortativity,
+        "component_sizes": q_component_sizes,
+        "cluster_sizes": q_cluster_sizes,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -7293,6 +7326,24 @@ SELECT mode, CAST(n AS BIGINT) AS n_edges,
                               * CAST(n * syy - sy * sy AS DOUBLE)), 6)
             ELSE 0.0 END AS corr
 FROM a
+"""
+    sqls["component_sizes"] = f"""
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_components
+FROM (
+  SELECT component, count(*) AS size
+  FROM ({sqls["connected_components"]}) base
+  GROUP BY component
+) s GROUP BY size
+"""
+    sqls["cluster_sizes"] = f"""
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster, count(*) AS size
+  FROM ({sqls["dedup_clusters"]}) base
+  GROUP BY cluster
+) s GROUP BY size
 """
     markov_joined = ",\n".join(markov_steps)
     sqls["markov_stationary"] = f"""

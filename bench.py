@@ -345,6 +345,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("bigram_entropy")
     add("reorder_gaps")
     add("directed_assortativity")
+    add("component_sizes")
+    add("cluster_sizes")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((
