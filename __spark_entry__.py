@@ -4216,6 +4216,15 @@ def q_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_activation_latency(spark, sf_dir):
+    """Activation-funnel histogram: whole-hours latency from each
+    user's first event to their first 'purchase' (never-activators
+    absent by definition)."""
+    from online_centrality_spark.sources.transcripts import activation_latency
+
+    return activation_latency(_t(spark, sf_dir, "events"))
+
+
 def q_doc_surprisal(spark, sf_dir):
     """Per-document cross-entropy under the corpus unigram LM — the
     cheap perplexity proxy for quality filtering."""
@@ -4831,6 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "directed_assortativity": q_directed_assortativity,
         "component_sizes": q_component_sizes,
         "cluster_sizes": q_cluster_sizes,
+        "activation_latency": q_activation_latency,
         "betweenness": q_betweenness,
         "k_truss": q_k_truss,
         "modularity": q_modularity,
@@ -7344,6 +7354,18 @@ FROM (
   FROM ({sqls["dedup_clusters"]}) base
   GROUP BY cluster
 ) s GROUP BY size
+"""
+    sqls["activation_latency"] = """
+WITH fa AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+),
+fp AS (
+  SELECT user_id AS u, min(epoch_us(ts)) AS tp FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST((tp - t0) // 3600000000 AS BIGINT) AS hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM fa JOIN fp USING (u) GROUP BY 1
 """
     markov_joined = ",\n".join(markov_steps)
     sqls["markov_stationary"] = f"""

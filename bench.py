@@ -347,6 +347,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("directed_assortativity")
     add("component_sizes")
     add("cluster_sizes")
+    add("activation_latency")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -310,3 +310,44 @@ def user_churn(
             ).alias("jaccard"),
         )
     )
+
+
+def activation_latency(
+    events,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """(hours, n_users) — the activation-funnel histogram: for every
+    user who ever emitted ``target_type``, the whole-hours latency from
+    their FIRST event of any kind to their FIRST target event. Users
+    who never activate are simply absent (their latency is undefined —
+    the count difference against the user universe is the never-rate).
+    No reference counterpart.
+
+    Scale shape: two map-side-combinable min-aggregates on the user key
+    (the second over the pre-filtered target slice, so the shuffle
+    carries only target events), one co-keyed join, then a rollup onto
+    the HOURS-cardinality histogram. Exact integer microseconds
+    end to end.
+    """
+    from pyspark.sql import functions as F
+
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    first_any = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(t).alias("t0")
+    )
+    first_tgt = (
+        events.filter(F.col(type_col) == target_type)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(t).alias("tp"))
+    )
+    return (
+        first_any.join(first_tgt, "u")
+        .select(
+            F.expr("CAST((tp - t0) DIV 3600000000 AS LONG)").alias("hours")
+        )
+        .groupBy("hours")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )

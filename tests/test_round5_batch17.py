@@ -103,3 +103,30 @@ def test_directed_assortativity_zero_variance(spark):
     assert got == {
         "out-in": 0.0, "out-out": 0.0, "in-in": 0.0, "in-out": 0.0,
     }
+
+
+def test_activation_latency_by_hand(spark):
+    """u1: first event at t=0, first purchase 90 min later -> bucket 1;
+    u2 purchases immediately -> bucket 0; u3 never purchases ->
+    absent."""
+    import datetime as dt
+
+    d = dt.datetime
+    from online_centrality_spark.sources.transcripts import (
+        activation_latency,
+    )
+
+    events = spark.createDataFrame(
+        [
+            (d(2024, 1, 1, 0, 0), 1, "view"),
+            (d(2024, 1, 1, 1, 30), 1, "purchase"),
+            (d(2024, 1, 1, 5, 0), 1, "purchase"),  # later ones ignored
+            (d(2024, 1, 2), 2, "purchase"),
+            (d(2024, 1, 3), 3, "view"),
+        ],
+        "ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        r["hours"]: r["n_users"] for r in activation_latency(events).collect()
+    }
+    assert got == {1: 1, 0: 1}
