@@ -157,12 +157,17 @@ def edge_betweenness_from_pivots(
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     adj = e.dropDuplicates(["src", "dst"])
-    und = (
-        e.select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
-        ).dropDuplicates(["src", "dst"])
-    )
+    if directed:
+        # keep edge direction in the output key — folding to
+        # least/greatest would merge opposite directed edges
+        und = e.dropDuplicates(["src", "dst"])
+    else:
+        und = (
+            e.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            ).dropDuplicates(["src", "dst"])
+        )
     if not directed:
         adj = adj.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -243,14 +248,19 @@ def edge_betweenness_from_pivots(
         all_parts = edge_parts[0]
         for p in edge_parts[1:]:
             all_parts = all_parts.unionAll(p)
-        ebc = (
-            all_parts.select(
+        if directed:
+            # the DAG edge (v, w) IS the directed edge
+            keyed = all_parts.select(
+                F.col("v").alias("src"), F.col("w").alias("dst"), "part"
+            )
+        else:
+            keyed = all_parts.select(
                 F.least("v", "w").alias("src"),
                 F.greatest("v", "w").alias("dst"),
                 "part",
             )
-            .groupBy("src", "dst")
-            .agg((F.sum("part") / F.lit(half)).alias("ebc"))
+        ebc = keyed.groupBy("src", "dst").agg(
+            (F.sum("part") / F.lit(half)).alias("ebc")
         )
         out = und.join(ebc, ["src", "dst"], "left")
     else:

@@ -71,3 +71,15 @@ def test_source_vocab_overlap_by_hand(spark):
         r["source_a"], r["source_b"], r["n_a"], r["n_b"], r["n_common"],
         r["jaccard"],
     ) == ("s1", "s2", 3, 3, 2, 0.5)
+
+
+def test_edge_betweenness_directed_keeps_direction(spark):
+    """Directed chain 1->2->3: paths (1,2),(1,3),(2,3). Edge (1,2)
+    carries 2 (no halving), (2,3) carries 2; the reverse keys never
+    appear."""
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        (r["src"], r["dst"]): round(r["ebc"], 6)
+        for r in edge_betweenness_from_pivots(df, k=8, directed=True).collect()
+    }
+    assert got == {(1, 2): 2.0, (2, 3): 2.0}
