@@ -635,7 +635,10 @@ def pagerank_convergence(
                     + F.lit(uniform)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the stats collect below is the materializing action,
+            # so each round costs ONE job (checkpoint write piggybacks on
+            # the delta read) instead of two
+            .localCheckpoint(eager=False)
         )
         d = F.abs(F.col("rank") - F.col("old"))
         stats = (
