@@ -4730,6 +4730,126 @@ def q_changepoint(spark, sf_dir):
     return activity_changepoint(_t(spark, sf_dir, "events"))
 
 
+def q_returned_priority(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS semi-join (round 5): orders with at
+    least one returned lineitem, counted per o_orderpriority. The
+    LeftSemi physical join was the one classic join type with no
+    contract witness; the returned-lineitem probe side carries only
+    l_orderkey (column-pruned scan), dedup happens inside the semi
+    join itself — no distinct, no count-then-filter detour."""
+    li_ret = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        o.join(li_ret, o["o_orderkey"] == li_ret["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H Q22-shaped NOT EXISTS anti-join + global scalar subquery
+    (round 5): customers with above-average account balance and ZERO
+    order since 2000-01-01, per market segment (every customer has
+    SOME order in the synthetic data, so dormancy is date-scoped; the
+    date filter pushes to the orders scan). The LeftAnti physical join
+    and the broadcast-scalar-attach were unwitnessed shapes. The average
+    comparison is exact integer arithmetic — cents_i * n > sum_cents
+    (both int64) — so the boundary set is bit-identical to the SQL
+    oracle regardless of float summation order; the 1-row aggregate
+    attaches via broadcast crossJoin (the audited 1-row pattern)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    tot = c.agg(
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n_all")
+    )
+    rich = c.crossJoin(F.broadcast(tot)).filter(
+        F.col("cents") * F.col("n_all") > F.col("sum_cents")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    dormant = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("cents") / 100.0, 2).alias("total_bal"),
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """Region/nation revenue ROLLUP (round 5): per-nation subtotals,
+    per-region subtotals, and the grand total in ONE pass — the Expand
+    physical operator (GROUPING SETS family), the one aggregation
+    shape with no contract witness. Dimension joins broadcast; revenue
+    sums in exact cents (int64) so every rollup level is bit-identical
+    to the SQL oracle; NULL rollup slots surface as 'ALL' (dimension
+    names are never null in data, so the coalesce is unambiguous)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    full = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", "n_name", "cents")
+    )
+    return (
+        full.rollup("r_name", "n_name")
+        .agg(F.sum("cents").alias("sc"), F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.round(F.col("sc") / 100.0, 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+def q_tool_cooccurrence(spark, sf_dir):
+    """Tool co-occurrence graph over the transcript payload (round 5):
+    events.props is the semi-structured JSON column every transcript
+    store carries; extract the tool id (``$.k``), project the
+    conv->tool bipartite graph onto tools weighted by shared
+    conversations (min_shared=5). First JSON-path witness in the
+    contract — ``get_json_object`` runs JVM-side in the scan, then the
+    audited ``bipartite_projection`` pair-enumeration core."""
+    from online_centrality_spark.operators import bipartite_projection
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.get_json_object(F.col("props"), "$.k")
+            .cast("long")
+            .alias("tool"),
+            F.col("user_id").alias("conv"),
+        )
+        # missing key / malformed JSON extracts to NULL — not a node
+        .filter(F.col("tool").isNotNull())
+    )
+    out = bipartite_projection(
+        e, left_col="tool", right_col="conv", min_shared=5
+    )
+    return out.select(
+        F.col("a").alias("tool_a"),
+        F.col("b").alias("tool_b"),
+        F.col("shared").alias("n_convs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
@@ -4803,6 +4923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         # (every zero-evidence query — all 50 — now fills the window)
         # ---- 50-entry driver window ends here ------------------------
+        # -- round-5 late additions (gate-replica evidence, 2 SFs) -----
+        "returned_priority": q_returned_priority,
+        "dormant_customers": q_dormant_customers,
+        "revenue_rollup": q_revenue_rollup,
+        "tool_cooccurrence": q_tool_cooccurrence,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8306,5 +8431,64 @@ FROM pre p CROSS JOIN tot
 WHERE p.r < tot.n_days
 ORDER BY abs(tot.n_days * p.t - p.r * tot.s) DESC, p.day ASC
 LIMIT 1
+"""
+    sqls["returned_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY 1
+"""
+    sqls["dormant_customers"] = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n_all
+  FROM c
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(cents) / 100.0, 2) AS total_bal
+FROM c CROSS JOIN tot
+WHERE cents * n_all > sum_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= DATE '2000-01-01'
+  )
+GROUP BY 1
+"""
+    sqls["revenue_rollup"] = """
+WITH jf AS (
+  SELECT r.r_name, n.n_name,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       round(sum(cents) / 100.0, 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM jf
+GROUP BY ROLLUP (r_name, n_name)
+"""
+    sqls["tool_cooccurrence"] = """
+WITH e AS (
+  SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS tool,
+                  user_id AS conv
+  FROM events
+)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM e a JOIN e b ON a.conv = b.conv AND a.tool < b.tool
+GROUP BY 1, 2
+HAVING count(*) >= 5
 """
     return sqls

@@ -348,6 +348,12 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("component_sizes")
     add("cluster_sizes")
     add("activation_latency")
+    # round-5 batch 21: the unwitnessed physical shapes (semi/anti/
+    # rollup) + the JSON tool co-occurrence projection
+    add("returned_priority")
+    add("dormant_customers")
+    add("revenue_rollup")
+    add("tool_cooccurrence")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((
