@@ -4850,6 +4850,54 @@ def q_tool_cooccurrence(spark, sf_dir):
     )
 
 
+def q_type_pivot(spark, sf_dir):
+    """Day-of-week × event-type PIVOT (round 5): the wide conditional
+    aggregation every analytics surface exports, via the DataFrame
+    ``pivot`` API with an EXPLICIT value list (no extra distinct pass,
+    deterministic column order). Day-of-week uses the repo's pure
+    integer epoch arithmetic (1970-01-01 was a Thursday), absent cells
+    coalesce to 0 — bit-identical to the oracle's FILTER counts."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    t = "unix_micros(CAST(ts AS TIMESTAMP))"
+    wide = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr(f"(({t} div 86400000000) + 3) % 7").alias("dow"),
+            "event_type",
+        )
+        .groupBy("dow")
+        .pivot("event_type", types)
+        .count()
+    )
+    return wide.select(
+        "dow",
+        *[
+            F.coalesce(F.col(ty), F.lit(0)).alias(f"n_{ty}")
+            for ty in types
+        ],
+    )
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Hash-trick sparse features over the transcript payload (round
+    5): event_type and the JSON tool id hash into 64 namespaced
+    buckets per user — the standard unbounded-vocabulary → fixed-width
+    model-input transform, in sparse (user, idx, n) long form. The
+    bucket assignment is the portable md5 hash, so the identical
+    feature matrix reproduces in Spark, DuckDB, and any rerun."""
+    from online_centrality_spark.text import hashed_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    out = hashed_features(
+        ev, "user_id", ["event_type", "k"], num_buckets=64
+    )
+    return out.select(F.col("id").alias("user_id"), "idx", "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
@@ -4928,6 +4976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "revenue_rollup": q_revenue_rollup,
         "tool_cooccurrence": q_tool_cooccurrence,
+        "type_pivot": q_type_pivot,
+        "feature_hashing": q_feature_hashing,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8490,5 +8540,31 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
 FROM e a JOIN e b ON a.conv = b.conv AND a.tool < b.tool
 GROUP BY 1, 2
 HAVING count(*) >= 5
+"""
+    sqls["type_pivot"] = """
+SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+    fh_hash = PORTABLE_HASH.format(s="f")
+    sqls["feature_hashing"] = f"""
+WITH feats AS (
+  SELECT user_id, 'event_type:' || event_type AS f FROM events
+  UNION ALL
+  SELECT user_id,
+         'k:' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                      AS VARCHAR)
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)
+SELECT user_id, {fh_hash} % 64 AS idx, CAST(count(*) AS BIGINT) AS n
+FROM feats
+GROUP BY 1, 2
 """
     return sqls

@@ -354,6 +354,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("dormant_customers")
     add("revenue_rollup")
     add("tool_cooccurrence")
+    add("type_pivot")
+    add("feature_hashing")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

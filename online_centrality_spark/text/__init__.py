@@ -8,6 +8,7 @@ from .analysis import (
     quality_score,
     token_count,
 )
+from .features import hashed_features
 from .packing import (
     chunk_documents,
     domain_mixture_weights,
@@ -34,4 +35,5 @@ __all__ = [
     "grouped_split",
     "chunk_documents",
     "pipeline_funnel",
+    "hashed_features",
 ]
