@@ -4898,6 +4898,19 @@ def q_feature_hashing(spark, sf_dir):
     return out.select(F.col("id").alias("user_id"), "idx", "n")
 
 
+def q_bridges(spark, sf_dir):
+    """Bridge (cut-edge) detection on the cosine graph (round 5):
+    2-edge-connectivity via the any-spanning-forest covering lemma —
+    BFS forest + binary-lifting lca depths + bottom-up subtree-min —
+    the distributed stand-in for Tarjan's inherently-sequential DFS
+    low-link. Output is tree-independent (bridges are a graph
+    property), so the oracle's recursive-CTE construction needs no
+    parity with the engine's forest."""
+    from online_centrality_spark.operators import bridges
+
+    return bridges(_cos_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is the driver-gate schedule: the driver's correctness
     run covers the first 50 entries, so queries are sorted by how much
@@ -4978,6 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": q_tool_cooccurrence,
         "type_pivot": q_type_pivot,
         "feature_hashing": q_feature_hashing,
+        "bridges": q_bridges,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8566,5 +8580,84 @@ WITH feats AS (
 SELECT user_id, {fh_hash} % 64 AS idx, CAST(count(*) AS BIGINT) AS n
 FROM feats
 GROUP BY 1, 2
+"""
+    # Bridges via the any-spanning-forest covering lemma. The oracle
+    # builds its OWN min-parent BFS forest (bridges are tree-
+    # independent, so no engine parity is required): transitive
+    # closure -> per-component min root, bounded multi-source BFS ->
+    # depths (LOUD error() if the cap is ever too small), min-neighbor
+    # parents, recursive ancestor-or-self closure (O(n * depth) rows —
+    # fine at gate scale), lca depth = max common-ancestor depth,
+    # subtree-min over the ancestor closure, then the covering rule.
+    sqls["bridges"] = f"""
+WITH RECURSIVE {COS_EDGES_CTE.strip()},
+{SYM_CTE.strip()},
+reach AS (
+  SELECT node_id AS x, node_id AS y FROM cnodes
+  UNION
+  SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y
+),
+comp AS (SELECT x AS node_id, min(y) AS root FROM reach GROUP BY x),
+wk AS (
+  SELECT node_id, 0 AS dist
+  FROM (SELECT DISTINCT root AS node_id FROM comp)
+  UNION
+  SELECT s.b, w.dist + 1
+  FROM wk w JOIN sym s ON s.a = w.node_id
+  WHERE w.dist < {BFS_DEPTH_CAP}
+),
+depth AS (SELECT node_id, min(dist) AS depth FROM wk GROUP BY node_id),
+chk AS (
+  SELECT CASE WHEN (SELECT count(*) FROM cnodes)
+              != (SELECT count(*) FROM depth)
+         THEN error('bridges oracle: BFS depth cap too small')
+         ELSE 1 END AS ok
+),
+par AS (
+  SELECT d.node_id, min(s.a) AS parent, d.depth
+  FROM depth d
+  JOIN sym s ON s.b = d.node_id
+  JOIN depth dp ON dp.node_id = s.a AND dp.depth = d.depth - 1
+  GROUP BY d.node_id, d.depth
+),
+tre AS (
+  SELECT least(parent, node_id) AS a, greatest(parent, node_id) AS b,
+         node_id AS child, depth AS child_depth
+  FROM par
+),
+nte AS (
+  SELECT c.src AS a, c.dst AS b
+  FROM cedges c LEFT JOIN tre t ON c.src = t.a AND c.dst = t.b
+  WHERE t.a IS NULL
+),
+anc AS (
+  SELECT node_id AS x, node_id AS a FROM depth
+  UNION
+  SELECT n.x, p.parent FROM anc n JOIN par p ON p.node_id = n.a
+),
+lca AS (
+  SELECT e.a, e.b, max(dd.depth) AS dlca
+  FROM nte e
+  JOIN anc au ON au.x = e.a
+  JOIN anc av ON av.x = e.b AND av.a = au.a
+  JOIN depth dd ON dd.node_id = au.a
+  GROUP BY e.a, e.b
+),
+mdr AS (
+  SELECT n, min(dlca) AS md
+  FROM (SELECT a AS n, dlca FROM lca
+        UNION ALL SELECT b AS n, dlca FROM lca)
+  GROUP BY n
+),
+subm AS (
+  SELECT ac.a AS c, min(m.md) AS sm
+  FROM anc ac JOIN mdr m ON m.n = ac.x
+  GROUP BY ac.a
+)
+SELECT CAST(t.a AS BIGINT) AS a, CAST(t.b AS BIGINT) AS b
+FROM tre t
+LEFT JOIN subm s ON s.c = t.child
+CROSS JOIN chk
+WHERE (s.sm IS NULL OR s.sm >= t.child_depth) AND chk.ok = 1
 """
     return sqls

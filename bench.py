@@ -356,6 +356,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("tool_cooccurrence")
     add("type_pivot")
     add("feature_hashing")
+    add("bridges", n=1)
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

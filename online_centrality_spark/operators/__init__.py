@@ -28,6 +28,7 @@ from .backbone import disparity_backbone, disparity_scores, strength_disparity
 from .persistence import edge_persistence
 from .robustness import attack_robustness, random_failure
 from .bipartite import bipartite_projection, butterfly_count
+from .bridges import bridges
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
 from .coloring import greedy_coloring
@@ -104,6 +105,7 @@ __all__ = [
     "random_failure",
     "butterfly_count",
     "bipartite_projection",
+    "bridges",
     "activity_autocorr",
     "activity_changepoint",
     "anf_reach",

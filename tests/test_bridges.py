@@ -1,0 +1,71 @@
+"""Bridge-detection fixtures: hand graphs with known cut edges, the
+networkx cross-check (the same oracle style as static PageRank), and
+input-normalization rules."""
+
+import pytest
+
+from online_centrality_spark.operators import bridges
+
+
+def _run(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {(r["a"], r["b"]) for r in bridges(df).collect()}
+
+
+def test_path_graph_every_edge_is_a_bridge(spark):
+    assert _run(spark, [(1, 2), (2, 3), (3, 4)]) == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_cycle_has_no_bridges(spark):
+    assert _run(spark, [(1, 2), (2, 3), (3, 1)]) == set()
+
+
+def test_cycle_with_pendant_chain(spark):
+    """Only the chain edges hanging off the cycle are bridges."""
+    got = _run(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    assert got == {(3, 4), (4, 5)}
+
+
+def test_two_cycles_joined_by_one_edge(spark):
+    """The classic barbell: the connector is the unique bridge."""
+    got = _run(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+    )
+    assert got == {(3, 4)}
+
+
+def test_disconnected_components(spark):
+    """Bridges are found per component."""
+    got = _run(spark, [(1, 2), (10, 11), (11, 12), (12, 10)])
+    assert got == {(1, 2)}
+
+
+def test_duplicates_orientation_and_self_loops_collapse(spark):
+    """(a,b) and (b,a) are ONE undirected edge (still a bridge — not a
+    2-cycle); self-loops vanish."""
+    got = _run(spark, [(1, 2), (2, 1), (1, 2), (1, 1)])
+    assert got == {(1, 2)}
+
+
+def test_empty_graph(spark):
+    assert _run(spark, [(1, 1)]) == set()
+
+
+def test_networkx_parity_random_graphs(spark):
+    nx = pytest.importorskip("networkx")
+    for seed, (n, p) in enumerate([(20, 0.1), (35, 0.07), (25, 0.2)]):
+        g = nx.gnp_random_graph(n, p, seed=seed * 17 + 5)
+        g.add_edge(0, n + 1)
+        g.add_edge(n + 1, n + 2)
+        exp = {tuple(sorted(e)) for e in nx.bridges(g)}
+        got = _run(spark, [(a, b) for a, b in g.edges()])
+        assert got == exp, f"seed {seed}"
+
+
+def test_max_rounds_raises_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not saturate"):
+        bridges(df, max_rounds=1)
