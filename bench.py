@@ -357,6 +357,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("type_pivot")
     add("feature_hashing")
     add("bridges", n=1)
+    add("table_profile")
+    add("integrity_checks")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((
