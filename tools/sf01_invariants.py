@@ -585,6 +585,33 @@ def main():
 
     check("bigram_entropy_bounded", bigram_entropy_bounded)
 
+    def bridges_disjoint_from_truss_and_forest_bounded():
+        """Cross-operator: a bridge lies on NO cycle, so it can never
+        survive the 3-truss peel (truss edges sit in triangles); and
+        bridges are a subset of any spanning forest, so their count is
+        bounded by n_nodes - n_components."""
+        br = entry_mod.q_bridges(spark, sf_dir).persist()
+        tr = entry_mod.q_k_truss(spark, sf_dir).select("a", "b")
+        overlap = br.join(tr, ["a", "b"]).count()
+        assert overlap == 0, f"{overlap} bridges inside the 3-truss"
+        cc = entry_mod.q_connected_components(spark, sf_dir)
+        n_nodes = cc.count()
+        n_comp = cc.select("component").distinct().count()
+        n_br = br.count()
+        assert n_br <= n_nodes - n_comp, (n_br, n_nodes, n_comp)
+
+    check("bridges_disjoint_from_truss_and_forest_bounded",
+          bridges_disjoint_from_truss_and_forest_bounded)
+
+    def integrity_checks_clean_at_sf01():
+        rows = entry_mod.q_integrity_checks(spark, sf_dir).collect()
+        assert len(rows) == 9
+        bad = {r["check"]: r["n_violations"] for r in rows
+               if r["n_violations"] != 0}
+        assert not bad, bad
+
+    check("integrity_checks_clean_at_sf01", integrity_checks_clean_at_sf01)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
