@@ -4911,6 +4911,18 @@ def q_bridges(spark, sf_dir):
     return bridges(_cos_edges(spark, sf_dir))
 
 
+def q_articulation_points(spark, sf_dir):
+    """Articulation (cut) vertices of the cosine graph (round 5): the
+    vertex twin of ``bridges`` — child subtrees of each vertex grouped
+    by the cross edges whose lca is that vertex (one stripe-encoded
+    star-CC run solves every per-vertex child graph at once); a vertex
+    cuts iff some group has no edge escaping strictly above it (root:
+    iff >= 2 groups). Tree-independent output, networkx-verified."""
+    from online_centrality_spark.operators import articulation_points
+
+    return articulation_points(_cos_edges(spark, sf_dir))
+
+
 def q_table_profile(spark, sf_dir):
     """Deequ/TFDV-style per-column table profile of the events table
     (round 5): null counts, exact distinct cardinalities, typed
@@ -5048,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "table_profile": q_table_profile,
         "integrity_checks": q_integrity_checks,
+        "articulation_points": q_articulation_points,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8637,15 +8650,18 @@ SELECT user_id, {fh_hash} % 64 AS idx, CAST(count(*) AS BIGINT) AS n
 FROM feats
 GROUP BY 1, 2
 """
-    # Bridges via the any-spanning-forest covering lemma. The oracle
-    # builds its OWN min-parent BFS forest (bridges are tree-
-    # independent, so no engine parity is required): transitive
-    # closure -> per-component min root, bounded multi-source BFS ->
-    # depths (LOUD error() if the cap is ever too small), min-neighbor
-    # parents, recursive ancestor-or-self closure (O(n * depth) rows —
-    # fine at gate scale), lca depth = max common-ancestor depth,
-    # subtree-min over the ancestor closure, then the covering rule.
-    sqls["bridges"] = f"""
+    # Bridges + articulation points via the any-spanning-forest
+    # covering lemmas. The oracle builds its OWN min-parent BFS forest
+    # (both outputs are tree-independent, so no engine parity is
+    # required): transitive closure -> per-component min root, bounded
+    # multi-source BFS -> depths (LOUD error() if the cap is ever too
+    # small), min-neighbor parents, recursive ancestor-or-self closure
+    # (O(n * depth) rows -- fine at gate scale), lca node+depth =
+    # arg_max over common ancestors, subtree-min over the ancestor
+    # closure; then the edge covering rule (bridges) and the
+    # child-group rule (articulation points: groups via a per-vertex
+    # recursive closure over the lca-level cross edges).
+    _conn_ctes = f"""
 WITH RECURSIVE {COS_EDGES_CTE.strip()},
 {SYM_CTE.strip()},
 reach AS (
@@ -8692,7 +8708,8 @@ anc AS (
   SELECT n.x, p.parent FROM anc n JOIN par p ON p.node_id = n.a
 ),
 lca AS (
-  SELECT e.a, e.b, max(dd.depth) AS dlca
+  SELECT e.a, e.b, arg_max(au.a, dd.depth) AS lnode,
+         max(dd.depth) AS dlca
   FROM nte e
   JOIN anc au ON au.x = e.a
   JOIN anc av ON av.x = e.b AND av.a = au.a
@@ -8709,12 +8726,61 @@ subm AS (
   SELECT ac.a AS c, min(m.md) AS sm
   FROM anc ac JOIN mdr m ON m.n = ac.x
   GROUP BY ac.a
-)
+)"""
+    sqls["bridges"] = _conn_ctes + """
 SELECT CAST(t.a AS BIGINT) AS a, CAST(t.b AS BIGINT) AS b
 FROM tre t
 LEFT JOIN subm s ON s.c = t.child
 CROSS JOIN chk
 WHERE (s.sm IS NULL OR s.sm >= t.child_depth) AND chk.ok = 1
+"""
+    sqls["articulation_points"] = _conn_ctes + """,
+kids AS (SELECT parent AS c, node_id AS ch FROM par),
+cge AS (
+  SELECT x.lnode AS c, cu.a AS chu, cv.a AS chv
+  FROM lca x
+  JOIN anc cu ON cu.x = x.a
+  JOIN depth du ON du.node_id = cu.a AND du.depth = x.dlca + 1
+  JOIN anc cv ON cv.x = x.b
+  JOIN depth dv ON dv.node_id = cv.a AND dv.depth = x.dlca + 1
+  WHERE x.a != x.lnode AND x.b != x.lnode
+),
+cgsym AS (
+  SELECT c, chu AS x, chv AS y FROM cge
+  UNION
+  SELECT c, chv AS x, chu AS y FROM cge
+),
+gr AS (
+  SELECT c, ch AS x, ch AS y FROM kids
+  UNION
+  SELECT g.c, g.x, s.y
+  FROM gr g JOIN cgsym s ON s.c = g.c AND s.x = g.y
+),
+glab AS (SELECT c, x AS ch, min(y) AS lbl FROM gr GROUP BY c, x),
+kesc AS (
+  SELECT k.c, k.ch,
+         CASE WHEN coalesce(s.sm, 4611686018427387904) < dk.depth - 1
+              THEN 1 ELSE 0 END AS esc
+  FROM kids k
+  JOIN depth dk ON dk.node_id = k.ch
+  LEFT JOIN subm s ON s.c = k.ch
+),
+pg AS (
+  SELECT e.c, g.lbl, max(e.esc) AS gesc
+  FROM kesc e JOIN glab g ON g.c = e.c AND g.ch = e.ch
+  GROUP BY e.c, g.lbl
+),
+pc AS (
+  SELECT c, count(*) AS ngroups, sum(1 - gesc) AS ntrapped
+  FROM pg GROUP BY c
+)
+SELECT CAST(n.node_id AS BIGINT) AS node_id
+FROM depth n
+LEFT JOIN pc ON pc.c = n.node_id
+CROSS JOIN chk
+WHERE chk.ok = 1
+  AND ((n.depth = 0 AND coalesce(pc.ngroups, 0) >= 2)
+       OR (n.depth > 0 AND coalesce(pc.ntrapped, 0) >= 1))
 """
     prof_rows = []
     for col, dtype in [

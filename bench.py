@@ -359,6 +359,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("bridges", n=1)
     add("table_profile")
     add("integrity_checks")
+    add("articulation_points", n=1)
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

@@ -1,11 +1,12 @@
-"""Bridge (cut-edge) detection — 2-edge-connectivity, distributed.
+"""Bridges (cut edges) and articulation points (cut vertices) —
+2-edge- and 2-vertex-connectivity, distributed.
 
-A bridge is an edge whose removal disconnects its endpoints. The
-classic sequential algorithm is Tarjan's DFS low-link, which does not
-parallelize; this operator uses the spanning-tree covering lemma that
-holds for ANY rooted spanning forest (not just DFS trees), so the tree
-can come from level-synchronous BFS — the only traversal that
-distributes:
+Tarjan's classic algorithms for both are DFS low-link passes, which do
+not parallelize; this module uses covering lemmas that hold for ANY
+rooted spanning forest (not just DFS trees), so the tree can come from
+level-synchronous BFS — the traversal that distributes.
+
+Bridge lemma:
 
     tree edge (parent, c) is a bridge
       <=>  no non-tree edge "covers" it
@@ -16,34 +17,46 @@ distributes:
 
 because a non-tree edge (u, v) has exactly one endpoint inside
 subtree(c) iff c lies strictly below lca(u, v) on one of the two tree
-paths — i.e. iff some subtree member's lca-depth is < depth(c).
-Non-tree edges always sit on a cycle themselves (their endpoints stay
-connected through the tree), so the bridge set is a subset of the
-forest, and it is independent of WHICH spanning forest was built
-(bridges are a graph property). The BFS forest here is nevertheless
-deterministic (min-id parent rule) so runs reproduce row-for-row.
+paths. Non-tree edges always sit on a cycle themselves, so the bridge
+set is a subset of the forest, and it is independent of WHICH spanning
+forest was built (bridges are a graph property).
+
+Articulation lemma (same frame): removing vertex c splits the child
+subtrees of c into GROUPS connected by the non-tree edges whose lca is
+exactly c (an edge between two different child subtrees meets the tree
+precisely at c); a group survives the removal iff some member subtree
+has a non-tree edge escaping STRICTLY above c (subtree-min < depth(c)
+— the same subtree-min the bridge rule uses). So:
+
+    non-root c is an articulation point  <=>  some child group has no
+                                              escaping member
+    a root is an articulation point      <=>  its children form >= 2
+                                              groups
+
+(edges incident to c itself vanish with c and are excluded from the
+child graph). Verified against networkx on random graphs.
 
 Pipeline (all DataFrame joins, lineage cut per round):
-  1. BFS forest from each component's min node (roots from the star-CC
-     operator): O(diameter) frontier rounds, min-parent tie-break.
-  2. Binary-lifting ancestor tables anc[2^k] (O(log depth) self-joins,
-     O(n log depth) total state — never the O(n * depth) ancestor
-     closure).
-  3. depth(lca) per non-tree edge: equalize depths along the set bits
-     of the depth difference, then binary-descend from the top bit —
-     O(log depth) joins on the non-tree frame, original endpoints
-     carried alongside the moving pointers.
-  4. Subtree-min of mindepth by bottom-up depth layers: one per-level
-     aggregation, active frame shrinking with the layer.
-  5. Bridge rule above; output (a, b) with a < b.
+  1. BFS forest from each component's min node (roots via star-CC):
+     O(diameter) frontier rounds, min-parent tie-break.
+  2. Binary-lifting ancestor tables anc[2^k]: O(log depth) self-joins,
+     O(n log depth) state — never the O(n * depth) ancestor closure.
+  3. Per non-tree edge: lca NODE and DEPTH via depth equalization +
+     binary descent (lazily checkpointed join chains).
+  4. Subtree-min of mindepth by bottom-up depth layers.
+  5. Bridges: covering rule. Articulation points: lift both endpoints
+     of each lca-level cross edge to the lca's child level (one more
+     binary lift), solve the per-vertex child-group CC in ONE
+     stripe-encoded star-CC run (the ``bucketed_component_sizes``
+     encoding), then apply the group rule.
 
 Scale: every step shuffles on node keys; per-round state is O(n) rows
 (plus O(n log D) lifting tables). Depth of a BFS forest on small-world
 graphs is O(log n); a pathological path graph costs O(n) rounds — the
 same envelope as every frontier traversal in this repo.
 
-Reference parity: the reference repo has no 2-edge-connectivity
-operator; this extends the link-graph toolkit (SURVEY §2.9 family).
+Reference parity: the reference repo has no connectivity-decomposition
+operators; these extend the link-graph toolkit (SURVEY §2.9 family).
 """
 
 from __future__ import annotations
@@ -116,11 +129,45 @@ def _lift_tables(tree: DataFrame, max_depth: int) -> list[DataFrame]:
     return tables
 
 
-def _nte_lca_depth(
+def _lift_by(
+    frame: DataFrame, node_col: str, delta_col: str, tables
+) -> DataFrame:
+    """Replace ``node_col`` with its ``delta_col``-th ancestor (the
+    delta must be a valid height). Processes the delta's bits high to
+    low; the frame comes back with ``delta_col`` consumed to 0."""
+    for k in range(len(tables) - 1, -1, -1):
+        bit = 1 << k
+        take = (F.col(delta_col).bitwiseAND(F.lit(bit))) != 0
+        t = tables[k].select(
+            F.col("node").alias("__ln"), F.col("anc").alias("__la")
+        )
+        frame = (
+            frame.join(t, frame[node_col] == t["__ln"], "left")
+            .withColumn(
+                "__nn",
+                F.when(
+                    take & F.col("__la").isNotNull(), F.col("__la")
+                ).otherwise(F.col(node_col)),
+            )
+            .withColumn(
+                "__nd",
+                F.when(take, F.col(delta_col) - bit).otherwise(
+                    F.col(delta_col)
+                ),
+            )
+            .drop("__ln", "__la", node_col, delta_col)
+            .withColumnRenamed("__nn", node_col)
+            .withColumnRenamed("__nd", delta_col)
+        )
+    return frame
+
+
+def _nte_lca(
     nte: DataFrame, tree: DataFrame, tables: list[DataFrame]
 ) -> DataFrame:
-    """(n, dlca) scatter rows: for each non-tree edge, its lca depth
-    attached to BOTH original endpoints."""
+    """(oa, ob, dlca, lca) per non-tree edge: the lca's depth and node
+    id, with the ORIGINAL endpoints carried alongside the moving
+    pointers."""
     depth_of = tree.select(
         F.col("node_id").alias("__dn"), F.col("depth").alias("__dd")
     )
@@ -135,7 +182,7 @@ def _nte_lca_depth(
         .withColumn("db", F.col("__dd"))
         .drop("__dn", "__dd")
     )
-    # moving pointers u (deeper) / v, depths du >= dv
+    # moving pointers u (deeper) / v; equalize u down to depth dv
     nt = nt.select(
         "oa",
         "ob",
@@ -145,31 +192,12 @@ def _nte_lca_depth(
         F.when(F.col("da") >= F.col("db"), F.col("ob"))
         .otherwise(F.col("oa"))
         .alias("v"),
-        F.greatest("da", "db").alias("du"),
+        (F.greatest("da", "db") - F.least("da", "db")).alias("__delta"),
         F.least("da", "db").alias("dv"),
     )
-    # 1) equalize: lift u by (du - dv) along its set bits
-    for k in range(len(tables) - 1, -1, -1):
-        bit = 1 << k
-        take = ((F.col("du") - F.col("dv")).bitwiseAND(F.lit(bit))) != 0
-        t = tables[k].select(
-            F.col("node").alias("__n"), F.col("anc").alias("__a")
-        )
-        nt = (
-            nt.join(t, nt["u"] == t["__n"], "left")
-            .withColumn(
-                "new_u", F.when(take, F.col("__a")).otherwise(F.col("u"))
-            )
-            .withColumn(
-                "new_du",
-                F.when(take, F.col("du") - bit).otherwise(F.col("du")),
-            )
-            .drop("__n", "__a", "u", "du")
-            .withColumnRenamed("new_u", "u")
-            .withColumnRenamed("new_du", "du")
-        )
+    nt = _lift_by(nt, "u", "__delta", tables).drop("__delta")
     nt = nt.localCheckpoint(eager=True)
-    # 2) descend: advance both pointers while their 2^k ancestors differ
+    # binary descent: advance both pointers while 2^k ancestors differ
     for k in range(len(tables) - 1, -1, -1):
         t_u = tables[k].select(
             F.col("node").alias("__un"), F.col("anc").alias("__ua")
@@ -204,25 +232,31 @@ def _nte_lca_depth(
             .withColumnRenamed("new_v", "v")
             .withColumnRenamed("new_dv", "dv")
         )
-        # lazy: no action is needed between descent rounds — the final
-        # scatter aggregation materializes the whole chain in one job
+        # lazy: no action is needed between descent rounds — the next
+        # consumer materializes the whole chain in one job
         nt = nt.localCheckpoint(eager=False)
-    dlca = F.when(F.col("u") == F.col("v"), F.col("dv")).otherwise(
-        F.col("dv") - 1
+    parent_t = tables[0].select(
+        F.col("node").alias("__pn"), F.col("anc").alias("__pa")
     )
-    nt = nt.withColumn("dlca", dlca)
-    return nt.select(F.col("oa").alias("n"), "dlca").unionAll(
-        nt.select(F.col("ob").alias("n"), "dlca")
-    )
+    nt = nt.join(parent_t, nt["u"] == parent_t["__pn"], "left")
+    return nt.select(
+        "oa",
+        "ob",
+        F.when(F.col("u") == F.col("v"), F.col("dv"))
+        .otherwise(F.col("dv") - 1)
+        .alias("dlca"),
+        F.when(F.col("u") == F.col("v"), F.col("u"))
+        .otherwise(F.col("__pa"))
+        .alias("lca"),
+    ).localCheckpoint(eager=True)
 
 
-def bridges(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
-    """(a, b) with a < b — every bridge of the undirected simple graph.
-
-    Self-loops are dropped; duplicate rows and opposite orientations
-    collapse into one undirected edge.
-    """
-    spark = edges.sparkSession
+def _forest_analysis(edges: DataFrame, max_rounds: int):
+    """Shared frame pipeline for bridges/articulation points. Returns
+    None on an empty graph, else a dict with the simple edge set,
+    forest, max depth, tree-edge frame, lifting tables, per-non-tree
+    -edge lca frame (None on forests), and the per-node subtree-min
+    ``work`` frame (node_id, depth, parent, m)."""
     e = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -233,7 +267,7 @@ def bridges(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
         .persist()
     )
     if e.isEmpty():
-        return spark.createDataFrame([], "a long, b long")
+        return None
     adj = (
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionAll(
@@ -249,7 +283,6 @@ def bridges(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     roots = comp.select(F.col("component").alias("node_id")).distinct()
     tree, max_depth = _bfs_forest(adj, roots, max_rounds)
     tree = tree.persist()
-
     tree_edges = (
         tree.filter(F.col("parent").isNotNull())
         .select(
@@ -261,53 +294,200 @@ def bridges(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
         .persist()
     )
     nte = e.join(tree_edges.select("a", "b"), ["a", "b"], "left_anti")
-
-    if nte.isEmpty():
-        # forest graph: every edge is a bridge
-        return tree_edges.select("a", "b")
-
     tables = _lift_tables(tree, max(max_depth, 1))
-    scatter = _nte_lca_depth(nte, tree, tables)
-    mdr = scatter.groupBy(F.col("n").alias("node_id")).agg(
-        F.min("dlca").alias("md")
-    )
+    lca_pairs = None
+    if not nte.isEmpty():
+        lca_pairs = _nte_lca(nte, tree, tables)
 
-    # bottom-up subtree-min by depth layers
-    work = (
-        tree.join(mdr, "node_id", "left")
-        .select(
-            "node_id",
-            "depth",
-            "parent",
-            F.coalesce(F.col("md"), F.lit(_INF)).alias("m"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for d in range(max_depth, 0, -1):
-        up = (
-            work.filter(F.col("depth") == d)
-            .groupBy(F.col("parent").alias("node_id"))
-            .agg(F.min("m").alias("child_m"))
+    if lca_pairs is None:
+        work = tree.select(
+            "node_id", "depth", "parent", F.lit(_INF).alias("m")
+        ).localCheckpoint(eager=True)
+    else:
+        scatter = lca_pairs.select(
+            F.col("oa").alias("n"), "dlca"
+        ).unionAll(lca_pairs.select(F.col("ob").alias("n"), "dlca"))
+        mdr = scatter.groupBy(F.col("n").alias("node_id")).agg(
+            F.min("dlca").alias("md")
         )
         work = (
-            work.join(up, "node_id", "left")
+            tree.join(mdr, "node_id", "left")
             .select(
                 "node_id",
                 "depth",
                 "parent",
-                F.least(
-                    F.col("m"), F.coalesce(F.col("child_m"), F.lit(_INF))
-                ).alias("m"),
+                F.coalesce(F.col("md"), F.lit(_INF)).alias("m"),
             )
-            # lazy: the layer loop builds one plan; the final bridge
-            # filter is the only action
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        # bottom-up subtree-min by depth layers
+        for d in range(max_depth, 0, -1):
+            up = (
+                work.filter(F.col("depth") == d)
+                .groupBy(F.col("parent").alias("node_id"))
+                .agg(F.min("m").alias("child_m"))
+            )
+            work = (
+                work.join(up, "node_id", "left")
+                .select(
+                    "node_id",
+                    "depth",
+                    "parent",
+                    F.least(
+                        F.col("m"),
+                        F.coalesce(F.col("child_m"), F.lit(_INF)),
+                    ).alias("m"),
+                )
+                # lazy: the layer loop builds one plan; the consumer's
+                # action materializes it
+                .localCheckpoint(eager=False)
+            )
+    return {
+        "e": e,
+        "tree": tree,
+        "max_depth": max_depth,
+        "tree_edges": tree_edges,
+        "tables": tables,
+        "lca_pairs": lca_pairs,
+        "work": work,
+    }
 
+
+def bridges(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
+    """(a, b) with a < b — every bridge of the undirected simple graph.
+
+    Self-loops are dropped; duplicate rows and opposite orientations
+    collapse into one undirected edge.
+    """
+    fa = _forest_analysis(edges, max_rounds)
+    if fa is None:
+        return edges.sparkSession.createDataFrame([], "a long, b long")
+    if fa["lca_pairs"] is None:
+        # forest graph: every edge is a bridge
+        return fa["tree_edges"].select("a", "b")
     return (
-        tree_edges.join(
-            work.select(F.col("node_id").alias("child"), "m"), "child"
+        fa["tree_edges"]
+        .join(
+            fa["work"].select(F.col("node_id").alias("child"), "m"),
+            "child",
         )
         .filter(F.col("m") >= F.col("child_depth"))
         .select("a", "b")
     )
+
+
+def articulation_points(
+    edges: DataFrame, max_rounds: int = 10_000
+) -> DataFrame:
+    """(node_id) — every articulation (cut) vertex of the undirected
+    simple graph, via the child-group rule above."""
+    fa = _forest_analysis(edges, max_rounds)
+    spark = edges.sparkSession
+    if fa is None:
+        return spark.createDataFrame([], "node_id long")
+    tree, work, tables = fa["tree"], fa["work"], fa["tables"]
+    children = (
+        tree.filter(F.col("parent").isNotNull())
+        .select(F.col("parent").alias("c"), F.col("node_id").alias("ch"))
+        .persist()
+    )
+    glabel = None
+    if fa["lca_pairs"] is not None:
+        depth_of = tree.select(
+            F.col("node_id").alias("__dn"), F.col("depth").alias("__dd")
+        )
+        # cross edges at their lca: lift both endpoints to the lca's
+        # CHILD level (depth dlca + 1); endpoints equal to the lca are
+        # excluded — those edges die with the vertex
+        cg = fa["lca_pairs"].filter(
+            (F.col("oa") != F.col("lca")) & (F.col("ob") != F.col("lca"))
+        )
+        cg = (
+            cg.join(depth_of, cg["oa"] == F.col("__dn"))
+            .withColumn("__del_a", F.col("__dd") - F.col("dlca") - 1)
+            .drop("__dn", "__dd")
+        )
+        cg = (
+            cg.join(depth_of, cg["ob"] == F.col("__dn"))
+            .withColumn("__del_b", F.col("__dd") - F.col("dlca") - 1)
+            .drop("__dn", "__dd")
+        )
+        cg = cg.withColumnRenamed("oa", "chu").withColumnRenamed(
+            "ob", "chv"
+        )
+        cg = _lift_by(cg, "chu", "__del_a", tables)
+        cg = _lift_by(cg, "chv", "__del_b", tables)
+        cg_edges = cg.select(
+            F.col("lca").alias("bkt"),
+            F.col("chu").alias("src"),
+            F.col("chv").alias("dst"),
+        ).persist()
+        if not cg_edges.isEmpty():
+            # one stripe-encoded star-CC run over ALL per-vertex child
+            # graphs (the bucketed_component_sizes encoding)
+            mx = cg_edges.agg(
+                F.greatest(F.max("src"), F.max("dst"), F.max("bkt")).alias(
+                    "mxn"
+                ),
+                F.least(F.min("src"), F.min("dst"), F.min("bkt")).alias(
+                    "mnn"
+                ),
+            ).first()
+            if mx["mnn"] < 0:
+                raise ValueError(
+                    "articulation_points needs non-negative node ids"
+                )
+            off = mx["mxn"] + 1
+            if off * off >= 2**62:
+                raise ValueError(
+                    "bucket*offset encoding would overflow int64; densify "
+                    "node ids (e.g. via add_global_seq) first"
+                )
+            from .components import connected_components
+
+            enc = cg_edges.select(
+                (F.col("bkt") * F.lit(off) + F.col("src")).alias("src"),
+                (F.col("bkt") * F.lit(off) + F.col("dst")).alias("dst"),
+            )
+            labels = connected_components(enc)
+            glabel = labels.select(
+                F.expr(f"node_id div {off}").alias("c"),
+                F.expr(f"node_id % {off}").alias("ch"),
+                F.expr(f"component % {off}").alias("lbl"),
+            )
+    grp = children.join(
+        glabel if glabel is not None else children.limit(0).select(
+            "c", "ch", F.col("ch").alias("lbl")
+        ),
+        ["c", "ch"],
+        "left",
+    ).select("c", "ch", F.coalesce(F.col("lbl"), F.col("ch")).alias("lbl"))
+    # escape: the child's subtree reaches STRICTLY above c
+    # (depth(c) = depth(ch) - 1)
+    ch_m = work.select(
+        F.col("node_id").alias("ch"),
+        "m",
+        (F.col("depth") - 1).alias("c_depth"),
+    )
+    grp = grp.join(ch_m, "ch").select(
+        "c",
+        "lbl",
+        (F.col("m") < F.col("c_depth")).cast("int").alias("esc"),
+    )
+    per_group = grp.groupBy("c", "lbl").agg(F.max("esc").alias("g_esc"))
+    per_c = per_group.groupBy("c").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(1 - F.col("g_esc")).alias("n_trapped"),
+    )
+    verdict = tree.join(
+        per_c, tree["node_id"] == per_c["c"], "left"
+    ).select(
+        "node_id",
+        F.col("parent").isNull().alias("is_root"),
+        F.coalesce(F.col("n_groups"), F.lit(0)).alias("n_groups"),
+        F.coalesce(F.col("n_trapped"), F.lit(0)).alias("n_trapped"),
+    )
+    return verdict.filter(
+        (F.col("is_root") & (F.col("n_groups") >= 2))
+        | (~F.col("is_root") & (F.col("n_trapped") >= 1))
+    ).select("node_id")

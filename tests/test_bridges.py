@@ -69,3 +69,42 @@ def test_max_rounds_raises_loudly(spark):
     )
     with pytest.raises(RuntimeError, match="did not saturate"):
         bridges(df, max_rounds=1)
+
+
+def _run_ap(spark, pairs):
+    from online_centrality_spark.operators import articulation_points
+
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r["node_id"] for r in articulation_points(df).collect()}
+
+
+def test_articulation_bowtie_shared_vertex(spark):
+    """Two triangles sharing vertex 3: the share point is the unique
+    cut vertex (and there are no bridges — the vertex/edge rules are
+    genuinely different)."""
+    el = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+    assert _run_ap(spark, el) == {3}
+    assert _run(spark, el) == set()
+
+
+def test_articulation_path_internal_vertices(spark):
+    assert _run_ap(spark, [(1, 2), (2, 3), (3, 4)]) == {2, 3}
+
+
+def test_articulation_star_center(spark):
+    assert _run_ap(spark, [(0, 1), (0, 2), (0, 3)]) == {0}
+
+
+def test_articulation_cycle_has_none(spark):
+    assert _run_ap(spark, [(1, 2), (2, 3), (3, 1)]) == set()
+
+
+def test_articulation_networkx_parity(spark):
+    nx = pytest.importorskip("networkx")
+    for seed, (n, p) in enumerate([(18, 0.12), (28, 0.09)]):
+        g = nx.gnp_random_graph(n, p, seed=seed * 11 + 3)
+        g.add_edge(0, n + 1)
+        g.add_edge(n + 1, n + 2)
+        exp = set(nx.articulation_points(g))
+        got = _run_ap(spark, [(a, b) for a, b in g.edges()])
+        assert got == exp, f"seed {seed}"
