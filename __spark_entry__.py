@@ -4923,6 +4923,32 @@ def q_articulation_points(spark, sf_dir):
     return articulation_points(_cos_edges(spark, sf_dir))
 
 
+def q_neighbor_sampling(spark, sf_dir):
+    """Deterministic GraphSAGE-style 2-hop neighbor sampling over the
+    user-interaction digraph (round 5): 16 seed nodes, fanout (5, 5),
+    edges ranked by the portable md5 hash so the SAME mini-batch
+    subgraph reproduces in Spark, DuckDB, and any rerun — the GNN
+    training-data extraction step. Capped adjacency built once with
+    the supernode-safe per_key_rank and reused per hop."""
+    from online_centrality_spark.operators.neighborhood import (
+        neighbor_sampling,
+    )
+    from online_centrality_spark.sources.edges import user_interaction_digraph
+
+    dg = user_interaction_digraph(_t(spark, sf_dir, "events"), gap_seconds=60.0)
+    return neighbor_sampling(dg, seeds=16, fanout=(5, 5))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade-level histogram of the documents corpus
+    (round 5): vowel-group syllables, [.!?]+ sentences, exact integer
+    counts in the scan, grade doubles bit-identical to the SQL oracle,
+    buckets floored and clamped to [-5, 30]."""
+    from online_centrality_spark.text.analysis import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_table_profile(spark, sf_dir):
     """Deequ/TFDV-style per-column table profile of the events table
     (round 5): null counts, exact distinct cardinalities, typed
@@ -5061,6 +5087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "integrity_checks": q_integrity_checks,
         "articulation_points": q_articulation_points,
+        "neighbor_sampling": q_neighbor_sampling,
+        "readability": q_readability,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8841,4 +8869,49 @@ FROM events"""
 FROM {tbl}"""
         )
     sqls["integrity_checks"] = "\nUNION ALL\n".join(fk_rows)
+    ns_hash = PORTABLE_HASH.format(
+        s="CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)"
+    )
+    sqls["neighbor_sampling"] = f"""
+WITH {digraph_cte.strip()},
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (
+           PARTITION BY src ORDER BY {ns_hash}, dst) - 1 AS rank
+  FROM dedges
+),
+nseeds AS (
+  SELECT node_id AS seed FROM (
+    SELECT src AS node_id FROM dedges UNION SELECT dst FROM dedges
+  ) ORDER BY node_id LIMIT 16
+),
+h1 AS (
+  SELECT DISTINCT s.seed, r.src, r.dst
+  FROM nseeds s JOIN ranked r ON r.src = s.seed WHERE r.rank < 5
+),
+f1 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+h2 AS (
+  SELECT DISTINCT f.seed, r.src, r.dst
+  FROM f1 f JOIN ranked r ON r.src = f.node WHERE r.rank < 5
+)
+SELECT seed, CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+UNION ALL
+SELECT seed, CAST(2 AS BIGINT) AS hop, src, dst FROM h2
+"""
+    sqls["readability"] = """
+WITH pd AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+         list_sum(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)
+         )) AS sy,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS se
+  FROM documents
+)
+SELECT CAST(greatest(-5, least(30,
+         floor(0.39 * (w / se) + 11.8 * (sy / w) - 15.59)))
+       AS BIGINT) AS grade_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pd WHERE w > 0 GROUP BY 1
+"""
     return sqls

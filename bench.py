@@ -360,6 +360,8 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("table_profile")
     add("integrity_checks")
     add("articulation_points", n=1)
+    add("neighbor_sampling")
+    add("readability")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

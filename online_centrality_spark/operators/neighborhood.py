@@ -242,3 +242,84 @@ def square_census(edges: DataFrame) -> DataFrame:
         # choices of the neighbor pair) -> exact integer division
         F.expr("sum(w * (w - 1)) div 4").cast("long").alias("n_squares"),
     )
+
+
+def neighbor_sampling(
+    edges: DataFrame,
+    seeds: DataFrame | int = 16,
+    fanout: tuple[int, ...] = (5, 5),
+) -> DataFrame:
+    """(seed, hop, src, dst) — deterministic GraphSAGE-style k-hop
+    neighbor sampling: the mini-batch subgraph extraction every GNN
+    training pipeline runs over the full graph.
+
+    Per hop h (1-based), each frontier node keeps at most ``fanout[h-1]``
+    outgoing edges, ranked by the portable md5 hash of the edge (so the
+    sample is reproducible across engines, runs, and partitionings —
+    no RNG, the ``hash_sample`` philosophy). ``seeds`` is a node_id
+    DataFrame or an int k (the k smallest node ids, the deterministic
+    pivot rule of ``betweenness_from_pivots``). Sampled rows are
+    distinct per (seed, hop, src, dst): a node reached through two
+    paths contributes its sample once.
+
+    Scale: the capped adjacency is computed ONCE with the
+    supernode-safe ``per_key_rank`` (hub nodes never serialize a
+    single-task sort) and reused by every hop; each hop is one join of
+    the (bounded: |seeds| * prod(fanout)) frontier against it.
+    """
+    from ..dedup.common import portable_hash
+    from ..sources.edges import per_key_rank
+
+    if not fanout or any(k <= 0 for k in fanout):
+        raise ValueError(f"fanout must be positive per hop, got {fanout}")
+    e = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    max_fan = max(fanout)
+    ranked = per_key_rank(
+        e.withColumn(
+            "__h",
+            portable_hash(
+                F.concat_ws("#", F.col("src"), F.col("dst"))
+            ),
+        ),
+        ["src"],
+        ["__h", "dst"],
+    )
+    adj = (
+        ranked.filter(F.col("rank") < max_fan)
+        .select("src", "dst", "rank")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    if isinstance(seeds, int):
+        if seeds <= 0:
+            raise ValueError(f"seeds must be positive, got {seeds}")
+        seed_df = nodes.orderBy("node_id").limit(seeds)
+    else:
+        seed_df = seeds.select("node_id").distinct().join(
+            nodes, "node_id", "left_semi"
+        )
+    frontier = seed_df.select(F.col("node_id").alias("seed"),
+                              F.col("node_id").alias("node"))
+    out = None
+    for h, k in enumerate(fanout, start=1):
+        hop = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .filter(F.col("rank") < k)
+            .select(
+                "seed",
+                F.lit(h).cast("long").alias("hop"),
+                "src",
+                "dst",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out = hop if out is None else out.unionByName(hop)
+        frontier = hop.select("seed", F.col("dst").alias("node")).distinct()
+    return out
