@@ -4923,6 +4923,17 @@ def q_articulation_points(spark, sf_dir):
     return articulation_points(_cos_edges(spark, sf_dir))
 
 
+def q_two_edge_components(spark, sf_dir):
+    """2-edge-connected components of the cosine graph (round 5): the
+    fault-tolerance partition — nodes share a component iff they stay
+    connected under ANY single edge failure. Composes the audited
+    bridge cut set with one star-CC run over the surviving edges;
+    bridge-only nodes come back as singletons."""
+    from online_centrality_spark.operators import two_edge_components
+
+    return two_edge_components(_cos_edges(spark, sf_dir))
+
+
 def q_neighbor_sampling(spark, sf_dir):
     """Deterministic GraphSAGE-style 2-hop neighbor sampling over the
     user-interaction digraph (round 5): 16 seed nodes, fanout (5, 5),
@@ -5089,6 +5100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "articulation_points": q_articulation_points,
         "neighbor_sampling": q_neighbor_sampling,
         "readability": q_readability,
+        "two_edge_components": q_two_edge_components,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8913,5 +8925,28 @@ SELECT CAST(greatest(-5, least(30,
        AS BIGINT) AS grade_bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM pd WHERE w > 0 GROUP BY 1
+"""
+    sqls["two_edge_components"] = _conn_ctes + """,
+brg AS (
+  SELECT t.a, t.b FROM tre t LEFT JOIN subm s ON s.c = t.child
+  WHERE s.sm IS NULL OR s.sm >= t.child_depth
+),
+rem AS (
+  SELECT c.src AS a, c.dst AS b
+  FROM cedges c LEFT JOIN brg g ON g.a = c.src AND g.b = c.dst
+  WHERE g.a IS NULL
+),
+sym2 AS (
+  SELECT a AS x, b AS y FROM rem UNION SELECT b AS x, a AS y FROM rem
+),
+r2 AS (
+  SELECT node_id AS x, node_id AS y FROM cnodes
+  UNION
+  SELECT r.x, s.y FROM r2 r JOIN sym2 s ON s.x = r.y
+)
+SELECT CAST(r.x AS BIGINT) AS node_id, CAST(min(r.y) AS BIGINT) AS component
+FROM r2 r CROSS JOIN chk
+WHERE chk.ok = 1
+GROUP BY r.x
 """
     return sqls

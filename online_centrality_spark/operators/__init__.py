@@ -28,7 +28,7 @@ from .backbone import disparity_backbone, disparity_scores, strength_disparity
 from .persistence import edge_persistence
 from .robustness import attack_robustness, random_failure
 from .bipartite import bipartite_projection, butterfly_count
-from .bridges import articulation_points, bridges
+from .bridges import articulation_points, bridges, two_edge_components
 from .anf import anf_reach, fm_node_sketches
 from .bowtie import bowtie_decomposition
 from .coloring import greedy_coloring
@@ -107,6 +107,7 @@ __all__ = [
     "bipartite_projection",
     "bridges",
     "articulation_points",
+    "two_edge_components",
     "activity_autocorr",
     "activity_changepoint",
     "anf_reach",

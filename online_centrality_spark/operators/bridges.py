@@ -491,3 +491,46 @@ def articulation_points(
         (F.col("is_root") & (F.col("n_groups") >= 2))
         | (~F.col("is_root") & (F.col("n_trapped") >= 1))
     ).select("node_id")
+
+
+def two_edge_components(
+    edges: DataFrame, max_rounds: int = 10_000
+) -> DataFrame:
+    """(node_id, component) — 2-edge-connected components: the
+    connected components left after deleting every bridge (component =
+    min member id, the star-CC labeling convention). Two nodes share a
+    component iff they stay connected under ANY single edge failure —
+    the fault-tolerance partition of the graph.
+
+    Composes the two audited pieces: the ``bridges`` cut set and one
+    star-CC run over the surviving edges; nodes whose every incident
+    edge is a bridge come back as singletons."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    if e.isEmpty():
+        return spark.createDataFrame([], "node_id long, component long")
+    br = bridges(e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+                 max_rounds)
+    rem = e.join(br, ["a", "b"], "left_anti")
+    nodes = (
+        e.select(F.col("a").alias("node_id"))
+        .unionAll(e.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    from .components import connected_components
+
+    cc = connected_components(
+        rem.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return nodes.join(cc, "node_id", "left").select(
+        "node_id",
+        F.coalesce(F.col("component"), F.col("node_id")).alias("component"),
+    )

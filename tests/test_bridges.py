@@ -108,3 +108,38 @@ def test_articulation_networkx_parity(spark):
         exp = set(nx.articulation_points(g))
         got = _run_ap(spark, [(a, b) for a, b in g.edges()])
         assert got == exp, f"seed {seed}"
+
+
+def test_two_edge_components_barbell_and_networkx(spark):
+    from online_centrality_spark.operators import two_edge_components
+
+    nx = pytest.importorskip("networkx")
+    # barbell: two triangles joined by a bridge -> two 2ecc's
+    el = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r["node_id"]: r["component"]
+        for r in two_edge_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    # random-graph parity with networkx k_edge_components(k=2)
+    from networkx.algorithms.connectivity import k_edge_components
+
+    g = nx.gnp_random_graph(22, 0.11, seed=41)
+    g.add_edge(0, 23)
+    g.add_edge(23, 24)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in g.edges()], "src long, dst long"
+    )
+    got = {}
+    for r in two_edge_components(df).collect():
+        got.setdefault(r["component"], set()).add(r["node_id"])
+    engine_nodes = set().union(*got.values())
+    # networkx also reports nodes with no edges; the engine's universe
+    # is the edge list
+    exp = {
+        frozenset(s)
+        for s in k_edge_components(g, k=2)
+        if s & engine_nodes
+    }
+    assert {frozenset(v) for v in got.values()} == exp
