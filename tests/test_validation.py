@@ -83,3 +83,24 @@ def test_integrity_checks_by_hand(spark):
 def test_integrity_checks_requires_a_check(spark):
     with pytest.raises(ValueError, match="no checks"):
         integrity_checks()
+
+
+def test_data_quality_report_job(spark, tmp_path):
+    from jobs.data_quality_report import run_report
+
+    out = str(tmp_path / "dq")
+    metrics = run_report(spark, "/root/testdata/sf0.001", out)
+    assert set(metrics) == {"profiles", "integrity", "readability", "gopher"}
+    assert all(m["rows"] >= 1 for m in metrics.values()), metrics
+    prof = spark.read.parquet(f"{out}/metric=profiles")
+    assert {"table", "column", "n_rows", "n_nulls", "n_distinct"} <= set(
+        prof.columns
+    )
+    # every declared table profiled
+    assert prof.select("table").distinct().count() == 9
+    integ = spark.read.parquet(f"{out}/metric=integrity")
+    rows = {r["check"]: r["n_violations"] for r in integ.collect()}
+    assert len(rows) == 10 and all(v == 0 for v in rows.values())
+    # resume skips every committed family
+    m2 = run_report(spark, "/root/testdata/sf0.001", out, resume=True)
+    assert all(m.get("resumed") for m in m2.values()), m2
