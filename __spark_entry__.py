@@ -4923,6 +4923,41 @@ def q_articulation_points(spark, sf_dir):
     return articulation_points(_cos_edges(spark, sf_dir))
 
 
+def q_rank_overlap(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al. 2010) between the PageRank
+    and indegree rankings of the supplier->customer graph (round 5):
+    the top-weighted list-agreement metric the Kendall/Spearman family
+    can't give on non-conjoint lists — "does the cheap degree ranking
+    agree with PageRank where it matters?". Geometric weights are
+    python-double literals on BOTH engines (no cross-engine pow);
+    ranks on the ROUNDED score columns (deterministic tie-break),
+    terms scaled-int64 before the sum."""
+    from online_centrality_spark.evaluation import rbo
+    from online_centrality_spark.operators.static_pagerank import (
+        static_pagerank,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(100000) + F.col("o_custkey")).alias("dst"),
+        )
+        .persist()
+    )
+    pr = static_pagerank(
+        e, alpha=0.85, max_iter=PR_ITERS, tol=0.0, strict=False
+    ).select("node_id", F.round("score", 9).alias("score"))
+    ind = (
+        e.dropDuplicates(["src", "dst"])
+        .groupBy(F.col("dst").alias("node_id"))
+        .agg(F.count("*").cast("double").alias("score"))
+    )
+    return rbo(pr, ind, depth=50, p=0.9)
+
+
 def q_two_edge_components(spark, sf_dir):
     """2-edge-connected components of the cosine graph (round 5): the
     fault-tolerance partition — nodes share a component iff they stay
@@ -5101,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sampling": q_neighbor_sampling,
         "readability": q_readability,
         "two_edge_components": q_two_edge_components,
+        "rank_overlap": q_rank_overlap,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -8948,5 +8984,52 @@ SELECT CAST(r.x AS BIGINT) AS node_id, CAST(min(r.y) AS BIGINT) AS component
 FROM r2 r CROSS JOIN chk
 WHERE chk.ok = 1
 GROUP BY r.x
+"""
+    # RBO: geometric weights precomputed as python doubles and attached
+    # as literals on BOTH engines (repr round-trips to the identical
+    # double), so no cross-engine pow(); terms scaled-int64 before the
+    # final sum (layout-proof)
+    rbo_depth, rbo_p = 50, 0.9
+    wrows = ",\n  ".join(
+        f"({d}, {(1.0 - rbo_p) * (rbo_p ** (d - 1)) / d!r})"
+        for d in range(1, rbo_depth + 1)
+    )
+    sqls["rank_overlap"] = f"""
+WITH {",".join(_pagerank_ctes())},
+pra AS (
+  SELECT node AS id, round(rank, 9) AS s FROM r{PR_ITERS}
+),
+prb AS (
+  SELECT dst AS id, CAST(count(*) AS DOUBLE) AS s FROM e GROUP BY dst
+),
+ra AS (
+  SELECT id, rn AS ra FROM (
+    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn FROM pra
+  ) WHERE rn <= {rbo_depth}
+),
+rb AS (
+  SELECT id, rn AS rb FROM (
+    SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS rn FROM prb
+  ) WHERE rn <= {rbo_depth}
+),
+ed AS (
+  SELECT greatest(ra.ra, rb.rb) AS d FROM ra JOIN rb USING (id)
+),
+pd AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM ed GROUP BY d),
+wtab(d, w) AS (VALUES
+  {wrows}
+),
+tw AS (
+  SELECT w.d, w.w,
+         sum(coalesce(pd.n, 0)) OVER (ORDER BY w.d
+           ROWS UNBOUNDED PRECEDING) AS ov
+  FROM wtab w LEFT JOIN pd ON pd.d = w.d
+)
+SELECT CAST({rbo_depth} AS BIGINT) AS depth,
+       CAST({rbo_p} AS DOUBLE) AS p,
+       CAST(max(CASE WHEN d = {rbo_depth} THEN ov END) AS BIGINT)
+         AS overlap_at_depth,
+       round(sum(CAST(round(ov * w * 1e15) AS BIGINT)) / 1e15, 9) AS rbo
+FROM tw
 """
     return sqls

@@ -6,7 +6,7 @@ from .correlation import (
     corr_weighted_kendall,
 )
 from .metrics import evaluate_pairwise, evaluate_sequential
-from .ranking import active_ratio, ndcg, normalize_scores, precision_at_k, recall_at_k, top_k
+from .ranking import active_ratio, ndcg, normalize_scores, precision_at_k, rbo, recall_at_k, top_k
 
 __all__ = [
     "align_scores",
@@ -16,6 +16,7 @@ __all__ = [
     "corr_weighted_kendall",
     "top_k",
     "ndcg",
+    "rbo",
     "precision_at_k",
     "recall_at_k",
     "active_ratio",

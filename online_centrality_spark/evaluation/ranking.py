@@ -101,3 +101,86 @@ def normalize_scores(scores: DataFrame, by: list[str] | None = None) -> DataFram
     """Scores normalized by their (per-group) sum (V13, experiment_utils.py:112-118)."""
     w = Window.partitionBy(*by) if by else Window.partitionBy()
     return scores.withColumn("score", F.col("score") / F.sum("score").over(w))
+
+
+def rbo(
+    a: DataFrame,
+    b: DataFrame,
+    depth: int = 50,
+    p: float = 0.9,
+    id_col: str = "node_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """One row ``(depth, p, overlap_at_depth, rbo)`` — truncated
+    Rank-Biased Overlap (Webber, Moffat & Zobel 2010) between two score
+    rankings: RBO@D = sum_{d=1..D} (1-p) p^(d-1) |A_d ∩ B_d| / d, the
+    top-weighted list-agreement metric that (unlike Kendall/Spearman)
+    handles non-conjoint lists and discounts tail disagreement
+    geometrically.
+
+    Determinism and scale:
+    - ranks = score DESC, id ASC via TakeOrderedAndProject (top-``depth``
+      per side — no global sort task); the row_number runs on the
+      depth-bounded frame only ("bounded by depth, not data").
+    - an item in both prefixes enters the intersection at
+      d = max(rank_a, rank_b), so every |A_d ∩ B_d| falls out of ONE
+      inner join + a cumulative window over the depth-sized frame.
+    - the geometric weights (1-p) p^(d-1) / d are PRECOMPUTED python
+      doubles attached as literals (no cross-engine pow()), each term
+      is scaled to int64 before the final sum (layout-proof total,
+      the scaled-int64 rule used across the repo).
+    """
+    if depth <= 0:
+        raise ValueError(f"depth must be positive, got {depth}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    spark = a.sparkSession
+
+    def prefix(df, rank_name):
+        top = df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("s")
+        ).orderBy(F.col("s").desc(), F.col("id").asc()).limit(depth)
+        w = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+        return top.select(
+            "id", F.row_number().over(w).alias(rank_name)
+        )
+    ra = prefix(a, "ra")
+    rb = prefix(b, "rb")
+    entry_depth = ra.join(rb, "id").select(
+        F.greatest("ra", "rb").alias("d")
+    )
+    per_depth = entry_depth.groupBy("d").agg(F.count("*").alias("n"))
+    weights = spark.createDataFrame(
+        [(d, (1.0 - p) * (p ** (d - 1)) / d) for d in range(1, depth + 1)],
+        "d long, w double",
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    terms = (
+        weights.join(per_depth, "d", "left")
+        .select(
+            "d",
+            "w",
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wd).alias("ov"),
+        )
+        .select(
+            "d",
+            "ov",
+            F.round(F.col("ov") * F.col("w") * 1e15)
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.agg(
+            F.max(F.when(F.col("d") == depth, F.col("ov"))).alias(
+                "overlap_at_depth"
+            ),
+            F.round(F.sum("t") / 1e15, 9).alias("rbo"),
+        )
+        .select(
+            F.lit(depth).cast("long").alias("depth"),
+            F.lit(float(p)).alias("p"),
+            "overlap_at_depth",
+            "rbo",
+        )
+    )
