@@ -4923,6 +4923,25 @@ def q_articulation_points(spark, sf_dir):
     return articulation_points(_cos_edges(spark, sf_dir))
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 historization of each user's event-type "state"
+    (round 5): consecutive unchanged observations collapse (CDC
+    compaction), each surviving state is valid from its own epoch-us
+    timestamp until the user's next state change (current row:
+    valid_to_us NULL) — the temporal-table build behind every
+    point-in-time as-of lookup. One lead/lag window per user, the
+    sessionize-family envelope."""
+    from online_centrality_spark.operators.asof import scd2_intervals
+
+    return scd2_intervals(
+        _t(spark, sf_dir, "events"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_cols=["event_type"],
+        dedup_consecutive=True,
+    )
+
+
 def q_rank_overlap(spark, sf_dir):
     """Rank-Biased Overlap (Webber et al. 2010) between the PageRank
     and indegree rankings of the supplier->customer graph (round 5):
@@ -5137,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "two_edge_components": q_two_edge_components,
         "rank_overlap": q_rank_overlap,
+        "scd2_history": q_scd2_history,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -9031,5 +9051,22 @@ SELECT CAST({rbo_depth} AS BIGINT) AS depth,
          AS overlap_at_depth,
        round(sum(CAST(round(ov * w * 1e15) AS BIGINT)) / 1e15, 9) AS rbo
 FROM tw
+"""
+    sqls["scd2_history"] = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts)) AS pv,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts)) AS pt
+  FROM events
+),
+k AS (
+  SELECT user_id, t, event_type FROM b
+  WHERE pt IS NULL OR event_type IS DISTINCT FROM pv
+)
+SELECT user_id, event_type, t AS valid_from_us,
+       lead(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to_us
+FROM k
 """
     return sqls

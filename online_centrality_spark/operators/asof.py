@@ -135,3 +135,58 @@ def asof_join(
         )
     )
     return out.select(*lcols, out_col)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    dedup_consecutive: bool = False,
+) -> DataFrame:
+    """(key..., value..., valid_from_us, valid_to_us) — SCD Type-2
+    historization of a change stream: each observation's values are
+    valid from its own (epoch-us) timestamp until the key's NEXT
+    observation; the current row carries ``valid_to_us = NULL``. The
+    warehouse temporal-table build every pipeline runs before an as-of
+    join can serve point-in-time lookups.
+
+    ``dedup_consecutive=True`` first collapses runs where none of
+    ``value_cols`` changed (the usual CDC compaction), so intervals
+    describe VALUE validity, not observation cadence. ``(key, ts)``
+    must be unique (pre-aggregate ties).
+
+    Scale: one ``lead`` window per key (plus one ``lag`` comparison
+    when deduping) — the per-user-lag envelope every sessionize-family
+    operator uses; no global sort, no driver state.
+    """
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *key_cols, t.alias("__t"), *value_cols
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__t")
+    if dedup_consecutive:
+        changed = F.lit(False)
+        for v in value_cols:
+            prev = F.lag(F.col(v)).over(w)
+            changed = changed | ~(
+                (F.col(v) == prev)
+                | (F.col(v).isNull() & prev.isNull())
+            )
+        base = (
+            base.withColumn(
+                "__keep",
+                F.lag("__t").over(w).isNull() | changed,
+            )
+            .filter(F.col("__keep"))
+            .drop("__keep")
+        )
+        w = Window.partitionBy(*key_cols).orderBy("__t")
+    return base.select(
+        *key_cols,
+        *value_cols,
+        F.col("__t").alias("valid_from_us"),
+        F.lead("__t").over(w).alias("valid_to_us"),
+    )

@@ -78,3 +78,46 @@ def test_readability_clamps_extremes(spark):
     docs = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
     got = readability(docs).collect()
     assert len(got) == 1 and got[0]["grade_bucket"] == 30
+
+
+def test_scd2_intervals_by_hand(spark):
+    """u1: A@10, A@20 (collapsed), B@30 -> [A: 10..30), [B: 30..NULL);
+    u2 single row -> open interval."""
+    import datetime
+
+    TS0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return TS0 + datetime.timedelta(seconds=sec)
+
+    from online_centrality_spark.operators.asof import scd2_intervals
+
+    df = spark.createDataFrame(
+        [("u1", ts(10), "A"), ("u1", ts(20), "A"), ("u1", ts(30), "B"),
+         ("u2", ts(5), "X")],
+        "user_id string, ts timestamp, state string",
+    )
+    out = scd2_intervals(
+        df, ["user_id"], "ts", ["state"], dedup_consecutive=True
+    ).collect()
+    rows = {(r["user_id"], r["state"]): (r["valid_from_us"], r["valid_to_us"])
+            for r in out}
+    base = 1704067200 * 1_000_000
+    assert rows == {
+        ("u1", "A"): (base + 10_000_000, base + 30_000_000),
+        ("u1", "B"): (base + 30_000_000, None),
+        ("u2", "X"): (base + 5_000_000, None),
+    }
+    # without compaction the duplicate A row keeps its own interval
+    out2 = scd2_intervals(df, ["user_id"], "ts", ["state"]).collect()
+    assert len(out2) == 4
+
+
+def test_scd2_intervals_validates_args(spark):
+    import pytest as _pytest
+
+    from online_centrality_spark.operators.asof import scd2_intervals
+
+    df = spark.createDataFrame([("u", 1)], "k string, v int")
+    with _pytest.raises(ValueError):
+        scd2_intervals(df, [], "v", ["v"])
