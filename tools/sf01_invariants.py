@@ -612,6 +612,49 @@ def main():
 
     check("integrity_checks_clean_at_sf01", integrity_checks_clean_at_sf01)
 
+    def rank_overlap_bounded():
+        r = entry_mod.q_rank_overlap(spark, sf_dir).collect()[0]
+        assert 0.0 <= r["rbo"] <= 1.0, r
+        assert 0 <= r["overlap_at_depth"] <= r["depth"], r
+
+    check("rank_overlap_bounded", rank_overlap_bounded)
+
+    def scd2_intervals_chain():
+        """Per user: closed intervals are positive-length, exactly one
+        open (current) interval, and consecutive intervals chain
+        exactly (next valid_from == previous valid_to)."""
+        df = entry_mod.q_scd2_history(spark, sf_dir).persist()
+        assert df.filter(
+            F.col("valid_to_us").isNotNull()
+            & (F.col("valid_to_us") <= F.col("valid_from_us"))
+        ).count() == 0
+        per_user_open = (
+            df.filter(F.col("valid_to_us").isNull())
+            .groupBy("user_id")
+            .count()
+            .filter(F.col("count") != 1)
+            .count()
+        )
+        assert per_user_open == 0
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("valid_from_us")
+        broken = (
+            df.select(
+                "user_id",
+                "valid_from_us",
+                F.lag("valid_to_us").over(w).alias("prev_to"),
+            )
+            .filter(
+                F.col("prev_to").isNotNull()
+                & (F.col("prev_to") != F.col("valid_from_us"))
+            )
+            .count()
+        )
+        assert broken == 0
+
+    check("scd2_intervals_chain", scd2_intervals_chain)
+
     ok = all(v["ok"] for v in results.values())
     print(json.dumps({"sf_dir": sf_dir, "pass": ok, "invariants": results}))
     spark.stop()
