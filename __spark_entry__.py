@@ -4923,6 +4923,17 @@ def q_articulation_points(spark, sf_dir):
     return articulation_points(_cos_edges(spark, sf_dir))
 
 
+def q_dataset_card(spark, sf_dir):
+    """One-row dataset card of the documents corpus (round 5): doc/
+    char/token totals, language coverage, dominant language + share,
+    exact-duplicate rate — the summary artifact every training corpus
+    ships with; one full pass + a |langs|-bounded top pick attached
+    via 1-row broadcast."""
+    from online_centrality_spark.text.analysis import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD Type-2 historization of each user's event-type "state"
     (round 5): consecutive unchanged observations collapse (CDC
@@ -5157,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_edge_components": q_two_edge_components,
         "rank_overlap": q_rank_overlap,
         "scd2_history": q_scd2_history,
+        "dataset_card": q_dataset_card,
         # (everything below holds >= 1 prior driver-green row: the
         # remaining r04 window rows, then the r02/r03 greens and the
         # double-green anchors)
@@ -9068,5 +9080,25 @@ k AS (
 SELECT user_id, event_type, t AS valid_from_us,
        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS valid_to_us
 FROM k
+"""
+    sqls["dataset_card"] = """
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(len(regexp_extract_all(lower(text),
+              '[a-z0-9]+|[^a-z0-9\\s]+'))) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+  FROM documents
+),
+top AS (
+  SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_n
+  FROM documents GROUP BY lang
+  ORDER BY count(*) DESC, lang ASC LIMIT 1
+)
+SELECT n_docs, total_chars, total_tokens, n_langs, top_lang,
+       round(top_n / n_docs, 6) AS top_lang_share,
+       round((n_docs - n_unique) / n_docs, 6) AS dup_rate
+FROM base CROSS JOIN top
 """
     return sqls

@@ -365,6 +365,7 @@ def _build_rows(spark, sf_dir, trials_n, heavy_n, heavy_extras=False):
     add("two_edge_components", n=1)
     add("rank_overlap")
     add("scd2_history")
+    add("dataset_card")
     # full replays through the distributed-state drivers (cogroup
     # state, partitioned score sink — no driver-held arrays)
     rows.append((

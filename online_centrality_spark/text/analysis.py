@@ -1163,3 +1163,45 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("grade_bucket")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary — the "dataset card" header every
+    training corpus ships with: document/character/token totals,
+    language coverage, the dominant language and its share, and the
+    exact-duplicate rate (md5 content hash), all from one full pass
+    plus one language-cardinality aggregate.
+
+    Scale: the main aggregate is map-side combinable except the two
+    exact count-distincts (md5 hash, lang) — the same documented
+    Expand price as ``table_profile``; the top-language pick runs on
+    the |langs|-bounded frame and attaches via a 1-row broadcast
+    crossJoin. Ratios are exact-integer divisions rounded to 6."""
+    t = text_col
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(t))).alias("total_chars"),
+        F.sum(
+            F.expr(f"size(regexp_extract_all(lower({t}), '{TOKEN_RE}', 0))")
+        ).alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5(F.col(t))).alias("n_unique_docs"),
+    )
+    top = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        "top_lang",
+        F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_docs")) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )

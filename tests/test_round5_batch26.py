@@ -121,3 +121,21 @@ def test_scd2_intervals_validates_args(spark):
     df = spark.createDataFrame([("u", 1)], "k string, v int")
     with _pytest.raises(ValueError):
         scd2_intervals(df, [], "v", ["v"])
+
+
+def test_dataset_card_by_hand(spark):
+    """3 docs, one exact duplicate pair, two languages with 'en'
+    dominant -> every card field hand-computable."""
+    from online_centrality_spark.text.analysis import dataset_card
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "hello world", "en"),
+         (3, "bonjour", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    r = dataset_card(docs).collect()[0]
+    assert (r["n_docs"], r["total_chars"], r["n_langs"]) == (3, 29, 2)
+    # tokens: 'hello','world' x2 + 'bonjour' = 5
+    assert r["total_tokens"] == 5
+    assert (r["top_lang"], r["top_lang_share"]) == ("en", 0.666667)
+    assert r["dup_rate"] == 0.333333
